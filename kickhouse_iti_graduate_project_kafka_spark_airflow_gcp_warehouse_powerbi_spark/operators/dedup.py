@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Designed for 100 TB corpora:
+
+- **exact_dedup** — fingerprint (xxhash64) + one hash-partitioned groupBy;
+  never compares full text across the wire twice.
+- **ngram_jaccard_pairs** — *inverted-index* pair generation (explode
+  shingles, self-join on the shingle), NOT an O(N^2) cross join. Pair
+  candidates are only documents sharing >=1 shingle; ultra-frequent shingles
+  can be dropped via ``max_shingle_freq`` to bound skew (the classic hot-key
+  guard at scale).
+- **minhash_lsh_pairs** — MinHash signatures (k seeded xxhash64 mins) ->
+  banding -> bucket self-join -> exact-Jaccard verification of candidates.
+  The shuffle is on (band_idx, band_hash): bounded-size keys, no N^2
+  anywhere. This is the scale path; the inverted index is the
+  small/mid-scale exact path.
+- **simhash64_pairs** — 64-bit SimHash, Hamming-ball candidate join via
+  16-bit band equality (any pair within Hamming distance<=3*bands-ish shares
+  a band by pigeonhole when distance < n_bands).
+
+All shingle/signature math is JVM-side Column expressions — zero Python in
+the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint64, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text. Returns the input
+    columns + ``fingerprint``. One shuffle on the 64-bit fingerprint —
+    at 100 TB this groups by 8-byte keys, not documents."""
+    fp = df.withColumn("fingerprint", fingerprint64(text_col))
+    keeper = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fp.join(keeper, ["fingerprint", id_col])
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_shingles")
+    ).filter(F.size("_shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted index.
+
+    jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the intersection size per
+    pair comes from counting co-occurrences after exploding shingles, so
+    only pairs sharing at least one shingle are ever materialized.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+    """
+    sh = _shingled(df, text_col, id_col, n)
+    sizes = sh.select("_id", F.size("_shingles").alias("_size"))
+    exploded = sh.select("_id", F.explode("_shingles").alias("_sh"))
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("_sh").count().filter(F.col("count") <= max_shingle_freq)
+        exploded = exploded.join(freq.select("_sh"), "_sh")
+    a = exploded.select(F.col("_id").alias("a_id"), "_sh")
+    b = exploded.select(F.col("_id").alias("b_id"), "_sh")
+    inter = (
+        a.join(b, "_sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("_size").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("_size").alias("_sb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(shingles_col: str, num_hashes: int = 64) -> list:
+    """k seeded MinHash values: min over shingles of xxhash64(seed_i, s).
+
+    Seeding by prepending a literal index keeps every hash function
+    deterministic and independent-ish; all JVM-side.
+    """
+    def _hash_fn(seed: int):
+        # closure factory: a 2-arg lambda would make transform() pass the
+        # element index as the second argument
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return [
+        F.array_min(F.transform(F.col(shingles_col), _hash_fn(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    band_size: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding + exact verification.
+
+    With 64 hashes in 16 bands of 4, a pair at Jaccard j is emitted as a
+    candidate with probability 1-(1-j^4)^16 (≈1 for j>=0.8). Candidates are
+    then *verified* with exact Jaccard on the shingle sets, so precision is
+    exact; recall is the LSH probability above. Shuffles: one on
+    (band, band_hash) for candidates, one inverted-index pass restricted to
+    candidate pairs for verification.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
+    """
+    n_bands = num_hashes // band_size
+    sh = _shingled(df, text_col, id_col, n)
+    sig = sh.select("_id", "_shingles", *minhash_signature("_shingles", num_hashes))
+    # banding: hash each band's slice of the signature to one bucket key
+    band_rows = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = band_rows.select(F.col("_id").alias("a_id"), "band", "bucket")
+    right = band_rows.select(F.col("_id").alias("b_id"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # exact verification of candidates only
+    sets_a = sh.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("_sha"))
+    sets_b = sh.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("_shb"))
+    verified = (
+        candidates.join(sets_a, "a_id")
+        .join(sets_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("_sha", "_shb")).cast("double")
+                / F.size(F.array_union("_sha", "_shb")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash64(shingles_col: str) -> F.Column:
+    """SimHash of a shingle set (63 usable bits in a signed long): per-bit
+    sign-aggregate of the per-shingle xxhash64 values, entirely with
+    array/bitwise expressions."""
+    hashes = F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
+
+    def _vote(bit: int):
+        mask = F.lit(1 << bit) if bit < 63 else F.lit(-(1 << 63))
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    # per-bit vote: sum(+1/-1) over shingles, bit set if positive
+    bit_terms = [
+        F.when(F.aggregate(hashes, F.lit(0), _vote(i)) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(63)  # keep the sign bit clear: 63-bit simhash in a long
+    ]
+    out = F.lit(0)
+    for t in bit_terms:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate generation via 16-bit band equality (4 bands): any pair within
+    Hamming distance 3 matches on >=1 band (pigeonhole), so recall is exact
+    for max_hamming <= 3; distance is then verified with bit_count(xor).
+    """
+    sh = _shingled(df, text_col, id_col, n).withColumn("_sim", simhash64("_shingles"))
+    bands = sh.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("_sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sim", "bb.band", "bb.bucket")
+    left = bands.select(F.col("_id").alias("a_id"), F.col("_sim").alias("_sa"), "band", "bucket")
+    right = bands.select(F.col("_id").alias("b_id"), F.col("_sim").alias("_sb"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+Three tiers, mirroring how ANN actually scales:
+
+- **brute_force_topk** — exact: broadcast the (small) query set against the
+  corpus, rank per query. The corpus is never shuffled; cost is one scan.
+  This is the baseline and the verifier for the approximate tiers.
+- **partitioned_topk (IVF-style)** — the corpus is pre-bucketed by a coarse
+  quantizer column (here: an existing cluster/label column; in production:
+  k-means cell ids). Queries probe only their own cell(s): partition
+  pruning for vectors. Exact within the probed cells.
+- **lsh_topk** — random-hyperplane signs (deterministic seeded hyperplanes
+  derived from xxhash64) bucket the corpus; queries only compare within
+  their bucket. Approximate; recall grows with probes/bands.
+
+All math is JVM-side (functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast-cross-join queries x corpus,
+    window-rank per query. Returns (q_id, n_id, cos, rank), rank 1..k,
+    tie-broken by neighbor id so results are total-ordered."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def partitioned_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: only corpus rows in the query's cell are scored
+    (nprobe=1). With a k-means quantizer this is the classic IVF-Flat
+    layout; here any coarse bucketing column works. Exact within the cell."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def hyperplane_signature(vec_col: str, dim: int, n_planes: int = 8) -> F.Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+
+    Plane j's d-th coefficient is a pseudo-random value in [-1, 1) derived
+    from xxhash64(j, d) — reproducible across runs with zero stored state.
+    """
+    bits = []
+    for j in range(n_planes):
+        coeffs = F.array(
+            *[
+                ((F.xxhash64(F.lit(j), F.lit(d)) % 2001).cast("double") / 1000.0)
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane-sign
+    bucket. The bucket join replaces the full scan — at 100 TB this prunes
+    ~2^-n_planes of the corpus per query (before multi-probe)."""
+    sig = hyperplane_signature(vec_col, dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig.alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

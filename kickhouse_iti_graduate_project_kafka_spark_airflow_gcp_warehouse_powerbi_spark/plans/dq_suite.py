@@ -1,0 +1,272 @@
+"""Data-quality OLAP suite over the `events` stream table.
+
+Re-expresses the reference's rejected-lake analytics — the 12-query DuckDB
+notebook + Grafana dashboards (reference: airflow/dags/duckDB/
+duckdb_olap.ipynb cell 2; grafana/dashboards/daily_dashboard_for_invalid_
+data-*.json; airflow/document.md:29-59) — as Spark DataFrame plans over the
+fixture `events` table (event_id, ts, user_id, event_type, value, props-JSON).
+
+The 'error' event_type plays the role of an invalid message; `props` plays
+the raw-JSON `message` column probed with JSON path ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.expressions import decimal_avg
+from ..sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---- query_1 shape: messages per topic (A1) -------------------------------
+@register(
+    "events_per_type",
+    tags=("A1",),
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per type (reference: notebook query_1 'invalid messages per
+    topic')."""
+    return _events(spark, sf_dir).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---- query_2 shape: hourly time-bucketed counts (A2) ----------------------
+@register(
+    "events_hourly_counts",
+    tags=("A2",),
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest curve (reference: notebook query_2 GROUP BY
+    STRFTIME/DATE_TRUNC hour). In streaming mode the same plan is
+    groupBy(window(ts, '1 hour')) — see streaming/validate.py."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---- query_3/6 shape: conditional aggregation + ratio (A3, A8) ------------
+@register(
+    "error_ratio_by_hour",
+    tags=("A3", "A8", "A2"),
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour,
+           COUNT(*) AS total,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) * 100.0
+                 / COUNT(*) AS error_pct
+    FROM events GROUP BY 1
+    """,
+)
+def error_ratio_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation + ratio-of-aggregates (reference: notebook
+    query_3 keyword classes, query_6 invalid ratio)."""
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(is_err).alias("n_error"),
+            (F.sum(is_err) * 100.0 / F.count(F.lit(1))).alias("error_pct"),
+        )
+    )
+
+
+# ---- query_4 shape: AVG(LENGTH(message)) (A4) -----------------------------
+@register(
+    "avg_payload_len_by_type_day",
+    tags=("A4", "A2"),
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(LENGTH(props)) AS BIGINT) * 1.0 / COUNT(*) AS avg_len,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def avg_payload_len_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG(LENGTH(payload)) per (type, day) (reference: notebook query_4)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.length("props")).cast("long") * 1.0 / F.count(F.lit(1))).alias("avg_len"),
+            decimal_avg("value", 2, 14).alias("avg_value"),
+        )
+    )
+
+
+# ---- query_5 shape: aggregate-to-aggregate LEFT JOIN ratio (J4) -----------
+@register(
+    "high_value_ratio_by_type",
+    tags=("J4", "A8"),
+    oracle="""
+    WITH total AS (
+        SELECT event_type, COUNT(*) AS total_cnt FROM events GROUP BY 1
+    ), high AS (
+        SELECT event_type, COUNT(*) AS high_cnt FROM events
+        WHERE value > 30.0 GROUP BY 1
+    )
+    SELECT t.event_type AS event_type, t.total_cnt AS total_cnt,
+           COALESCE(h.high_cnt, 0) AS high_cnt,
+           COALESCE(h.high_cnt, 0) * 100.0 / t.total_cnt AS high_pct
+    FROM total t LEFT JOIN high h ON t.event_type = h.event_type
+    """,
+)
+def high_value_ratio_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two grouped frames joined LEFT with COALESCE(cnt,0) ratio (reference:
+    notebook query_5 CTE total_msgs LEFT JOIN invalid_msgs). Both sides
+    aggregate before the join, so the join input is tiny regardless of scale."""
+    ev = _events(spark, sf_dir)
+    total = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_cnt"))
+    high = (
+        ev.filter(F.col("value") > 30.0)
+        .groupBy(F.col("event_type").alias("h_type"))
+        .agg(F.count(F.lit(1)).alias("high_cnt_raw"))
+    )
+    return (
+        total.join(F.broadcast(high), total.event_type == high.h_type, "left")
+        .select(
+            "event_type",
+            "total_cnt",
+            F.coalesce("high_cnt_raw", F.lit(0)).alias("high_cnt"),
+            (F.coalesce("high_cnt_raw", F.lit(0)) * 100.0 / F.col("total_cnt")).alias("high_pct"),
+        )
+    )
+
+
+# ---- query_7 shape: top-K frequent values (A9) ----------------------------
+@register(
+    "top_users_by_events",
+    tags=("A9", "O2"),
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+)
+def top_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 noisiest keys (reference: notebook query_7). Total-order sort
+    (n desc, user_id asc) keeps the LIMIT deterministic under ties."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+# ---- query_10 shape: moving average over hourly ratio (WF1) ---------------
+@register(
+    "moving_avg_error_pct",
+    bench=True,
+    tags=("WF1", "A3", "A8"),
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+               CAST(SUM(CASE WHEN value > 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 100.0 / COUNT(*) AS high_pct
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, high_pct,
+           ROUND(AVG(high_pct) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS smoothed_pct
+    FROM hourly
+    """,
+)
+def moving_avg_error_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-bucket moving average of an hourly ratio (reference: notebook
+    query_10 — AVG(pct) OVER (PARTITION BY topic ORDER BY hour ROWS BETWEEN
+    5 PRECEDING AND CURRENT ROW)).
+
+    The hourly pct is a single IEEE division of exact integers (bitwise
+    deterministic); the sliding average of *doubles* is engine-order
+    dependent at ~1e-13, so it is rounded at 4dp with a +1e-9 nudge that
+    moves both engines off any exact decimal half-boundary."""
+    high = F.when(F.col("value") > 30.0, 1).otherwise(0)
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg((F.sum(high) * 100.0 / F.count(F.lit(1))).alias("high_pct"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-5, 0)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "high_pct",
+        F.round(F.avg("high_pct").over(w) + 1e-9, 4).alias("smoothed_pct"),
+    )
+
+
+# ---- JSON path extraction over raw payloads (grafana shape) ---------------
+@register(
+    "json_payload_buckets",
+    tags=("P3", "JSON"),
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def json_payload_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-hoc JSON path probing of a raw payload column (reference: grafana
+    `message ->> 'strSport'`; airflow/document.md:38-50). get_json_object
+    stays JVM-side — no Python in the hot path."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), decimal_avg("value", 2, 14).alias("avg_value"))
+    )
+
+
+# ---- sessionization (gap-based) — ST10 extension --------------------------
+@register(
+    "user_sessions_30min",
+    tags=("ST10", "WF2", "extension"),
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + cumulative
+    flag — the batch analogue of Structured Streaming's session_window
+    (SURVEY.md §2.9 ST10). One window shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lag_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        lag_ts.isNull() | (F.col("ts").cast("double") - lag_ts.cast("double") > 1800.0), 1
+    ).otherwise(0)
+    return (
+        _events(spark, sf_dir)
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )

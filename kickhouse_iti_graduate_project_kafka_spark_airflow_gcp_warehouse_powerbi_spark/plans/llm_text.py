@@ -1,0 +1,227 @@
+"""Training-data text-pipeline plans over the `documents` table.
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), token statistics,
+quality scoring, language ID, fingerprinting — the LLM-data extensions from
+the project brief (SURVEY.md §7 step 7), each expressed Spark-first with a
+DuckDB oracle where SQL can express the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.text import (
+    EN_STOPWORDS_PATTERN,
+    fingerprint64,
+    lang_guess,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..sources.tables import load_table
+
+#: shared DuckDB CTE producing distinct 3-word shingle sets per doc
+_DUCKDB_SHINGLES = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3
+    )
+"""
+
+_DUCKDB_JACCARD_PAIRS = (
+    _DUCKDB_SHINGLES
+    + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           ROUND(LEN(list_intersect(a.sh, b.sh)) * 1.0
+                 / LEN(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE LEN(list_intersect(a.sh, b.sh)) * 1.0
+          / LEN(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "docs_exact_dedup_stats",
+    tags=("dedup", "A1"),
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT LOWER(TRIM(text))) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT LOWER(TRIM(text))) AS n_dupes
+    FROM documents GROUP BY source
+    """,
+)
+def docs_exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup statistics per source via 64-bit fingerprints. The oracle
+    counts distinct normalized texts; equality holds iff fingerprint64 is
+    collision-free on the corpus — the invariant exact_dedup depends on."""
+    d = _docs(spark, sf_dir).withColumn("fp", fingerprint64("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_dupes"),
+    )
+
+
+@register(
+    "docs_token_stats",
+    bench=True,
+    tags=("text", "A4"),
+    oracle=r"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(LEN(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(LEN(string_split_regex(trim(text), '\s+'))) AS BIGINT) * 1.0
+               / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per language —
+    the 'how big is this corpus really' primitive."""
+    d = _docs(spark, sf_dir).withColumn("n_tok", token_count("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        (F.sum("n_tok") * 1.0 / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@register(
+    "docs_quality_scores",
+    tags=("text", "A3"),
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id,
+               LEN(string_split_regex(trim(text), '\s+')) AS n_tok,
+               LEN(regexp_extract_all(LOWER(text), '\b(the|a|of|to|and)\b'))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           ROUND((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN n_stop * 1.0 / n_tok BETWEEN 0.01 AND 0.5
+                       THEN 0.5 ELSE 0.0 END), 2) AS quality
+    FROM m
+    """,
+)
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristic (length band + stopword-ratio band) —
+    the standard shape of pretraining quality filters; all JVM-side regex."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        stopword_count("text", EN_STOPWORDS_PATTERN).alias("n_stopwords"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "docs_lang_guess_confusion",
+    tags=("text", "A1"),
+    oracle=r"""
+    WITH g AS (
+        SELECT lang,
+               CASE
+                 WHEN LEN(regexp_extract_all(LOWER(text),
+                      '\b(the|of|and|to|in)\b')) >= 2 THEN 'en'
+                 WHEN LEN(regexp_extract_all(LOWER(text),
+                      '\b(le|la|les|et|des)\b')) >= 2 THEN 'fr'
+                 WHEN LEN(regexp_extract_all(LOWER(text),
+                      '\b(der|die|das|und|nicht)\b')) >= 2 THEN 'de'
+                 WHEN LEN(regexp_extract_all(LOWER(text),
+                      '\b(el|los|las|y|una)\b')) >= 2 THEN 'es'
+                 WHEN LEN(regexp_extract_all(LOWER(text), '[一-鿿]')) >= 2
+                      THEN 'zh'
+                 ELSE 'und' END AS guessed
+        FROM documents
+    )
+    SELECT lang, guessed, COUNT(*) AS n FROM g GROUP BY lang, guessed
+    """,
+)
+def docs_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic vs the labeled lang column —
+    a confusion matrix. (The fixture corpus is synthetic English-ish text,
+    so the value is the determinism of the heuristic, not its accuracy.)"""
+    d = _docs(spark, sf_dir).withColumn("guessed", lang_guess("text"))
+    return d.groupBy("lang", "guessed").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    bench=True,
+    tags=("dedup", "J4"),
+    oracle=_DUCKDB_JACCARD_PAIRS,
+)
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs at 3-gram Jaccard >= 0.5 via the inverted-index
+    operator (no N^2 cross join; see operators/dedup.py)."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "docs_minhash_lsh_pairs",
+    bench=True,
+    tags=("dedup", "ST-scale"),
+    oracle=_DUCKDB_JACCARD_PAIRS,
+)
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands of 4) candidates, exact-Jaccard-verified at
+    >= 0.5. The oracle is the exact pair set: with the fixture's planted
+    near-dups at j>=0.9, per-pair miss probability is < 2e-9, so LSH output
+    equals the exact answer. This is the 100 TB dedup path."""
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5, num_hashes=64, band_size=4
+    )
+    return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+
+
+@register(
+    "docs_simhash_pairs",
+    tags=("dedup",),
+    oracle=None,  # simhash bit votes are hash-specific; driver rows-only check
+)
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming distance <= 3 (banded candidate
+    join, pigeonhole-exact recall). No SQL oracle: the bit votes depend on
+    xxhash64; covered by unit tests asserting the planted near-dups are
+    found and determinism holds."""
+    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, max_hamming=3)
+
+
+@register(
+    "docs_fingerprint_cardinality",
+    tags=("dedup", "A10"),
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT LOWER(TRIM(text))) AS n_fingerprints,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def docs_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 64-bit fingerprint cardinality == distinct normalized texts
+    (collision-freedom invariant on the corpus)."""
+    d = _docs(spark, sf_dir).withColumn("fp", fingerprint64("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.count_distinct("lang").alias("n_langs"),
+    )

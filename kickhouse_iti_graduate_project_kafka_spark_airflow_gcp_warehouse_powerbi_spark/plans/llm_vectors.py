@@ -1,0 +1,189 @@
+"""Similarity-search and multimodal plans over `embeddings` / `documents`.
+
+ANN tiers (brute-force exact baseline, IVF-style partition-pruned, LSH
+hyperplane buckets) + embedding statistics + the multimodal binary-column
+plumbing with a stubbed decoder (SURVEY.md §7 step 7; project brief).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import register
+from ..functions.vectors import norm
+from ..operators.similarity import brute_force_topk, lsh_topk, partitioned_topk
+from ..sources.tables import load_table
+
+#: DuckDB cosine on DOUBLE[] casts matches our double-accumulation exactly
+_DUCKDB_KNN = """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) + 1e-9, 4) AS cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings c, q
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 5
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register("knn_bruteforce_cosine", bench=True, tags=("similarity",), oracle=_DUCKDB_KNN)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 5) — the ANN baseline
+    and verifier. Queries broadcast; corpus scanned once, never shuffled."""
+    emb = _emb(spark, sf_dir)
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select(
+        "q_id", "n_id", F.round(F.col("cos") + 1e-9, 4).alias("cos"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "knn_ivf_label_cell",
+    tags=("similarity", "ANN"),
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 5)
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) + 1e-9, 4) AS cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings c JOIN q ON c.label = q.label
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 5
+    """,
+)
+def knn_ivf_label_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with the label column as the coarse quantizer cell
+    (nprobe=1): each query scores only its own cell — partition pruning for
+    vectors, exact within the cell. At 100 TB the cells are k-means ids and
+    physical partitions."""
+    emb = _emb(spark, sf_dir)
+    out = partitioned_topk(emb, emb.filter(F.col("vec_id") < 5), cell_col="label", k=5)
+    return out.select(
+        "q_id", "n_id", F.round(F.col("cos") + 1e-9, 4).alias("cos"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register("knn_lsh_hyperplane", tags=("similarity", "ANN"), oracle=None)
+def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (8 deterministic seeded planes, bucket-join).
+    Approximate — no SQL oracle (the hyperplanes derive from xxhash64);
+    unit tests assert determinism and recall vs brute force."""
+    emb = _emb(spark, sf_dir)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=8)
+    return out.select(
+        "q_id", "n_id", F.round(F.col("cos") + 1e-9, 4).alias("cos"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    tags=("similarity", "A4"),
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))) + 1e-9, 4) AS avg_norm,
+           ROUND(MIN(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))) + 1e-9, 4) AS min_norm,
+           ROUND(MAX(SQRT(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x)))) + 1e-9, 4) AS max_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — embedding sanity profiling with
+    higher-order array functions (zip_with/aggregate), fully JVM-side."""
+    e = _emb(spark, sf_dir).withColumn("nrm", norm("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nrm") + 1e-9, 4).alias("avg_norm"),
+        F.round(F.min("nrm") + 1e-9, 4).alias("min_norm"),
+        F.round(F.max("nrm") + 1e-9, 4).alias("max_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns: binary payload + typed metadata + stubbed decode
+# --------------------------------------------------------------------------
+_MM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decoder: image/audio libraries are not in this container.
+
+    Returns deterministic fake (width, height) derived from the payload
+    size; a real deployment swaps in PIL/libvips here. Raising
+    NotImplementedError for non-fake use is the documented contract.
+    """
+    byte_len = len(payload)
+    return (byte_len % 640 + 1, (byte_len * 7) % 480 + 1)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches in, decoded-metadata batches out.
+    The plumbing (schema, batching, binary handling) is the real multimodal
+    path; only the pixel decode is faked (decode_image_stub)."""
+    for pdf in batches:
+        dims = pdf["payload"].map(decode_image_stub)
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": pdf["payload"].map(len),
+                "width": dims.map(lambda t: t[0]),
+                "height": dims.map(lambda t: t[1]),
+            }
+        )
+        out["n_pixels"] = out["width"] * out["height"]
+        yield out
+
+
+@register(
+    "multimodal_decode_metadata",
+    tags=("multimodal", "UDF"),
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS byte_len FROM documents
+    )
+    SELECT doc_id, byte_len,
+           byte_len % 640 + 1 AS width,
+           (byte_len * 7) % 480 + 1 AS height,
+           (byte_len % 640 + 1) * ((byte_len * 7) % 480 + 1) AS n_pixels
+    FROM b
+    """,
+)
+def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text -> binary payload column ->
+    mapInPandas (Arrow-batched) decode -> typed metadata. The decode itself
+    is a deterministic stub (no image libs in the container) so the oracle
+    can replicate the arithmetic; everything else — binary column, schema,
+    batch shape — is the production path."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_decode_batches, schema=_MM_SCHEMA)

@@ -1,0 +1,502 @@
+"""TPC-H-flavored OLAP plans over the fixture star schema.
+
+Covers the reference's aggregation / join / sort / set-op surface
+(SURVEY.md §2.4 J1-J6, §2.5 A1-A11, §2.6 WF1-WF2, §2.7 O1-O4) on the
+driver fixtures. Beyond the reference we also expose rollup/cube — free in
+Spark, noted as zero-cost extensions in SURVEY.md §2.5.
+
+Numeric policy: money columns are clean 2-decimal data, so every money
+aggregate goes through ``decimal_sum`` (exact integer arithmetic, cast back
+to double). Results are bitwise-deterministic under any partitioning —
+reproducible at cluster scale and directly hash-comparable with the DuckDB
+oracle without rounding fudge. Averages divide an exact sum by an exact
+count (single IEEE division). Integer-valued window averages are exact for
+the same reason.
+
+Scale notes (100 TB posture):
+- dim joins are explicitly ``broadcast()``; fact-to-fact joins shuffle on
+  their keys and AQE picks the final strategy;
+- aggregations are single groupBy chains → Catalyst plans map-side partial
+  aggregation;
+- windowed plans partition by high-cardinality keys; no global windows;
+- top-k = orderBy+limit → TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.expressions import decimal_avg, decimal_sum
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+#: exact decimal revenue term: extendedprice * (1 - discount), both clean 2dp
+def _revenue_dec() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
+_REVENUE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(14,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+# --------------------------------------------------------------------------
+# A1/A3/A4-family: grouped aggregation with arithmetic (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    bench=True,
+    tags=("A1", "A3", "A4", "O1"),
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_REVENUE_SQL} *
+                    (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape): one wide groupBy with
+    map-side partial aggregation; the shipdate filter pushes to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _revenue_dec()
+    charge = rev * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity", 2, 14).alias("sum_qty"),
+            decimal_sum("l_extendedprice", 2, 14).alias("sum_base_price"),
+            F.sum(rev).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            decimal_avg("l_quantity", 2, 14).alias("avg_qty"),
+            decimal_avg("l_extendedprice", 2, 14).alias("avg_price"),
+            decimal_avg("l_discount", 2, 14).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5-family: star-schema joins (broadcast dims), grouped revenue
+# --------------------------------------------------------------------------
+@register(
+    "revenue_by_nation",
+    bench=True,
+    tags=("J5", "A1", "A8"),
+    oracle=f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup, the flagship query. Mirrors the Power BI
+    dims->facts relationships (reference: README.md:437, 462-466).
+    orders/customer are fact-sized at 100 TB — shuffle join + AQE;
+    nation/region are true dims — always broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 top-K + deterministic total-order limit
+# --------------------------------------------------------------------------
+@register(
+    "top_customers_by_revenue",
+    tags=("A9", "J5", "O1", "O2"),
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, ANY_VALUE(c.c_name) AS name,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by aggregate (reference: notebook query_7 'ORDER BY occurrences
+    DESC LIMIT 10'). Revenue is exact-decimal, so the (revenue, custkey)
+    sort is a true total order — the LIMIT cut is deterministic. Executes as
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.any_value(F.col("c_name")).alias("name"),
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 plain count by key
+# --------------------------------------------------------------------------
+@register(
+    "order_priority_count",
+    tags=("A1",),
+    oracle="""
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) GROUP BY k — the bread-and-butter aggregate (reference:
+    notebook query_1 'messages per topic')."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 AVG + broadcast dim join
+# --------------------------------------------------------------------------
+@register(
+    "avg_acctbal_by_segment_nation",
+    tags=("A4", "J5"),
+    oracle="""
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+               AS avg_bal,
+           COUNT(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_mktsegment, n.n_name
+    """,
+)
+def avg_acctbal_by_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG per group through a broadcast dim join (reference: notebook
+    query_4 AVG(LENGTH(message)) shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation"))
+        .agg(
+            decimal_avg("c_acctbal", 2, 14).alias("avg_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# min/max/count sanity totals (A10) — single global aggregate
+# --------------------------------------------------------------------------
+@register(
+    "global_sanity_counts",
+    tags=("A10",),
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers_with_orders,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS total_value
+    FROM orders
+    """,
+)
+def global_sanity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global COUNT(*) sanity totals (reference: README.md:446-450 post-deploy
+    verification SQL; grafana query 3)."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers_with_orders"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        decimal_sum("o_totalprice", 2, 16).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A11 DISTINCT projection
+# --------------------------------------------------------------------------
+@register(
+    "distinct_segments",
+    tags=("A11",),
+    oracle="SELECT DISTINCT c_mktsegment AS segment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (reference: README.md:459 soccer-only check
+    'SELECT DISTINCT lowerUTF8(trim(strSport))')."""
+    return _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("segment")).distinct()
+
+
+# --------------------------------------------------------------------------
+# O1/O2/O4: IN-list filter + multi-key deterministic sort + limit
+# --------------------------------------------------------------------------
+@register(
+    "urgent_orders_window",
+    tags=("O1", "O2", "O4"),
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderdate AS orderdate,
+           o_orderpriority AS priority, o_totalprice AS totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate >= TIMESTAMP '1998-01-01'
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def urgent_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list filter (reference: grafana query 7 strStatus IN (...)) with a
+    total-order multi-key sort + LIMIT; both predicates push down to the
+    scan."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy("orderdate", "orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# O3: union-by-name with missing-column tolerance
+# --------------------------------------------------------------------------
+@register(
+    "union_by_name_mixed",
+    tags=("O3",),
+    oracle="""
+    WITH u AS (
+        SELECT l_orderkey AS k, l_extendedprice AS amount,
+               'lineitem' AS src, NULL AS priority
+        FROM lineitem
+        UNION ALL BY NAME
+        SELECT o_orderkey AS k, o_totalprice AS amount,
+               'orders' AS src, o_orderpriority AS priority
+        FROM orders
+    )
+    SELECT src, COUNT(*) AS n,
+           CAST(SUM(CAST(amount AS DECIMAL(16,2))) AS DOUBLE) AS total,
+           COUNT(priority) AS n_with_priority
+    FROM u GROUP BY src
+    """,
+)
+def union_by_name_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True) — the reference folds 27
+    heterogeneous frames this way (reference: validate_json.py:643-652).
+    The column present on only one side ('priority') null-fills on the other."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").alias("amount"),
+        F.lit("lineitem").alias("src"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("orders").alias("src"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return (
+        li.unionByName(orders, allowMissingColumns=True)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("amount", 2, 16).alias("total"),
+            F.count("priority").alias("n_with_priority"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup / cube — zero-cost extensions beyond the reference (SURVEY §2.5)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_order_counts",
+    tags=("A1", "extension"),
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals in one pass (Spark expands to
+    grouping sets; one shuffle)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("o_totalprice", 2, 16).alias("total"),
+        )
+    )
+
+
+@register(
+    "cube_part_counts",
+    tags=("A1", "extension"),
+    oracle="""
+    SELECT p_brand AS brand, p_size AS size, COUNT(*) AS n
+    FROM part GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def cube_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (brand, size)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .cube(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# WF1: moving average with a row frame
+# --------------------------------------------------------------------------
+@register(
+    "moving_avg_daily_orders",
+    bench=True,
+    tags=("WF1", "A2"),
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, day, n_orders,
+           AVG(n_orders) OVER (
+               PARTITION BY priority ORDER BY day
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS mov_avg
+    FROM daily
+    """,
+)
+def moving_avg_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average with ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+    (reference: notebook query_10 6-hour smoothing of invalid ratio).
+    Integer inputs → the sliding sum is exact, so no rounding is needed.
+    Partitioned by priority so window state distributes."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.partitionBy("priority").orderBy("day").rowsBetween(-5, 0)
+    return daily.withColumn("mov_avg", F.avg("n_orders").over(w))
+
+
+# --------------------------------------------------------------------------
+# WF2/A6: latest-row-per-key via window dedup (ReplacingMergeTree semantics)
+# --------------------------------------------------------------------------
+@register(
+    "latest_order_per_customer",
+    bench=True,
+    tags=("WF2", "A6"),
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_orderdate AS orderdate, o_orderstatus AS status
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key view — our ReplacingMergeTree equivalent (reference:
+    ClickHouse DDL 37/57/73/89/100/143 + argMax hub view DDL 447-470).
+    One window pass (single shuffle) returns all columns of the newest row,
+    vs 16 separate max_by aggregates. Tie-broken on orderkey so it is
+    deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: argMax-style latest-state per key (max_by)
+# --------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    tags=("A5",),
+    oracle="""
+    SELECT user_id,
+           ARG_MAX(event_type, ts) AS last_type,
+           ARG_MAX(value, ts) AS last_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax(col, ts) per key — the hub-view finalization pattern
+    (reference: ClickHouse DDL 447-470 v_fact_event_latest). (user_id, ts)
+    is unique in the fixture so max_by is deterministic."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ts").alias("last_type"),
+            F.max_by("value", "ts").alias("last_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
