@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every catalog query flagged ``bench=True`` (plus any names passed on
+the command line) on local[$SPARK_GRAFT_CPUS], times end-to-end execution
+(plan + execute + collect), and prints ONE JSON line:
+
+    {"metric": "suite_seconds", "value": N, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": "..."}
+
+Also supported:
+    --all            run all 45 catalog queries, not just the bench set
+    --oracle         additionally time the DuckDB oracle per query (stderr)
+    --explain        print each query's formatted physical plan (stderr)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark import (
+    get_spark,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.catalog import (
+    load_all,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    args = set(sys.argv[1:])
+    run_all = "--all" in args
+    time_oracle = "--oracle" in args
+    show_explain = "--explain" in args
+    names = {a for a in args if not a.startswith("--")}
+
+    registry = load_all()
+    selected = [
+        spec
+        for spec in registry.values()
+        if spec.name in names or (not names and (run_all or spec.bench))
+    ]
+
+    spark = get_spark(app_name="kickhouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    for spec in selected[:1]:
+        spec.fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for spec in selected:
+        df = spec.fn(spark, SF_DIR)
+        if show_explain:
+            print(f"=== {spec.name} ===", file=sys.stderr)
+            print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
+        t0 = time.perf_counter()
+        df.collect()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    if time_oracle:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.testing import (
+            duckdb_connection,
+        )
+
+        con = duckdb_connection(SF_DIR)
+        for spec in selected:
+            if spec.oracle is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            print(
+                f"oracle {spec.name}: {time.perf_counter() - t0:.3f}s", file=sys.stderr
+            )
+        con.close()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,14 +34,17 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
-def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of a document -> array<string>.
+def shingles_from_tokens(toks_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a pre-tokenized array<string> column.
 
-    Built with sequence+transform so it stays inside codegen; at 100 TB this
-    runs per-row with zero Python. Documents shorter than ``n`` tokens yield
-    an empty array.
+    IMPORTANT: pass a *column reference* (materialized tokens), not the
+    split() expression itself — higher-order functions are interpreted (not
+    whole-stage-codegen), so an inlined split would be re-evaluated on every
+    one of the ~2n references per row. Tokenize in one projection, shingle
+    in the next (Catalyst's CollapseProject keeps non-cheap aliases
+    materialized). Documents shorter than ``n`` tokens yield an empty array.
     """
-    toks = tokens(col)
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     sh = F.transform(
         idx,
@@ -52,6 +55,13 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles straight from a text column. Convenience for
+    small inputs/tests; hot paths should tokenize first and call
+    shingles_from_tokens (see its docstring)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def stopword_count(col: str | Column, pattern: str = EN_STOPWORDS_PATTERN) -> Column:

@@ -1,0 +1,175 @@
+"""Structured-Streaming validate-and-route — the reference's core job.
+
+Re-expresses spark/jobs/validate_json.py (reference, 703 lines) as one
+transform function shared by batch and streaming ("one transform, two
+drivers", SURVEY.md §3.2), with the improvements SURVEY.md §3.1 calls out:
+
+- watermarked exact dedup **enabled** (the reference designed a 48 h
+  watermark + dropDuplicates on (pk, payload_hash) but left it disabled,
+  validate_json.py:598-604);
+- AQE left on; checkpointed sinks; 5 s processing-time trigger kept;
+- a StreamingQueryListener instead of a status-polling thread
+  (validate_json.py:686-700).
+
+Source/sink factories support Kafka (production) and file/memory
+(tests — this container has no broker). The Kafka paths use the exact
+option surface of the reference: subscribePattern with negative lookahead,
+earliest offsets, failOnDataLoss=false, idempotent producer
+(validate_json.py:540-547, 676-680).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.expressions import (
+    composite_pk,
+    payload_hash,
+    repair_ingested_at,
+    required_fields_ok,
+    sport_ok,
+)
+
+#: reference topic-subscription regex: everything under the namespace except
+#: our own validated/rejected mirrors (validate_json.py:545)
+SUBSCRIBE_PATTERN = r"^(?!validated\.|rejected\.)soccer\..*"
+
+DEFAULT_TRIGGER = "5 seconds"  # validate_json.py:11
+DEDUP_WATERMARK = "48 hours"  # validate_json.py:10
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap: str,
+    pattern: str = SUBSCRIBE_PATTERN,
+) -> DataFrame:
+    """S1: Kafka streaming source with regex subscription (reference:
+    validate_json.py:540-547 — identical option surface)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribePattern", pattern)
+        .option("startingOffsets", "earliest")
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def file_json_source(
+    spark: SparkSession, path: str, schema: T.StructType, max_files: int = 10
+) -> DataFrame:
+    """Test/dev source: JSON files with the same envelope columns a Kafka
+    source would carry (topic, key, value, timestamp). Lets the whole
+    pipeline run without a broker."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .json(path)
+    )
+
+
+def validate_messages(
+    msgs: DataFrame,
+    payload_schema: T.StructType,
+    required: list[str],
+    type_pattern: str,
+    pk_cols: list[str] | None = None,
+    entity_from_topic: str = r"^soccer\.(.+)$",
+    dedup: bool = True,
+) -> DataFrame:
+    """The full P1-P12 expression chain over an envelope DataFrame with
+    columns (topic, key, value:string, timestamp). Works identically on a
+    batch or streaming input — the caller picks the driver.
+
+    ``pk_cols`` is the entity's primary-key column list (schemas.PRIMARY_KEYS,
+    reference: validate_json.py:53-67); it defaults to ``required`` only as a
+    degenerate fallback. Returns columns: topic (routed), key (pk), value
+    (re-serialized JSON), evt_ts, is_valid, parse_ok.
+    """
+    pk_cols = pk_cols or required
+    schema = T.StructType(
+        list(payload_schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    entity = F.regexp_extract("topic", entity_from_topic, 1)  # P1
+    parsed = (
+        msgs.withColumn("entity", entity)
+        .withColumn("json_str", F.col("value").cast("string"))  # P13
+        .withColumn(
+            "data",
+            F.from_json("json_str", schema, {"columnNameOfCorruptRecord": "_corrupt"}),
+        )  # P3
+    )
+    flat = parsed.select(
+        "topic", "entity", "json_str", "timestamp", "data", "data.*"
+    )  # P4
+
+    parse_ok = F.col("_corrupt").isNull()  # P5
+    required_ok = required_fields_ok(required)  # P8
+    type_ok = sport_ok("entity", type_pattern)  # P9 (tri-state squash)
+    is_valid = parse_ok & required_ok & type_ok
+
+    business_cols = [f.name for f in payload_schema.fields]
+    ingested = repair_ingested_at(
+        F.col("ingested_at") if "ingested_at" in business_cols else F.lit(None).cast("double"),
+        F.col("timestamp"),
+    )  # P6
+    out = flat.select(
+        F.concat(
+            F.when(is_valid, F.lit("validated.")).otherwise(F.lit("rejected.")),
+            F.col("entity"),
+        ).alias("topic"),  # S2 routing
+        F.when(parse_ok, composite_pk([F.col(c) for c in pk_cols]))
+        .otherwise(F.sha2("json_str", 256))
+        .alias("key"),  # P7 / P12
+        F.to_json(F.struct(*[F.col(c) for c in business_cols])).alias("value"),  # P11
+        payload_hash(business_cols).alias("payload_sha"),  # P10
+        F.to_timestamp(F.from_unixtime(ingested)).alias("evt_ts"),
+        is_valid.alias("is_valid"),
+        parse_ok.alias("parse_ok"),
+    )
+    if dedup:
+        # ST1 — the designed-but-disabled dedup, enabled (SURVEY §2.9)
+        out = out.withWatermark("evt_ts", DEDUP_WATERMARK).dropDuplicates(
+            ["key", "payload_sha"]
+        )
+    return out
+
+
+def routed_stream(routed: DataFrame, valid: bool) -> DataFrame:
+    """Split one routed frame into the validated or rejected leg."""
+    return routed.filter(F.col("is_valid") == valid).drop("is_valid", "parse_ok")
+
+
+def start_validated_rejected_sinks(
+    routed: DataFrame,
+    checkpoint_root: str,
+    kafka_bootstrap: str | None = None,
+    memory_prefix: str | None = None,
+    trigger: str = DEFAULT_TRIGGER,
+) -> list[StreamingQuery]:
+    """S2/S3: two sinks (validated-all, rejected-all), per-row topic routing,
+    idempotent produce, per-query checkpoints (reference:
+    validate_json.py:667-683). With ``memory_prefix`` the sinks are memory
+    tables for tests."""
+    queries = []
+    for name, leg in (("validated", True), ("rejected", False)):
+        df = routed_stream(routed, leg)
+        writer = (
+            df.writeStream.outputMode("append")
+            .trigger(processingTime=trigger)
+            .option("checkpointLocation", f"{checkpoint_root}/{name}")
+            .queryName(f"{memory_prefix or 'route'}_{name}")
+        )
+        if kafka_bootstrap:
+            writer = (
+                writer.format("kafka")
+                .option("kafka.bootstrap.servers", kafka_bootstrap)
+                .option("kafka.enable.idempotence", "true")
+            )
+        else:
+            writer = writer.format("memory")
+        queries.append(writer.start())
+    return queries

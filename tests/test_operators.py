@@ -1,0 +1,136 @@
+"""Operator-level tests: dedup family recall/precision, latest-per-key
+equivalence, similarity-search tiers (SURVEY.md §5 item 1)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.text import (
+    lang_guess,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.latest import (
+    latest_columns_max_by,
+    latest_per_key,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=3, text="hello world"),
+            Row(id=1, text="hello   world "),  # whitespace-normalized dup
+            Row(id=2, text="different"),
+        ]
+    )
+    out = exact_dedup(df, "text", "id").select("id").collect()
+    assert sorted(r["id"] for r in out) == [1, 2]
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([Row(t="one two"), Row(t="a b c d")])
+    out = df.select(word_shingles("t", 3).alias("s")).collect()
+    assert out[0]["s"] == []
+    assert out[1]["s"] == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_oracle):
+    """LSH (64 hashes, 16 bands) must find exactly the pairs the exact
+    inverted-index operator finds at j>=0.5 on the fixture corpus (planted
+    near-dups are all j>=0.9, where LSH recall is ~1-2e-9)."""
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert exact == lsh
+    assert len(exact) == 25  # planted near-dup pairs at sf0.01
+
+
+def test_simhash_pairs_subset_of_near_dups(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    sim = {(r["a_id"], r["b_id"]) for r in simhash_pairs(docs, "text", "doc_id").collect()}
+    # hamming<=3 is stricter than jaccard>=0.5: everything it finds is real
+    assert sim <= exact
+    assert len(sim) > 0
+
+
+def test_latest_per_key_and_max_by_agree(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", v=1, ts=1),
+            Row(k="a", v=9, ts=3),
+            Row(k="a", v=5, ts=2),
+            Row(k="b", v=7, ts=1),
+        ]
+    )
+    win = {(r["k"], r["v"]) for r in latest_per_key(df, ["k"], ["ts"]).collect()}
+    agg = {
+        (r["k"], r["v"])
+        for r in latest_columns_max_by(df, ["k"], "ts", ["v"]).collect()
+    }
+    assert win == agg == {("a", 9), ("b", 7)}
+
+
+def test_brute_force_topk_selfquery_excluded(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    assert all(r["q_id"] != r["n_id"] for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        coss = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert coss == sorted(coss, reverse=True)
+
+
+def test_lsh_topk_results_are_true_neighbors(spark, sf_small):
+    """Every LSH hit must appear in the brute-force full ranking with the
+    same cosine (approximation affects recall, never correctness of the
+    scores it does return)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = {
+        (r["q_id"], r["n_id"]): r["cos"]
+        for r in brute_force_topk(emb, queries, k=10**6).collect()
+    }
+    for r in lsh_topk(emb, queries, dim=64, k=5).collect():
+        assert abs(brute[(r["q_id"], r["n_id"])] - r["cos"]) < 1e-12
+
+
+def test_text_metrics_basics(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat sat on the mat with a hat of wool to spare")]
+    )
+    row = df.select(
+        token_count("t").alias("n"),
+        quality_score("t").alias("q"),
+        lang_guess("t").alias("lang"),
+    ).collect()[0]
+    assert row["n"] == 13
+    assert 0.0 <= row["q"] <= 1.0
+    assert row["lang"] == "en"  # 'the' x2, 'to' -> en markers >= 2

@@ -1,0 +1,191 @@
+"""Structured-Streaming tests: validator routing, watermark dedup,
+foreachBatch silver maintenance — file/memory sources so no broker is
+needed (SURVEY.md §5 item 3)."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.latest import (
+    latest_per_key,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.maintenance import (
+    backfill,
+    foreach_batch_transform,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.validate import (
+    file_json_source,
+    start_validated_rejected_sinks,
+    validate_messages,
+)
+
+ENVELOPE = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("idEvent", T.StringType()),
+        T.StructField("strSport", T.StringType()),
+        T.StructField("intScore", T.StringType()),
+        T.StructField("ingested_at", T.DoubleType()),
+    ]
+)
+
+
+def _write_envelope_files(path: str) -> dict[str, int]:
+    """13 messages: 6 valid (1 duplicated twice), 3 missing-required,
+    2 corrupt JSON, 2 wrong entity. Returns expected routing counts."""
+    rows = []
+
+    def msg(topic, doc):
+        rows.append(
+            {
+                "topic": topic,
+                "key": doc.get("idEvent") if isinstance(doc, dict) else None,
+                "value": json.dumps(doc) if isinstance(doc, dict) else doc,
+                "timestamp": "2026-01-01T00:00:00.000Z",
+            }
+        )
+
+    base = {"strSport": "Soccer", "ingested_at": 1767225600.0}
+    for i in range(5):
+        msg("soccer.event", {"idEvent": f"E{i}", "intScore": str(i), **base})
+    # exact duplicate of E0 (same pk + payload) — must be dropped by dedup
+    msg("soccer.event", {"idEvent": "E0", "intScore": "0", **base})
+    msg("soccer.event", {"idEvent": "E0", "intScore": "0", **base})
+    # missing required idEvent
+    for i in range(3):
+        msg("soccer.event", {"intScore": str(i), **base})
+    # corrupt JSON
+    msg("soccer.event", '{"idEvent": "EBAD"')
+    msg("soccer.event", '{"idEvent": "EBAD2"')
+    # wrong entity (regex whitelist is 'event' only in this test)
+    msg("soccer.broadcast", {"idEvent": "B1", "intScore": "9", **base})
+    msg("soccer.broadcast", {"idEvent": "B2", "intScore": "9", **base})
+    with open(f"{path}/batch0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    return {"validated.event": 6, "rejected.event": 5, "rejected.broadcast": 2}
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="kickhouse-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_validate_route_and_dedup(spark, tmpdir):
+    src_dir = f"{tmpdir}/src"
+    import os
+
+    os.makedirs(src_dir)
+    expected = _write_envelope_files(src_dir)
+
+    msgs = file_json_source(spark, src_dir, ENVELOPE)
+    assert msgs.isStreaming
+    routed = validate_messages(
+        msgs,
+        PAYLOAD,
+        required=["idEvent"],
+        type_pattern="(?i)^event$",
+        dedup=True,
+    )
+    queries = start_validated_rejected_sinks(
+        routed, f"{tmpdir}/chk", memory_prefix="t1", trigger="1 seconds"
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+        valid = spark.sql("SELECT * FROM t1_validated").collect()
+        rejected = spark.sql("SELECT * FROM t1_rejected").collect()
+    finally:
+        for q in queries:
+            q.stop()
+
+    # dedup dropped the two duplicate E0 messages: 7 valid msgs -> 5 unique
+    assert len(valid) == 5
+    topics = {r["topic"] for r in valid}
+    assert topics == {"validated.event"}
+    # keys are the composite pk
+    assert sorted(r["key"] for r in valid) == ["E0", "E1", "E2", "E3", "E4"]
+    # rejected: 3 missing-required + 2 corrupt + 2 wrong-entity = 7 (no dedup losses)
+    assert len(rejected) == 7
+    by_topic = {}
+    for r in rejected:
+        by_topic[r["topic"]] = by_topic.get(r["topic"], 0) + 1
+    assert by_topic == {"rejected.event": 5, "rejected.broadcast": 2}
+    # corrupt rows got the P12 synthesized pk (sha256 hex, 64 chars)
+    sha_keys = [r["key"] for r in rejected if len(r["key"] or "") == 64]
+    assert len(sha_keys) == 2
+    assert expected  # documented intent
+
+
+def test_batch_and_streaming_share_transform(spark, tmpdir):
+    """The same validate_messages function runs in a plain batch driver."""
+    import os
+
+    src_dir = f"{tmpdir}/src"
+    os.makedirs(src_dir)
+    _write_envelope_files(src_dir)
+    batch = spark.read.schema(ENVELOPE).json(src_dir)
+    routed = validate_messages(
+        batch, PAYLOAD, required=["idEvent"], type_pattern="(?i)^event$", dedup=True
+    )
+    assert not routed.isStreaming
+    out = routed.collect()
+    assert len(out) == 12  # 14 msgs - 2 exact dups
+
+
+def test_foreach_batch_maintenance_and_latest_view(spark, tmpdir):
+    """foreachBatch silver maintenance + latest-per-key gold view (ST8/A6)."""
+    import os
+
+    src_dir, silver = f"{tmpdir}/src", f"{tmpdir}/silver"
+    os.makedirs(src_dir)
+
+    versions = T.StructType(
+        [
+            T.StructField("idEvent", T.StringType()),
+            T.StructField("score", T.LongType()),
+            T.StructField("updated_at", T.LongType()),
+        ]
+    )
+    with open(f"{src_dir}/a.json", "w") as f:
+        for i, (e, s, v) in enumerate(
+            [("E1", 0, 1), ("E1", 2, 3), ("E1", 1, 2), ("E2", 7, 1)]
+        ):
+            f.write(json.dumps({"idEvent": e, "score": s, "updated_at": v}) + "\n")
+
+    def transform(df):
+        # W-layer transform shared by backfill and incremental maintenance
+        return df.withColumn("score2", F.col("score") * 2)
+
+    stream = spark.readStream.schema(versions).json(src_dir)
+    q = foreach_batch_transform(
+        stream, transform, silver, f"{tmpdir}/chk2", trigger="1 seconds"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    silver_df = spark.read.parquet(silver)
+    assert silver_df.count() == 4
+    gold = latest_per_key(silver_df, ["idEvent"], ["updated_at"])
+    rows = {r["idEvent"]: (r["score"], r["score2"]) for r in gold.collect()}
+    assert rows == {"E1": (2, 4), "E2": (7, 14)}
+
+    # backfill path shares the same transform
+    backfill(spark.read.schema(versions).json(src_dir), transform, f"{tmpdir}/bf")
+    assert spark.read.parquet(f"{tmpdir}/bf").count() == 4
