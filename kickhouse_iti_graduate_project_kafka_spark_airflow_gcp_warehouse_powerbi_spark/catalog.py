@@ -58,6 +58,14 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every plans module so its @register calls run, then return
     the registry."""
-    from .plans import dq_suite, llm_text, llm_vectors, tpch, validator, warehouse  # noqa: F401
+    from .plans import (  # noqa: F401
+        dq_suite,
+        llm_text,
+        llm_vectors,
+        scalars,
+        tpch,
+        validator,
+        warehouse,
+    )
 
     return REGISTRY

@@ -120,6 +120,38 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_neardup_pairs",
+    tags=("dedup", "similarity"),
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at cos >= 0.4, blocked by the
+    label cell so the pair space is per-cell, not corpus-wide — the
+    embedding leg of the dedup family. At 100 TB the blocking key is a
+    coarse quantizer; within-cell pairs shuffle on the cell id only."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "label")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "label")
+    from ..functions.vectors import cosine
+
+    return (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine("va", "vb").alias("c"))
+        .filter(F.col("c") >= 0.4)
+        .select("a_id", "b_id", F.round(F.col("c") + 1e-9, 4).alias("cos"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal columns: binary payload + typed metadata + stubbed decode
 # --------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""Scalar-function surface coverage (SURVEY.md §2.8) in oracled queries.
+
+One query per function family — string, date/time, math, conditional/null,
+JSON, cast — so the complete observed scalar inventory of the reference is
+exercised against the DuckDB oracle, not just present in the library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources.tables import load_table
+
+
+@register(
+    "string_function_suite",
+    tags=("P1", "scalar-string"),
+    oracle=r"""
+    SELECT LOWER(TRIM(c_name)) AS norm_name,
+           LENGTH(c_name) AS name_len,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+           CONCAT(c_mktsegment, '|', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           regexp_replace(LOWER(c_mktsegment), '[^a-z0-9]+', '_') AS slug,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+           CASE WHEN regexp_matches(c_mktsegment, '(?i)^auto') THEN 1 ELSE 0 END
+               AS is_auto,
+           SUBSTRING(c_mktsegment, 1, 4) AS seg4
+    FROM customer
+    """,
+)
+def string_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: lower/trim/length/regexp_extract/concat/
+    regexp_replace-slugify/LIKE/rlike/substring (reference: §2.8 row 1 —
+    lowerUTF8, trim, LIKE, rlike('(?i)soccer'), LENGTH, concat_ws,
+    regexp_extract, slugify re.sub)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.lower(F.trim("c_name")).alias("norm_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+        F.concat("c_mktsegment", F.lit("|"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_replace(F.lower("c_mktsegment"), "[^a-z0-9]+", "_").alias("slug"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+        F.when(F.col("c_mktsegment").rlike("(?i)^auto"), 1).otherwise(0).alias("is_auto"),
+        F.substring("c_mktsegment", 1, 4).alias("seg4"),
+    )
+
+
+@register(
+    "datetime_function_suite",
+    tags=("P6", "scalar-datetime"),
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_day,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95,
+           CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS week_before,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderdate
+    """,
+)
+def datetime_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: to_date/date_trunc/date_format/unix_timestamp/
+    date_sub/year/month (reference: §2.8 row 2 — toDate, DATE_TRUNC,
+    STRFTIME, unix_timestamp, INTERVAL 1 DAY, toYYYYMM)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.to_date("o_orderdate").alias("d"),
+            # trunc -> DATE, not date_trunc -> TIMESTAMP: date_trunc on an NTZ
+            # column round-trips through the session timezone (shifts under a
+            # non-UTC driver); month truncation to a DATE is tz-independent
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month_start"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+            # datediff, not unix_timestamp: epoch extraction of a naive
+            # timestamp is session-timezone-dependent; day arithmetic is not
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_95"),
+            F.date_sub(F.col("o_orderdate").cast("date"), 7).alias("week_before"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            "n",
+        )
+    )
+
+
+@register(
+    "conditional_null_suite",
+    tags=("W3", "W7", "W8", "scalar-conditional"),
+    oracle="""
+    SELECT s_suppkey AS suppkey,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 1000 THEN 'low'
+                WHEN s_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(s_nationkey, 0), -1) AS nation_norm,
+           CAST(s_nationkey IS NOT NULL AS INTEGER) AS has_nation,
+           CASE WHEN s_acctbal IS NULL OR s_suppkey IS NULL THEN NULL
+                ELSE s_acctbal + s_suppkey END AS null_safe_sum,
+           GREATEST(s_acctbal, 0.0) AS clamped,
+           LEAST(CAST(s_suppkey AS DOUBLE), 50.0) AS capped
+    FROM supplier
+    """,
+)
+def conditional_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: multi-branch CASE (multiIf), coalesce/nullif
+    normalization, isNotNull flag, null-propagating arithmetic,
+    greatest/least (reference: §2.8 row 5 — if/multiIf/ifNull/isNull/
+    when/otherwise/coalesce)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 1000, "low")
+        .when(F.col("s_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("s_nationkey", F.lit(0)), F.lit(-1)).alias("nation_norm"),
+        F.col("s_nationkey").isNotNull().cast("int").alias("has_nation"),
+        (F.col("s_acctbal") + F.col("s_suppkey")).alias("null_safe_sum"),
+        F.greatest("s_acctbal", F.lit(0.0)).alias("clamped"),
+        F.least(F.col("s_suppkey").cast("double"), F.lit(50.0)).alias("capped"),
+    )
+
+
+@register(
+    "math_cast_suite",
+    tags=("scalar-math", "P13"),
+    oracle="""
+    SELECT p_partkey AS partkey,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents,
+           ROUND(p_retailprice / (p_size + 1) + 1e-9, 2) AS per_size,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_rt,
+           ABS(p_size - 25) AS size_dist,
+           p_size % 7 AS size_mod
+    FROM part
+    """,
+)
+def math_cast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/cast family: *, /, round, abs, %, numeric<->string<->decimal
+    round-trips (reference: §2.8 rows 3 and 9). The division is rounded with
+    the +1e-9 nudge since its true value is a non-terminating rational."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        # round before the long cast: DuckDB's double->int cast rounds while
+        # Spark's truncates, so an explicit round is the only portable form
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+        F.round(F.col("p_retailprice") / (F.col("p_size") + 1) + 1e-9, 2).alias("per_size"),
+        F.col("p_size").cast("string").alias("size_str"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price_rt"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    tags=("A-extension",),
+    oracle=None,  # HLL estimate is engine-specific; rows-only check
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) vs exact per event_type — the
+    approximate-aggregate extension SURVEY §2.5 notes the reference lacks.
+    Estimates are engine-specific, so no SQL oracle; a unit test asserts the
+    estimate is within 5% of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
