@@ -77,6 +77,8 @@ def validate_messages(
     required: list[str],
     type_pattern: str,
     pk_cols: list[str] | None = None,
+    sport_field: str | None = None,
+    sport_pattern: str = "(?i)soccer",
     entity_from_topic: str = r"^soccer\.(.+)$",
     dedup: bool = True,
 ) -> DataFrame:
@@ -86,8 +88,12 @@ def validate_messages(
 
     ``pk_cols`` is the entity's primary-key column list (schemas.PRIMARY_KEYS,
     reference: validate_json.py:53-67); it defaults to ``required`` only as a
-    degenerate fallback. Returns columns: topic (routed), key (pk), value
-    (re-serialized JSON), evt_ts, is_valid, parse_ok.
+    degenerate fallback. ``sport_field`` (schemas.SPORT_FIELD — supports
+    nested paths like lookup_player.strSport) adds the case-insensitive
+    sport predicate with tri-state squash (P9); entities without a sport
+    column pass ``None`` and inherit the filter at the warehouse J1-J3 join.
+    Returns columns: topic (routed), key (pk), value (re-serialized JSON),
+    evt_ts, is_valid, parse_ok.
     """
     pk_cols = pk_cols or required
     schema = T.StructType(
@@ -108,8 +114,10 @@ def validate_messages(
 
     parse_ok = F.col("_corrupt").isNull()  # P5
     required_ok = required_fields_ok(required)  # P8
-    type_ok = sport_ok("entity", type_pattern)  # P9 (tri-state squash)
+    type_ok = sport_ok("entity", type_pattern)  # entity whitelist
     is_valid = parse_ok & required_ok & type_ok
+    if sport_field is not None:
+        is_valid = is_valid & sport_ok(sport_field, sport_pattern)  # P9
 
     business_cols = [f.name for f in payload_schema.fields]
     ingested = repair_ingested_at(
