@@ -102,6 +102,39 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_bpe_token_counts",
+    tags=("text", "A4"),
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(LEN(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+               AS bpe_tokens,
+           CAST(SUM(LEN(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS ws_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) * 1.0
+               / CAST(SUM(LEN(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS tokens_per_word
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2-style pre-tokenizer regex
+    (word runs + single non-space punctuation) vs the whitespace tokenizer —
+    the cheap 'how many tokens will this cost' estimator, per language.
+    Both engines use ASCII \\w so the counts agree exactly."""
+    d = _docs(spark, sf_dir)
+    bpe = F.regexp_count("text", F.lit(r"\w+|[^\w\s]")).cast("long")
+    return (
+        d.select("lang", bpe.alias("b"), token_count("text").alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.sum("b").alias("bpe_tokens"),
+            F.sum("w").alias("ws_tokens"),
+            (F.sum("b") * 1.0 / F.sum("w")).alias("tokens_per_word"),
+        )
+    )
+
+
+@register(
     "docs_quality_scores",
     tags=("text", "A3"),
     oracle=r"""
