@@ -33,6 +33,9 @@ from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_sp
     start_validated_rejected_sinks,
     validate_messages,
 )
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.validate import (
+    validate_all_entities,
+)
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.monitor import (
     attach,
 )
@@ -52,6 +55,10 @@ def main() -> None:
     ap.add_argument("--kafka", help="bootstrap servers (Kafka mode)")
     ap.add_argument("--source-dir", help="JSON envelope dir (file mode)")
     ap.add_argument("--entity", default="event", help="entity for file mode")
+    ap.add_argument(
+        "--all-entities", action="store_true",
+        help="run the full 13-entity demux -> validate -> union topology",
+    )
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--type-pattern", default="(?i)^event$")
     ap.add_argument(
@@ -69,14 +76,17 @@ def main() -> None:
         msgs = file_json_source(spark, args.source_dir, ENVELOPE)
     else:
         ap.error("one of --kafka / --source-dir is required")
-    routed = validate_messages(
-        msgs,
-        entity_schema(args.entity),
-        REQUIRED_FIELDS[args.entity],
-        args.type_pattern,
-        pk_cols=PRIMARY_KEYS[args.entity],
-        sport_field=SPORT_FIELD.get(args.entity),
-    )
+    if args.all_entities:
+        routed = validate_all_entities(msgs)
+    else:
+        routed = validate_messages(
+            msgs,
+            entity_schema(args.entity),
+            REQUIRED_FIELDS[args.entity],
+            args.type_pattern,
+            pk_cols=PRIMARY_KEYS[args.entity],
+            sport_field=SPORT_FIELD.get(args.entity),
+        )
     queries = start_validated_rejected_sinks(
         routed, args.checkpoint, kafka_bootstrap=args.kafka, memory_prefix="job"
     )

@@ -146,6 +146,45 @@ def validate_messages(
     return out
 
 
+def validate_all_entities(
+    msgs: DataFrame,
+    entities: list[str] | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """The reference job's full topology: demux one multiplexed stream into
+    per-entity branches (P2), validate each against its own schema/keys/
+    sport path from the registry, and fold the branches back with
+    unionByName(allowMissingColumns=True) — the 27-frame union
+    (reference: validate_json.py:582-652; O3).
+
+    Each branch's output already has the uniform (topic, key, value,
+    payload_sha, evt_ts, is_valid, parse_ok) shape, so the union is a
+    physical append — no shuffle (SURVEY §3.1: the whole pipeline is
+    narrow)."""
+    from functools import reduce
+
+    from ..schemas import ENTITIES, PRIMARY_KEYS, REQUIRED_FIELDS, SPORT_FIELD, entity_schema
+
+    entities = entities or list(ENTITIES)
+    branches = []
+    for e in entities:
+        branch = msgs.filter(
+            F.regexp_extract("topic", r"^soccer\.(.+)$", 1) == e  # P1+P2 demux
+        )
+        branches.append(
+            validate_messages(
+                branch,
+                entity_schema(e),
+                REQUIRED_FIELDS[e],
+                type_pattern=f"(?i)^{e.replace('.', chr(92) + '.')}$",
+                pk_cols=PRIMARY_KEYS[e],
+                sport_field=SPORT_FIELD.get(e),
+                dedup=dedup,
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), branches)
+
+
 def routed_stream(routed: DataFrame, valid: bool) -> DataFrame:
     """Split one routed frame into the validated or rejected leg."""
     return routed.filter(F.col("is_valid") == valid).drop("is_valid", "parse_ok")
