@@ -28,4 +28,7 @@ def norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI divide-by-zero error) when either vector has zero
+    norm. Prefer precomputing norms per vector in pairwise operators —
+    see operators/similarity.py."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import dot, norm
 
 
 def brute_force_topk(
@@ -34,11 +34,25 @@ def brute_force_topk(
     """Exact cosine top-k per query: broadcast-cross-join queries x corpus,
     window-rank per query. Returns (q_id, n_id, cos, rank), rank 1..k,
     tie-broken by neighbor id so results are total-ordered."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    # norms are precomputed per vector, not per pair: each pair then costs
+    # one dot product (one array traversal instead of three)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_nrm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("cos"))
+        .select(
+            "q_id", "n_id",
+            # try_divide: zero-norm vectors (empty docs) yield NULL, not an
+            # ANSI DIVIDE_BY_ZERO crash; NULLs are filtered below
+            F.try_divide(dot("q_vec", "n_vec"), F.col("q_nrm") * F.col("n_nrm")).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -62,17 +76,25 @@ def partitioned_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_nrm"),
         F.col(cell_col).alias("cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_nrm"),
         F.col(cell_col).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("cos"))
+        .select(
+            "q_id", "n_id",
+            # try_divide: zero-norm vectors (empty docs) yield NULL, not an
+            # ANSI DIVIDE_BY_ZERO crash; NULLs are filtered below
+            F.try_divide(dot("q_vec", "n_vec"), F.col("q_nrm") * F.col("n_nrm")).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
@@ -122,15 +144,23 @@ def lsh_topk(
     ~2^-n_planes of the corpus per query (before multi-probe)."""
     sig = hyperplane_signature(vec_col, dim, n_planes)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_nrm"), sig.alias("bucket")
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), sig.alias("bucket")
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_nrm"), sig.alias("bucket")
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", cosine("q_vec", "n_vec").alias("cos"))
+        .select(
+            "q_id", "n_id",
+            # try_divide: zero-norm vectors (empty docs) yield NULL, not an
+            # ANSI DIVIDE_BY_ZERO crash; NULLs are filtered below
+            F.try_divide(dot("q_vec", "n_vec"), F.col("q_nrm") * F.col("n_nrm")).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (

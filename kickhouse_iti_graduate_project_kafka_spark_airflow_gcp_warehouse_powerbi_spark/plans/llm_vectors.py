@@ -138,15 +138,21 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     label cell so the pair space is per-cell, not corpus-wide — the
     embedding leg of the dedup family. At 100 TB the blocking key is a
     coarse quantizer; within-cell pairs shuffle on the cell id only."""
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"), "label")
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"), "label")
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
+    e = _emb(spark, sf_dir)
+    # norm once per vector; each of the O(cell^2) pairs costs one dot product
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
+                 norm("embedding").alias("na"), "label")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"),
+                 norm("embedding").alias("nb"), "label")
     return (
         a.join(b, "label")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine("va", "vb").alias("c"))
+        .select(
+            "a_id", "b_id",
+            F.try_divide(dot("va", "vb"), F.col("na") * F.col("nb")).alias("c"),
+        )
         .filter(F.col("c") >= 0.4)
         .select("a_id", "b_id", F.round(F.col("c") + 1e-9, 4).alias("cos"))
     )
