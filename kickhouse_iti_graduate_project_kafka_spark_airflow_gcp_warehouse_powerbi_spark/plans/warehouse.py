@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..functions.expressions import decimal_sum, multi_if, null_if_zero_key, surrogate_key
+from ..functions.expressions import decimal_sum, multi_if, surrogate_key
 from ..sources.tables import load_table
 
 
