@@ -79,23 +79,35 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted index.
+    """All-pairs n-gram Jaccard via inverted index.
 
     jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the intersection size per
     pair comes from counting co-occurrences after exploding shingles, so
     only pairs sharing at least one shingle are ever materialized.
+
+    ``max_shingle_freq`` is the hot-key guard and is ON by default: a
+    shingle occurring in more than that many documents (a stopword run at
+    100 TB) is dropped from the index, since its posting list would make
+    the self-join quadratic in that list. Sizes are computed from the
+    SAME filtered set, so the score is exact Jaccard over the
+    guard-filtered shingle universe — identical to unfiltered Jaccard
+    whenever nothing is dropped (any corpus where no shingle exceeds the
+    cap), and self-consistent (never an inflated denominator) otherwise.
+    Pass ``None`` to disable.
 
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
     # the exploded index feeds both join legs and the size aggregate —
     # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM)
     exploded = shingle_rows(df, text_col, id_col, n).persist()
-    sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
     if max_shingle_freq is not None:
         freq = exploded.groupBy("_sh").count().filter(F.col("count") <= max_shingle_freq)
         exploded = exploded.join(freq.select("_sh"), "_sh")
+    # sizes AFTER the guard: intersections and sizes must count the same
+    # shingle universe or the denominator overstates and near-dups are missed
+    sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
     a = exploded.select(F.col("_id").alias("a_id"), "_sh")
     b = exploded.select(F.col("_id").alias("b_id"), "_sh")
     inter = (
@@ -198,21 +210,32 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    # exact verification of candidates only, on hashed shingle sets
-    # (64-bit hashes: within-doc collision probability ~1e-15, so set sizes
-    # equal the string-set sizes)
-    hashed_sets = exploded_h.groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
-    sets_a = hashed_sets.select(F.col("_id").alias("a_id"), F.col("_hs").alias("_sha"))
-    sets_b = hashed_sets.select(F.col("_id").alias("b_id"), F.col("_hs").alias("_shb"))
+    # exact verification of candidates only, via the inverted-index
+    # intersection RESTRICTED to candidate pairs — no collect_list: a
+    # book-length document never materializes its shingle set as one array
+    # row; the intersection is a streaming hash-aggregate over
+    # (a_id, b_id, _h) rows. (64-bit hashes: within-doc collision
+    # probability ~1e-15, so set sizes equal the string-set sizes.)
+    sh_a = exploded_h.select(F.col("_id").alias("a_id"), "_h")
+    sh_b = exploded_h.select(F.col("_id").alias("b_id"), "_h")
+    inter = (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, ["b_id", "_h"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes = exploded_h.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    sizes_a = sizes.select(F.col("_id").alias("a_id"), F.col("_size").alias("_sa"))
+    sizes_b = sizes.select(F.col("_id").alias("b_id"), F.col("_size").alias("_sb"))
     verified = (
-        candidates.join(sets_a, "a_id")
-        .join(sets_b, "b_id")
+        inter.join(sizes_a, "a_id")
+        .join(sizes_b, "b_id")
         .select(
             "a_id",
             "b_id",
             (
-                F.size(F.array_intersect("_sha", "_shb")).cast("double")
-                / F.size(F.array_union("_sha", "_shb")).cast("double")
+                F.col("_inter").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("_inter")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

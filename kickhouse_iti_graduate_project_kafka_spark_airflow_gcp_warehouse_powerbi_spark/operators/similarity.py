@@ -104,29 +104,68 @@ def partitioned_topk(
     )
 
 
+# XXH64 primes (public constants, github.com/Cyan4973/xxHash spec)
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_int(value: int, seed: int) -> int:
+    """XXH64 of one 32-bit int — the per-column step of Spark's xxhash64
+    over IntegerType (XXH64 spec: 4-byte tail lane + avalanche). Used to
+    derive hyperplane coefficients DRIVER-SIDE so the per-row column tree
+    is O(n_planes) literal arrays, not dim*n_planes expression nodes."""
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _plane_coeff(j: int, d: int, seed: int = 42) -> float:
+    """Exactly xxhash64(lit(j), lit(d)) % 2001 / 1000.0 as Spark computes it
+    (seed 42, columns chained, Java signed remainder) — bit-identical to the
+    expression-unrolled derivation this replaced."""
+    h = _xxh64_int(d, _xxh64_int(j, seed))
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    rem = abs(signed) % 2001
+    return (rem if signed >= 0 else -rem) / 1000.0
+
+
 def hyperplane_signature(vec_col: str, dim: int, n_planes: int = 8) -> F.Column:
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
-    Plane j's d-th coefficient is a pseudo-random value in [-1, 1) derived
-    from xxhash64(j, d) — reproducible across runs with zero stored state.
+    Plane j's d-th coefficient is a pseudo-random value in (-2.001, 2.001)
+    derived from xxhash64(j, d) — reproducible across runs with zero stored
+    state. Coefficients are precomputed driver-side into ONE array literal
+    per plane: at production dims (768-4096) the column tree stays
+    O(n_planes) nodes, where the per-dim expression unroll was
+    dim*n_planes Catalyst nodes (codegen fallback / analysis blowup).
     """
-    bits = []
+    import numpy as np
+
+    out = F.lit(0)
     for j in range(n_planes):
-        coeffs = F.array(
-            *[
-                ((F.xxhash64(F.lit(j), F.lit(d)) % 2001).cast("double") / 1000.0)
-                for d in range(dim)
-            ]
-        )
+        # ndarray lit -> ONE Literal node (a Python list would expand to
+        # array(lit, lit, ...): dim nodes again at analysis time)
+        coeffs = F.lit(np.asarray([_plane_coeff(j, d) for d in range(dim)], dtype="float64"))
         proj = F.aggregate(
             F.zip_with(F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = F.lit(0)
-    for b in bits:
-        out = out + b
+        out = out + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return out
 
 

@@ -44,7 +44,15 @@ def make_ttl_dedup_fn(ttl_ms: int):
     """Build the applyInPandasWithState function for emit-first TTL dedup.
 
     Returns (func, output_schema, state_schema). Each group = one key; state
-    = last-emit epoch ms; processing-time timeout clears state after TTL.
+    = (emit epoch ms, suppressed count). TTL is measured from the last
+    EMISSION — exactly the reference SeenCache (event_lookup_producer.py:
+    mark() only on emit, should_skip measures from last emit). Suppressed
+    arrivals therefore must NOT extend the deadline: the timeout is kept
+    absolute by re-arming with the REMAINING time, and a key that keeps
+    arriving is re-emitted once the TTL since its last emission elapses
+    (either via the timer or inline when a batch lands past the deadline).
+    The first output row per emission carries how many arrivals were
+    swallowed since the previous emission.
     """
     output_schema = "key string, n_suppressed long"
     state_schema = "last_emit long, suppressed long"
@@ -54,14 +62,19 @@ def make_ttl_dedup_fn(ttl_ms: int):
     ) -> Iterator[pd.DataFrame]:
         n = sum(len(p) for p in pdfs)
         if state.hasTimedOut:
-            state.remove()
+            state.remove()  # TTL since last emit elapsed: key allowed again
             return
+        now = state.getCurrentProcessingTimeMs()
         if state.exists:
             (last_emit, suppressed) = state.get
-            state.update((last_emit, suppressed + n))
-            state.setTimeoutDuration(ttl_ms)
-            return  # suppressed: inside TTL window
-        state.update((0, 0))
+            remaining = ttl_ms - (now - last_emit)
+            if remaining > 0:
+                # inside the TTL window: swallow, keep the ABSOLUTE deadline
+                state.update((last_emit, suppressed + n))
+                state.setTimeoutDuration(int(remaining))
+                return
+            # deadline passed but the timer hadn't fired: fall through to emit
+        state.update((now, 0))
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame({"key": [key[0]], "n_suppressed": [n - 1]})
 

@@ -32,6 +32,7 @@ from ..functions.expressions import (
     required_fields_ok,
     sport_ok,
 )
+from ..schemas import HASH_EXCLUDE
 
 #: reference topic-subscription regex: everything under the namespace except
 #: our own validated/rejected mirrors (validate_json.py:545)
@@ -125,24 +126,37 @@ def validate_messages(
         F.col("timestamp"),
     )  # P6
     out = flat.select(
+        # S2 routing: prefix the FULL original topic (reference emits
+        # 'validated.soccer.event', validate_json.py:610-628) so the
+        # rejected-lake REJECTED_PATTERN '^rejected\.soccer\..*' matches
         F.concat(
             F.when(is_valid, F.lit("validated.")).otherwise(F.lit("rejected.")),
-            F.col("entity"),
-        ).alias("topic"),  # S2 routing
+            F.col("topic"),
+        ).alias("topic"),
         F.when(parse_ok, composite_pk([F.col(c) for c in pk_cols]))
         .otherwise(F.sha2("json_str", 256))
         .alias("key"),  # P7 / P12
         F.to_json(F.struct(*[F.col(c) for c in business_cols])).alias("value"),  # P11
-        payload_hash(business_cols).alias("payload_sha"),  # P10
+        # P10: envelope fields (ingested_at et al.) excluded, matching the
+        # reference's EXCLUDE_FROM_HASH (validate_json.py:532-537) — a
+        # re-sent payload with a fresh ingested_at must hash identically
+        # or the dedup below silently no-ops
+        payload_hash(business_cols, exclude=HASH_EXCLUDE).alias("payload_sha"),
         F.to_timestamp(F.from_unixtime(ingested)).alias("evt_ts"),
         is_valid.alias("is_valid"),
         parse_ok.alias("parse_ok"),
     )
     if dedup:
-        # ST1 — the designed-but-disabled dedup, enabled (SURVEY §2.9)
-        out = out.withWatermark("evt_ts", DEDUP_WATERMARK).dropDuplicates(
-            ["key", "payload_sha"]
-        )
+        # ST1 — the designed-but-disabled dedup, enabled (SURVEY §2.9).
+        # Streaming uses dropDuplicatesWithinWatermark: plain dropDuplicates
+        # only evicts state when the event-time column is in the key subset,
+        # so the 48 h watermark would not bound state. Batch driver gets the
+        # equivalent bounded-input dropDuplicates.
+        out = out.withWatermark("evt_ts", DEDUP_WATERMARK)
+        if out.isStreaming:
+            out = out.dropDuplicatesWithinWatermark(["key", "payload_sha"])
+        else:
+            out = out.dropDuplicates(["key", "payload_sha"])
     return out
 
 

@@ -70,16 +70,16 @@ def test_multiplexed_batch_validate_union(spark, tmpdir):
     for r in out:
         by_topic[r["topic"]] = by_topic.get(r["topic"], 0) + 1
     # soccer rows validated; wrong-sport rows rejected per entity
-    assert by_topic["validated.league"] == 4 and by_topic["rejected.league"] == 1
-    assert by_topic["validated.event"] == 3  # basketball + corrupt rejected
-    assert by_topic["rejected.event"] == 2
-    assert by_topic["validated.player"] == 2 and by_topic["rejected.player"] == 1
+    assert by_topic["validated.soccer.league"] == 4 and by_topic["rejected.soccer.league"] == 1
+    assert by_topic["validated.soccer.event"] == 3  # basketball + corrupt rejected
+    assert by_topic["rejected.soccer.event"] == 2
+    assert by_topic["validated.soccer.player"] == 2 and by_topic["rejected.soccer.player"] == 1
     # sport-less children validate on required fields alone (J1-J3 filters later)
-    assert by_topic["validated.event.stats"] == 3
-    assert by_topic["validated.event.lineup"] == 3
+    assert by_topic["validated.soccer.event.stats"] == 3
+    assert by_topic["validated.soccer.event.lineup"] == 3
 
     # corrupt message got the synthesized sha pk (P12)
-    sha_rows = [r for r in out if r["topic"] == "rejected.event" and len(r["key"] or "") == 64]
+    sha_rows = [r for r in out if r["topic"] == "rejected.soccer.event" and len(r["key"] or "") == 64]
     assert len(sha_rows) == 1
 
 

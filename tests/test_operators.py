@@ -122,6 +122,92 @@ def test_lsh_topk_results_are_true_neighbors(spark, sf_small):
         assert abs(brute[(r["q_id"], r["n_id"])] - r["cos"]) < 1e-12
 
 
+def test_hyperplane_coeffs_match_spark_xxhash64(spark):
+    """The driver-side coefficient derivation must be bit-identical to the
+    Spark expression it replaced (xxhash64(lit(j), lit(d)) % 2001 / 1000) —
+    signatures, buckets, and LSH results are unchanged at any dim."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.similarity import (
+        _plane_coeff,
+    )
+
+    cases = [(j, d) for j in range(4) for d in (0, 1, 7, 63, 767)]
+    exprs = [
+        ((F.xxhash64(F.lit(j), F.lit(d)) % 2001).cast("double") / 1000.0).alias(f"c{i}")
+        for i, (j, d) in enumerate(cases)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, (j, d) in enumerate(cases):
+        assert row[f"c{i}"] == _plane_coeff(j, d)
+
+
+def test_hyperplane_signature_node_budget_dim768(spark):
+    """At production embedding dims the signature's column tree must stay
+    O(n_planes): coefficients are ONE ndarray literal per plane, so leaf
+    count is independent of dim (the per-dim unroll was dim*n_planes nodes
+    and broke codegen at 768+)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.similarity import (
+        hyperplane_signature,
+    )
+
+    df = spark.createDataFrame([([0.0] * 768,)], "v array<double>")
+    out = df.select(hyperplane_signature("v", dim=768, n_planes=16).alias("s"))
+    exprs = out._jdf.queryExecution().analyzed().expressions()
+    n_leaves = sum(exprs.apply(i).collectLeaves().size() for i in range(exprs.size()))
+    # 16 planes x (1 coeff-array literal + vec ref + a few scalar literals)
+    assert n_leaves < 300, f"expression leaves {n_leaves}: dim leaked into the tree"
+    assert out.collect()[0]["s"] == 65535  # zero vector: every proj >= 0
+
+
+def test_lsh_topk_dim768_runs_and_is_deterministic(spark):
+    """End-to-end LSH ANN at a real embedding dim: plan analyzes, runs, and
+    two runs agree (deterministic seeded hyperplanes)."""
+    import random
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(768)]) for i in range(40)]
+    emb = spark.createDataFrame(rows)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got1 = sorted(map(tuple, lsh_topk(emb, queries, dim=768, k=3).collect()))
+    got2 = sorted(map(tuple, lsh_topk(emb, queries, dim=768, k=3).collect()))
+    assert got1 == got2
+    assert all(q != n for q, n, _, _ in got1)
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """A degenerate corpus-wide shingle must not explode the candidate set:
+    with the guard on (default), pairs whose ONLY overlap is the hot shingle
+    are never materialized; docs that truly overlap beyond it still pair."""
+    hot = "lorem ipsum dolor sit amet"  # shared by every doc
+    rows = [Row(id=i, text=f"{hot} unique{i} tail{i} words{i} here{i}") for i in range(20)]
+    # two docs that also share a genuine long run beyond the hot prefix
+    rows.append(Row(id=100, text=f"{hot} alpha beta gamma delta epsilon zeta"))
+    rows.append(Row(id=101, text=f"{hot} alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows)
+
+    guarded = ngram_jaccard_pairs(df, "text", "id", threshold=0.1, max_shingle_freq=5)
+    pairs = {(r["a_id"], r["b_id"]) for r in guarded.collect()}
+    assert pairs == {(100, 101)}  # hot-prefix-only overlaps suppressed
+
+    unguarded = ngram_jaccard_pairs(df, "text", "id", threshold=0.1, max_shingle_freq=None)
+    assert unguarded.count() > 100  # without the guard: quadratic candidates
+
+
+def test_ngram_jaccard_guard_noop_when_under_cap(spark, sf_oracle):
+    """On the oracle fixture no shingle exceeds the default cap, so the
+    guarded (default) and unguarded scores are identical."""
+    docs = load_table(spark, sf_oracle, "documents")
+    on = {(r["a_id"], r["b_id"], round(r["jaccard"], 9))
+          for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()}
+    off = {(r["a_id"], r["b_id"], round(r["jaccard"], 9))
+           for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5,
+                                        max_shingle_freq=None).collect()}
+    assert on == off
+
+
 def test_text_metrics_basics(spark):
     df = spark.createDataFrame(
         [Row(t="the cat sat on the mat with a hat of wool to spare")]

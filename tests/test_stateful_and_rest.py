@@ -101,6 +101,50 @@ def test_ttl_dedup_custom_emits_first_and_suppresses(spark, tmpdir):
     assert rows == expected
 
 
+def test_ttl_dedup_custom_reallows_after_ttl(spark, tmpdir):
+    """TTL measured from the last EMISSION (reference SeenCache): a key seen
+    again after the TTL elapses is re-emitted. Suppressed arrivals must not
+    extend the deadline — the first file's repeat of E1 lands inside the
+    window (swallowed), yet E1 still re-emits once the original TTL passes."""
+    import time
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    schema = T.StructType([T.StructField("id", T.StringType())])
+    with open(f"{src}/a.json", "w") as f:
+        f.write(json.dumps({"id": "E1"}) + "\n")
+        f.write(json.dumps({"id": "E1"}) + "\n")  # suppressed, inside TTL
+    stream = spark.readStream.schema(schema).json(src)
+    out = ttl_dedup_custom(stream, "id", ttl_ms=4_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl3")
+        .option("checkpointLocation", f"{tmpdir}/chk")
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        emitted_late = False
+        wrote_b = False
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) AS n FROM ttl3").collect()[0]["n"]
+            if n >= 1 and not wrote_b:
+                # first emission landed; wait out the TTL, then resend E1
+                time.sleep(5)
+                with open(f"{src}/b.json", "w") as f:
+                    f.write(json.dumps({"id": "E1"}) + "\n")
+                wrote_b = True
+            if n >= 2:
+                emitted_late = True
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert emitted_late, "E1 was not re-emitted after the TTL elapsed"
+
+
 # ------------------------------------------------------------------- ST7
 def test_emit_changes_insert_update_skip(spark):
     prev = spark.createDataFrame(

@@ -61,9 +61,13 @@ def _write_envelope_files(path: str) -> dict[str, int]:
     base = {"strSport": "Soccer", "ingested_at": 1767225600.0}
     for i in range(5):
         msg("soccer.event", {"idEvent": f"E{i}", "intScore": str(i), **base})
-    # exact duplicate of E0 (same pk + payload) — must be dropped by dedup
+    # duplicates of E0: one byte-identical, one differing ONLY in
+    # ingested_at (a producer re-send stamps a fresh ingest time) — BOTH
+    # must be dropped, i.e. payload_sha excludes envelope fields
+    # (reference EXCLUDE_FROM_HASH, validate_json.py:532-537)
     msg("soccer.event", {"idEvent": "E0", "intScore": "0", **base})
-    msg("soccer.event", {"idEvent": "E0", "intScore": "0", **base})
+    msg("soccer.event", {"idEvent": "E0", "intScore": "0", "strSport": "Soccer",
+                         "ingested_at": 1767225660.0})
     # missing required idEvent
     for i in range(3):
         msg("soccer.event", {"intScore": str(i), **base})
@@ -75,7 +79,11 @@ def _write_envelope_files(path: str) -> dict[str, int]:
     msg("soccer.broadcast", {"idEvent": "B2", "intScore": "9", **base})
     with open(f"{path}/batch0.json", "w") as f:
         f.write("\n".join(json.dumps(r) for r in rows))
-    return {"validated.event": 6, "rejected.event": 5, "rejected.broadcast": 2}
+    return {
+        "validated.soccer.event": 6,
+        "rejected.soccer.event": 5,
+        "rejected.soccer.broadcast": 2,
+    }
 
 
 @pytest.fixture()
@@ -116,7 +124,7 @@ def test_streaming_validate_route_and_dedup(spark, tmpdir):
     # dedup dropped the two duplicate E0 messages: 7 valid msgs -> 5 unique
     assert len(valid) == 5
     topics = {r["topic"] for r in valid}
-    assert topics == {"validated.event"}
+    assert topics == {"validated.soccer.event"}
     # keys are the composite pk
     assert sorted(r["key"] for r in valid) == ["E0", "E1", "E2", "E3", "E4"]
     # rejected: 3 missing-required + 2 corrupt + 2 wrong-entity = 7 (no dedup losses)
@@ -124,7 +132,7 @@ def test_streaming_validate_route_and_dedup(spark, tmpdir):
     by_topic = {}
     for r in rejected:
         by_topic[r["topic"]] = by_topic.get(r["topic"], 0) + 1
-    assert by_topic == {"rejected.event": 5, "rejected.broadcast": 2}
+    assert by_topic == {"rejected.soccer.event": 5, "rejected.soccer.broadcast": 2}
     # corrupt rows got the P12 synthesized pk (sha256 hex, 64 chars)
     sha_keys = [r["key"] for r in rejected if len(r["key"] or "") == 64]
     assert len(sha_keys) == 2
@@ -145,6 +153,30 @@ def test_batch_and_streaming_share_transform(spark, tmpdir):
     assert not routed.isStreaming
     out = routed.collect()
     assert len(out) == 12  # 14 msgs - 2 exact dups
+
+
+def test_payload_sha_ignores_ingested_at(spark):
+    """Two messages differing ONLY in ingested_at share payload_sha (the
+    ADVICE-flagged dedup no-op: producers stamp a fresh ingest time on
+    re-emission, so the hash must exclude envelope fields)."""
+    from datetime import datetime
+
+    rows = [
+        {"topic": "soccer.event", "key": "E1",
+         "value": json.dumps({"idEvent": "E1", "strSport": "Soccer",
+                              "intScore": "3", "ingested_at": 1767225600.0}),
+         "timestamp": datetime(2026, 1, 1)},
+        {"topic": "soccer.event", "key": "E1",
+         "value": json.dumps({"idEvent": "E1", "strSport": "Soccer",
+                              "intScore": "3", "ingested_at": 1767312000.0}),
+         "timestamp": datetime(2026, 1, 2)},
+    ]
+    batch = spark.createDataFrame(rows, schema=ENVELOPE)
+    routed = validate_messages(
+        batch, PAYLOAD, required=["idEvent"], type_pattern="(?i)^event$", dedup=False
+    )
+    shas = [r["payload_sha"] for r in routed.collect()]
+    assert len(shas) == 2 and shas[0] == shas[1]
 
 
 def test_foreach_batch_maintenance_and_latest_view(spark, tmpdir):
