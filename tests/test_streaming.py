@@ -17,6 +17,8 @@ from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_sp
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.maintenance import (
     backfill,
     foreach_batch_transform,
+    read_silver,
+    write_batch_idempotent,
 )
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.validate import (
     file_json_source,
@@ -212,8 +214,9 @@ def test_foreach_batch_maintenance_and_latest_view(spark, tmpdir):
     finally:
         q.stop()
 
-    silver_df = spark.read.parquet(silver)
+    silver_df = read_silver(spark, silver)
     assert silver_df.count() == 4
+    assert "_batch_id" not in silver_df.columns
     gold = latest_per_key(silver_df, ["idEvent"], ["updated_at"])
     rows = {r["idEvent"]: (r["score"], r["score2"]) for r in gold.collect()}
     assert rows == {"E1": (2, 4), "E2": (7, 14)}
@@ -221,3 +224,33 @@ def test_foreach_batch_maintenance_and_latest_view(spark, tmpdir):
     # backfill path shares the same transform
     backfill(spark.read.schema(versions).json(src_dir), transform, f"{tmpdir}/bf")
     assert spark.read.parquet(f"{tmpdir}/bf").count() == 4
+
+
+def test_silver_sink_idempotent_on_batch_retry(spark, tmpdir):
+    """A failed-then-retried micro-batch must not double-append: re-running
+    the same batch id overwrites its own partition (dynamic partition
+    overwrite), leaving silver byte-identical — the effective idempotence
+    the reference gets from ClickPipes per-block inserts."""
+    silver = f"{tmpdir}/silver"
+    b0 = spark.createDataFrame([("E1", 1), ("E2", 2)], "id string, v int")
+    b1 = spark.createDataFrame([("E3", 3)], "id string, v int")
+
+    write_batch_idempotent(b0, 0, silver)
+    write_batch_idempotent(b0, 0, silver)  # simulated retry of batch 0
+    assert read_silver(spark, silver).count() == 2
+
+    write_batch_idempotent(b1, 1, silver)
+    rows = {(r["id"], r["v"]) for r in read_silver(spark, silver).collect()}
+    assert rows == {("E1", 1), ("E2", 2), ("E3", 3)}
+
+    # retry of batch 1 after batch 0 exists: still no duplicates anywhere
+    write_batch_idempotent(b1, 1, silver)
+    assert read_silver(spark, silver).count() == 3
+
+    # business partition columns nest under the batch partition
+    part = f"{tmpdir}/silver_p"
+    bp = spark.createDataFrame([("E1", "202601"), ("E2", "202602")], "id string, month string")
+    write_batch_idempotent(bp, 0, part, partition_cols=("month",))
+    write_batch_idempotent(bp, 0, part, partition_cols=("month",))
+    out = read_silver(spark, part)
+    assert out.count() == 2 and set(out.columns) == {"id", "month"}
