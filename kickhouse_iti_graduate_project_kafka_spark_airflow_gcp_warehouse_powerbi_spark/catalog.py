@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     the registry."""
     from .plans import (  # noqa: F401
         dq_suite,
+        json_flatten,
         llm_text,
         llm_vectors,
         scalars,
