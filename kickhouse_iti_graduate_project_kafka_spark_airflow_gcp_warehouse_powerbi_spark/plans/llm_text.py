@@ -240,6 +240,32 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_containment",
+    tags=("dedup", "invariant"),
+    oracle="SELECT TRUE AS has_pairs, CAST(0 AS BIGINT) AS n_violations",
+)
+def simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the hash-specific SimHash operator:
+    every Hamming<=3 pair must also be an exact n-gram-Jaccard>=0.5 pair
+    (Hamming 3/64 is far stricter than Jaccard 0.5), and the pair set must
+    be non-empty (non-vacuous). The oracle states the expected invariant
+    (TRUE, 0); the Spark side EARNS it — any simhash false positive or a
+    dried-up candidate generator breaks the hash match."""
+    docs = _docs(spark, sf_dir)
+    sim = simhash_pairs(docs, "text", "doc_id", n=3, max_hamming=3).select("a_id", "b_id")
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select("a_id", "b_id")
+    violations = sim.join(exact, ["a_id", "b_id"], "left_anti")
+    return (
+        sim.agg(F.count(F.lit(1)).alias("_np"))
+        .crossJoin(violations.agg(F.count(F.lit(1)).alias("_nv")))
+        .select(
+            (F.col("_np") >= 1).alias("has_pairs"),
+            F.col("_nv").alias("n_violations"),
+        )
+    )
+
+
+@register(
     "docs_fingerprint_cardinality",
     tags=("dedup", "A10"),
     oracle="""

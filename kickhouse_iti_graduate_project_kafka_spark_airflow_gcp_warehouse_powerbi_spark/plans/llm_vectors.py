@@ -82,6 +82,24 @@ def knn_ivf_label_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf_kmeans", tags=("similarity", "ANN"), oracle=None)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with a REAL k-means coarse quantizer (8 cells, 3 Lloyd
+    iterations, deterministic hash-spread init) and multi-probe (nprobe=2).
+    No SQL oracle (cell assignment is quantizer-specific): the driver
+    records a rows-only check; pytest asserts recall >= 0.8 vs brute force
+    and determinism across runs."""
+    from ..operators.ivf import ivf_topk, kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_cells=8, iters=3)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=2)
+    return out.select(
+        "q_id", "n_id", F.round(F.col("cos") + 1e-9, 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register("knn_lsh_hyperplane", tags=("similarity", "ANN"), oracle=None)
 def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (8 deterministic seeded planes, bucket-join).
@@ -91,6 +109,70 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=8)
     return out.select(
         "q_id", "n_id", F.round(F.col("cos") + 1e-9, 4).alias("cos"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "lsh_ann_containment",
+    tags=("similarity", "ANN", "invariant"),
+    oracle="SELECT TRUE AS has_hits, CAST(0 AS BIGINT) AS n_bad_scores",
+)
+def lsh_ann_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the hash-specific LSH ANN: every hit
+    must appear in the brute-force full ranking with the IDENTICAL cosine
+    (approximation may lose neighbors, never corrupt scores), and the hit
+    set must be non-empty. Constant oracle = expected invariant; the Spark
+    side computes both tiers and earns it."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    hits = lsh_topk(emb, queries, dim=64, k=5, n_planes=8).select(
+        "q_id", "n_id", F.col("cos").alias("_c1")
+    )
+    full = brute_force_topk(emb, queries, k=10**9).select(
+        "q_id", "n_id", F.col("cos").alias("_c2")
+    )
+    joined = hits.join(full, ["q_id", "n_id"], "left")
+    bad = joined.filter(
+        F.col("_c2").isNull() | (F.abs(F.col("_c1") - F.col("_c2")) > 1e-9)
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(bad.agg(F.count(F.lit(1)).alias("_nb")))
+        .select(
+            (F.col("_nh") >= 1).alias("has_hits"),
+            F.col("_nb").alias("n_bad_scores"),
+        )
+    )
+
+
+@register(
+    "ivf_full_probe_equals_bruteforce",
+    tags=("similarity", "ANN", "invariant"),
+    oracle="SELECT TRUE AS has_hits, CAST(0 AS BIGINT) AS n_diff",
+)
+def ivf_full_probe_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the k-means IVF tier: probing ALL
+    cells must reproduce brute-force top-5 exactly (same pairs, same
+    ranks) — the quantizer prunes, it never re-scores. Constant oracle =
+    expected invariant."""
+    from ..operators.ivf import ivf_topk, kmeans_centroids
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_centroids(emb, n_cells=8, iters=2)
+    ivf = ivf_topk(emb, queries, cents, k=5, nprobe=8).select("q_id", "n_id", "rank")
+    brute = brute_force_topk(emb, queries, k=5).select("q_id", "n_id", "rank")
+    keys = ["q_id", "n_id", "rank"]
+    diff_a = ivf.join(brute, keys, "left_anti")
+    diff_b = brute.join(ivf, keys, "left_anti")
+    return (
+        ivf.agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(diff_a.agg(F.count(F.lit(1)).alias("_da")))
+        .crossJoin(diff_b.agg(F.count(F.lit(1)).alias("_db")))
+        .select(
+            (F.col("_nh") >= 1).alias("has_hits"),
+            (F.col("_da") + F.col("_db")).alias("n_diff"),
+        )
     )
 
 
