@@ -241,11 +241,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Multimodal columns: binary payload + typed metadata + stubbed decode
+# Multimodal columns: binary payload + typed metadata + REAL header decode
 # --------------------------------------------------------------------------
 _MM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
         T.StructField("byte_len", T.LongType()),
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
@@ -253,30 +254,66 @@ _MM_SCHEMA = T.StructType(
     ]
 )
 
+#: fixed header sizes of the fabricated containers (see _image_payload):
+#: PNG = magic 8 + IHDR chunk 25 (len+type+13 data+crc); JPEG = SOI 2 +
+#: APP0 18 + SOF0 19 + EOI 2
+PNG_HEADER_LEN = 33
+JPEG_HEADER_LEN = 41
 
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decoder: image/audio libraries are not in this container.
 
-    Returns deterministic fake (width, height) derived from the payload
-    size; a real deployment swaps in PIL/libvips here. Raising
-    NotImplementedError for non-fake use is the documented contract.
-    """
-    byte_len = len(payload)
-    return (byte_len % 640 + 1, (byte_len * 7) % 480 + 1)
+def _be_bytes(col: F.Column, nbytes: int) -> F.Column:
+    """Big-endian fixed-width binary from an integer column — JVM-side
+    int-to-bytes (hex + lpad + unhex)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), nbytes * 2, "0"))
+
+
+def _image_payload(width: F.Column, height: F.Column, body: F.Column) -> dict:
+    """Spec-correct PNG and JPEG byte streams with the given dimensions,
+    assembled entirely JVM-side (concat of binary pieces): a real container
+    header + the doc text as an opaque body. The decoder must WALK THE
+    FORMAT (PNG IHDR; JPEG marker scan past APP0) to recover the dims —
+    fabrication and parsing share no code."""
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG magic
+        F.unhex(F.lit("0000000D")),  # IHDR data length = 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        _be_bytes(width, 4),
+        _be_bytes(height, 4),
+        F.unhex(F.lit("0802000000")),  # bit depth 8, truecolor, no interlace
+        F.unhex(F.lit("00000000")),  # CRC placeholder
+        body,
+    )
+    jpeg = F.concat(
+        F.unhex(F.lit("FFD8")),  # SOI
+        F.unhex(F.lit("FFE00010")),  # APP0, length 16
+        F.encode(F.lit("JFIF\x00"), "UTF-8"),
+        F.unhex(F.lit("010100000100010000")),  # JFIF version/density pad
+        F.unhex(F.lit("FFC0001108")),  # SOF0, length 17, precision 8
+        _be_bytes(height, 2),
+        _be_bytes(width, 2),
+        F.unhex(F.lit("03011100021101031101")),  # 3 components
+        F.unhex(F.lit("FFD9")),  # EOI
+        body,
+    )
+    return {"png": png, "jpeg": jpeg}
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batches in, decoded-metadata batches out.
-    The plumbing (schema, batching, binary handling) is the real multimodal
-    path; only the pixel decode is faked (decode_image_stub)."""
+    """mapInPandas worker: Arrow batches of (doc_id, payload binary) in,
+    typed metadata out. Dimensions come from REAL header parsing
+    (functions/imagemeta.py) — unknown bytes yield NULL dims, never a
+    crash."""
+    from ..functions.imagemeta import parse_image_dims
+
     for pdf in batches:
-        dims = pdf["payload"].map(decode_image_stub)
+        parsed = pdf["payload"].map(parse_image_dims)
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
+                "fmt": parsed.map(lambda t: t[0]),
                 "byte_len": pdf["payload"].map(len),
-                "width": dims.map(lambda t: t[0]),
-                "height": dims.map(lambda t: t[1]),
+                "width": parsed.map(lambda t: t[1]),
+                "height": parsed.map(lambda t: t[2]),
             }
         )
         out["n_pixels"] = out["width"] * out["height"]
@@ -286,24 +323,39 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_decode_metadata",
     tags=("multimodal", "UDF"),
-    oracle="""
+    oracle=f"""
     WITH b AS (
-        SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS byte_len FROM documents
+        SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS body_len FROM documents
     )
-    SELECT doc_id, byte_len,
-           byte_len % 640 + 1 AS width,
-           (byte_len * 7) % 480 + 1 AS height,
-           (byte_len % 640 + 1) * ((byte_len * 7) % 480 + 1) AS n_pixels
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {PNG_HEADER_LEN}
+                     ELSE {JPEG_HEADER_LEN} END + body_len AS BIGINT) AS byte_len,
+           CAST(body_len % 640 + 1 AS BIGINT) AS width,
+           CAST((body_len * 7) % 480 + 1 AS BIGINT) AS height,
+           CAST((body_len % 640 + 1) * ((body_len * 7) % 480 + 1) AS BIGINT) AS n_pixels
     FROM b
     """,
 )
 def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing: text -> binary payload column ->
-    mapInPandas (Arrow-batched) decode -> typed metadata. The decode itself
-    is a deterministic stub (no image libs in the container) so the oracle
-    can replicate the arithmetic; everything else — binary column, schema,
-    batch shape — is the production path."""
+    """Multimodal column round trip: per-doc dimensions are encoded into a
+    REAL container header (even docs: PNG IHDR; odd docs: JPEG SOF0 behind
+    an APP0 segment) built JVM-side, then recovered by the pure-Python
+    header parser inside Arrow-batched mapInPandas. The oracle recomputes
+    the dims from the doc length directly — a hash match proves the binary
+    fabrication AND the format-walking decode agree byte-for-byte."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id",
+        F.octet_length("text").alias("_bl"),
+        F.encode("text", "UTF-8").alias("_body"),
+    )
+    w = (F.col("_bl") % 640 + 1).cast("bigint")
+    h = ((F.col("_bl") * 7) % 480 + 1).cast("bigint")
+    payloads = _image_payload(w, h, F.col("_body"))
+    d = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, payloads["png"])
+        .otherwise(payloads["jpeg"])
+        .alias("payload"),
     )
     return d.mapInPandas(_decode_batches, schema=_MM_SCHEMA)
