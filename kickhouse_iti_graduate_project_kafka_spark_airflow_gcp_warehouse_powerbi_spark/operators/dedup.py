@@ -103,8 +103,15 @@ def ngram_jaccard_pairs(
     # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM)
     exploded = shingle_rows(df, text_col, id_col, n).persist()
     if max_shingle_freq is not None:
-        freq = exploded.groupBy("_sh").count().filter(F.col("count") <= max_shingle_freq)
-        exploded = exploded.join(freq.select("_sh"), "_sh")
+        # posting-list length via a window on _sh (not groupBy+join: the
+        # window's hash partitioning on _sh is exactly what the inverted-
+        # index self-join below needs, so the exchange is reused)
+        wf = Window.partitionBy("_sh")
+        exploded = (
+            exploded.withColumn("_freq", F.count(F.lit(1)).over(wf))
+            .filter(F.col("_freq") <= max_shingle_freq)
+            .drop("_freq")
+        )
     # sizes AFTER the guard: intersections and sizes must count the same
     # shingle universe or the denominator overstates and near-dups are missed
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
