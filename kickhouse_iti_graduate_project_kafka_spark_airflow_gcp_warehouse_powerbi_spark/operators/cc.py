@@ -1,0 +1,138 @@
+"""Connected components over dup-pair edges — dedup *clustering* at scale.
+
+Near-dup pair generation (operators/dedup.py) yields edges; turning edges
+into keep/drop decisions needs the transitive closure: if A~B and B~C, all
+three are one cluster and one representative survives. This module computes
+components with the alternating **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public literature), which converges in O(log n) rounds *independent of graph
+diameter* — the property that matters at 100 TB, where min-label
+propagation's O(diameter) rounds lose badly on dup chains.
+
+Every round is two hash-aggregates + two joins on node ids — no
+``collect_set`` adjacency lists (a hot node with millions of neighbors would
+OOM a task), no driver-side graph. Lineage is truncated each round with
+``localCheckpoint`` (an iterative plan otherwise grows exponentially and
+analysis time dominates); at cluster scale, point ``spark.sparkContext.
+setCheckpointDir`` at durable storage and swap in ``checkpoint``.
+
+Convergence is detected with a two-scalar fingerprint of the canonical edge
+set ``(count, xor-ish sum of xxhash64(u,v))`` — one tiny action per round,
+never a full subtract/except of edge sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions of each edge, self-loops dropped: columns (u, v)."""
+    e = edges.select(F.col("u").cast("long"), F.col("v").cast("long")).filter(
+        F.col("u") != F.col("v")
+    )
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every *strictly larger* neighbor of u to min(N(u) ∪ {u}).
+
+    Emitted edge set: {(v, m(u)) : (u,v) ∈ sym, v > u}. Each undirected edge
+    contributes from exactly one endpoint's perspective, so the output size
+    is bounded by the input size.
+    """
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", "u").alias("_m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """Connect every *smaller-or-equal* neighbor (and u itself) to the min
+    of that neighborhood. Output edges point (node, candidate-root)."""
+    smaller = sym.filter(F.col("v") < F.col("u"))
+    mins = smaller.groupBy("u").agg(F.min("v").alias("_m"))
+    rewired = (
+        smaller.join(mins, "u")
+        .filter(F.col("v") != F.col("_m"))
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("_m").alias("v"))
+    return rewired.union(self_edges).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, sum of xxhash64(u,v)) — a cheap canonical-set fingerprint.
+
+    The sum is taken in DecimalType (sums of 64-bit hashes overflow a long
+    and ANSI mode traps) — one scalar row back to the driver.
+    """
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a_id",
+    dst: str = "b_id",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component labels for an undirected graph given as an edge list.
+
+    Returns (id, component) where ``component`` is the minimum node id in
+    the component — deterministic, so downstream keep-one-per-cluster
+    decisions are reproducible. ``nodes`` (optional, one ``id_col`` column)
+    adds isolated nodes, which label themselves.
+
+    Scale posture: each round shuffles edge rows on 8-byte node ids (two
+    aggregates + two joins), output never exceeds input row count, and the
+    round count is O(log n). A supernode (one doc near-duping millions) is
+    a *group* with many rows, handled by map-side partial min — never an
+    in-memory neighbor array.
+    """
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # post-convergence the edge set is a star forest: (member, root)
+    labels = cur.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias(id_col)).distinct().withColumn(
+        "component", F.col(id_col)
+    )
+    out = labels.union(roots)
+    if nodes is not None:
+        isolated = (
+            nodes.select(F.col(id_col).cast("long"))
+            .join(out.select(id_col), id_col, "left_anti")
+            .withColumn("component", F.col(id_col))
+        )
+        out = out.union(isolated)
+    return out.distinct()
+
+
+def cluster_sizes(components: DataFrame) -> DataFrame:
+    """(component, cluster_size) — the dedup-cluster histogram input."""
+    return components.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
