@@ -140,6 +140,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: what fraction of each *test* document's
+    distinct n-grams appears anywhere in the *train* corpus?
+
+    containment(d) = |ngrams(d) ∩ U_train| / |ngrams(d)| — the standard
+    train/test overlap metric (high containment = the benchmark doc leaked
+    into training data).
+
+    Scale shape: the train n-gram universe is deduped to distinct 64-bit
+    hashes (one groupBy on 8-byte keys — at 100 TB this is the only pass
+    over the train corpus), then a hash-partitioned LEFT join marks each
+    test shingle as contained or not. Test sets are small relative to train,
+    so the join's test side is cheap; no pair explosion, no arrays.
+
+    Returns (id, n_shingles, n_contained, containment) per test document
+    with at least ``n`` tokens.
+    """
+    universe = (
+        shingle_rows(train, text_col, id_col, n)
+        .select(F.xxhash64("_sh").alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    test_sh = shingle_rows(test, text_col, id_col, n).select(
+        "_id", F.xxhash64("_sh").alias("_h")
+    )
+    return (
+        test_sh.join(universe, "_h", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contained"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_contained",
+            F.round(F.col("n_contained") / F.col("n_shingles"), 4).alias("containment"),
+        )
+    )
+
+
 def minhash_signature(hashes_col: str, num_hashes: int = 64) -> list:
     """k MinHash values from a pre-hashed shingle array (array<long>).
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators.cc import cluster_sizes, connected_components
-from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.dedup import ngram_containment, ngram_jaccard_pairs
 from ..sources.tables import load_table
 
 #: DuckDB CTE: distinct 3-word shingle sets per doc (mirrors
@@ -127,4 +127,190 @@ def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept).alias("n_kept"),
         (F.count(F.lit(1)) - F.sum(kept)).alias("n_dropped"),
+    )
+
+
+@register(
+    "docs_contamination",
+    bench=True,
+    tags=("dedup", "contamination"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              || ' ' || toks[i+3] || ' ' || toks[i+4]
+                              for i in range(1, len(toks) - 3)]) AS sh
+        FROM t WHERE len(toks) >= 5
+    ), train AS (
+        SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0
+    ), test AS (
+        SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0
+    )
+    SELECT te.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contained,
+           ROUND(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS containment
+    FROM test te LEFT JOIN train tr ON te.g = tr.g
+    GROUP BY te.doc_id
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: hold out every 20th document as the
+    'benchmark' split and measure 5-gram containment of each held-out doc
+    in the remaining 'training' corpus (operators/dedup.ngram_containment).
+    The deterministic doc_id-modulo split makes the check SQL-expressible
+    for the oracle; a real pipeline passes an actual benchmark table."""
+    docs = _docs(spark, sf_dir)
+    test = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_containment(train, test, "text", "doc_id", n=5)
+
+
+def sample_bucket(key: F.Column, n_buckets: int = 100) -> F.Column:
+    """Deterministic, engine-portable sampling bucket in [0, n_buckets):
+    first 8 hex chars of md5(key-as-string) parsed as an integer, mod N.
+    md5 of the decimal string is identical in every engine (unlike
+    xxhash64, which only Spark exposes), so a sample drawn this way is
+    reproducible by any downstream system auditing the pipeline — and it
+    is stable under repartitioning, unlike ``rand(seed)`` whose draw
+    depends on partition layout."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+#: per-language sampling percentage (an 'upsample rare languages' policy)
+_SAMPLE_PCT = {"en": 10, "fr": 25, "de": 25, "es": 25, "zh": 50}
+_SAMPLE_PCT_DEFAULT = 50
+
+
+@register(
+    "docs_stratified_sample",
+    tags=("sampling", "A1"),
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN {_SAMPLE_PCT["en"]} WHEN 'fr' THEN {_SAMPLE_PCT["fr"]}
+        WHEN 'de' THEN {_SAMPLE_PCT["de"]} WHEN 'es' THEN {_SAMPLE_PCT["es"]}
+        WHEN 'zh' THEN {_SAMPLE_PCT["zh"]} ELSE {_SAMPLE_PCT_DEFAULT} END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied via an
+    md5 hash bucket (no rand() — the sample is a pure function of doc_id,
+    so re-runs, retries, and other engines draw the SAME sample; the oracle
+    proves it by reproducing the bucket arithmetic in DuckDB). At 100 TB
+    this is a narrow map + filter — no shuffle, no state."""
+    docs = _docs(spark, sf_dir)
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _SAMPLE_PCT.items()],
+        F.lit(_SAMPLE_PCT_DEFAULT),
+    )
+    return (
+        docs.withColumn("bucket", sample_bucket(F.col("doc_id")))
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@register(
+    "docs_length_percentiles",
+    tags=("stats", "A4"),
+    oracle=r"""
+    WITH m AS (
+        SELECT lang, n_chars,
+               LEN(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25) + 1e-9, 4) AS chars_p25,
+           ROUND(quantile_cont(n_chars, 0.50) + 1e-9, 4) AS chars_p50,
+           ROUND(quantile_cont(n_chars, 0.90) + 1e-9, 4) AS chars_p90,
+           ROUND(quantile_cont(n_chars, 0.99) + 1e-9, 4) AS chars_p99,
+           ROUND(quantile_cont(n_tok, 0.50) + 1e-9, 4) AS tokens_p50,
+           CAST(MAX(n_chars) AS BIGINT) AS chars_max
+    FROM m GROUP BY lang
+    """,
+)
+def docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (linear interpolation — the
+    same definition as DuckDB's quantile_cont). The length histogram is the
+    first thing a corpus curator looks at; exact percentiles need a per-group
+    sort, which Spark's `percentile` does with partial aggregation (at
+    100 TB prefer `approx_percentile` — see docs_length_percentiles_approx's
+    tests; here exactness is the point, to pin the oracle)."""
+    from ..functions.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "n_chars", token_count("text").alias("n_tok")
+    )
+
+    def pct(col: str, p: float, alias: str) -> F.Column:
+        return F.round(F.percentile(F.col(col), F.lit(p)) + 1e-9, 4).alias(alias)
+
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct("n_chars", 0.25, "chars_p25"),
+        pct("n_chars", 0.50, "chars_p50"),
+        pct("n_chars", 0.90, "chars_p90"),
+        pct("n_chars", 0.99, "chars_p99"),
+        pct("n_tok", 0.50, "tokens_p50"),
+        F.max("n_chars").alias("chars_max"),
+    )
+
+
+@register(
+    "docs_token_shards",
+    tags=("shards", "WF1"),
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               LEN(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+        FROM w
+    )
+    SELECT prefix // 2000 AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY prefix // 2000
+    """,
+)
+def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment (~2000 tokens/shard) via the
+    two-phase distributed prefix sum in operators/shards.py — no global
+    single-partition window anywhere. The oracle recomputes the assignment
+    with a plain window cumsum (fine at 500 rows; the point of the operator
+    is that Spark never runs that plan shape at 100 TB)."""
+    from ..functions.text import token_count
+
+    from ..operators.shards import token_balanced_shards
+
+    d = _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tok"))
+    sharded = token_balanced_shards(
+        d, "n_tok", "doc_id", target_per_shard=2000, bucket_width=100
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
