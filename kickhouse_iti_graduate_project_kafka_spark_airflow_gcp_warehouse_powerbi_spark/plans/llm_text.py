@@ -265,6 +265,114 @@ def simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: redaction patterns (Java-regex and RE2 compatible — no lookbehind):
+#: email / long digit runs (classic PII) + a configurable denylist of terms
+_REDACT_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_REDACT_DIGITS = r"\d{6,}"
+_REDACT_DENYLIST = r"\b(key|hash|secret)\b"
+
+
+@register(
+    "docs_redaction_stats",
+    tags=("text", "cleaning"),
+    oracle=rf"""
+    WITH m AS (
+        SELECT lang,
+               LEN(regexp_extract_all(text, '{_REDACT_EMAIL}')) AS n_email,
+               LEN(regexp_extract_all(text, '{_REDACT_DIGITS}')) AS n_digit,
+               LEN(regexp_extract_all(text, '{_REDACT_DENYLIST}')) AS n_deny,
+               LEN(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_REDACT_EMAIL}', '[EMAIL]', 'g'),
+                       '{_REDACT_DIGITS}', '[NUM]', 'g'),
+                   '{_REDACT_DENYLIST}', '[TERM]', 'g')) AS clean_len,
+               LEN(text) AS orig_len
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS email_hits,
+           CAST(SUM(n_digit) AS BIGINT) AS digit_hits,
+           CAST(SUM(n_deny) AS BIGINT) AS denylist_hits,
+           CAST(SUM(orig_len) AS BIGINT) AS orig_chars,
+           CAST(SUM(clean_len) AS BIGINT) AS clean_chars
+    FROM m GROUP BY lang
+    """,
+)
+def docs_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass: count and redact emails, long digit runs,
+    and a denylist of sensitive terms; report per-language hit counts and
+    the char-count delta. All JVM-side regexp_replace/regexp_count — a
+    narrow map stage with zero shuffle beyond the final small aggregate
+    (the 100 TB cleaning-pass shape). The fixture corpus contains no
+    emails/digit-runs (those counts prove the negative path); the denylist
+    fires on real tokens."""
+    d = _docs(spark, sf_dir)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _REDACT_EMAIL, "[EMAIL]"),
+            _REDACT_DIGITS,
+            "[NUM]",
+        ),
+        _REDACT_DENYLIST,
+        "[TERM]",
+    )
+    return (
+        d.select(
+            "lang",
+            F.regexp_count("text", F.lit(_REDACT_EMAIL)).alias("e"),
+            F.regexp_count("text", F.lit(_REDACT_DIGITS)).alias("g"),
+            F.regexp_count("text", F.lit(_REDACT_DENYLIST)).alias("y"),
+            F.length("text").alias("o"),
+            F.length(cleaned).alias("c"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").cast("long").alias("email_hits"),
+            F.sum("g").cast("long").alias("digit_hits"),
+            F.sum("y").cast("long").alias("denylist_hits"),
+            F.sum("o").cast("long").alias("orig_chars"),
+            F.sum("c").cast("long").alias("clean_chars"),
+        )
+    )
+
+
+@register(
+    "docs_top_terms",
+    tags=("text", "A9"),
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM w GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT 20
+    """,
+)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extraction: top-20 terms by document frequency (ties
+    broken lexicographically for determinism). explode -> one hash
+    aggregate on the term -> TakeOrderedAndProject; the full vocabulary is
+    never sorted, only the top-k heap per partition (the scale-safe top-k
+    shape)."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import tokens
+
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
 @register(
     "docs_fingerprint_cardinality",
     tags=("dedup", "A10"),
