@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Job: BI serving endpoint — SQL over HTTP against the registered views.
+
+    python jobs/serve_bi.py [--sf-dir DIR] [--port 8808] [--max-rows 10000]
+
+The reference serves its warehouse to Power BI via DirectQuery
+(`README.md:462-466`: ClickHouse as the live SQL backend). This engine's
+serving layer is the same contract re-expressed for Spark: every gold
+table/view is registered in the session catalog and an HTTP endpoint
+accepts read-only SQL, executes it through Catalyst, and streams back JSON
+— the shape any BI tool's web connector (or a thin ODBC gateway) consumes.
+
+Scope notes, stated honestly:
+
+- The container has no Thrift/grpc runtime, so a HiveServer2 or Spark
+  Connect endpoint cannot run here; the HTTP layer is stdlib
+  ``ThreadingHTTPServer``. On a real cluster you'd front the same
+  registered views with Spark Connect / the Thrift server — the *catalog
+  registration and read-only enforcement in this module carry over
+  unchanged*.
+- Serving capacity comes from Spark's scheduler: each request is a
+  ``spark.sql`` job on the shared session, fair-scheduled across threads
+  (``spark.scheduler.mode=FAIR`` recommended for mixed dashboards).
+- Results are capped (``--max-rows``, enforced with a LIMIT wrapper so the
+  cap prunes work inside Spark via TakeOrderedAndProject/CollectLimit —
+  not after collecting).
+
+Endpoints:
+
+- ``GET  /health``   → ``{"ok": true}``
+- ``GET  /tables``   → registered view names
+- ``POST /sql``      → body ``{"sql": "SELECT ...", "limit": 100}``;
+  returns ``{"columns": [...], "rows": [[...]], "n_rows": N,
+  "truncated": bool}``. Statements that are not a single SELECT/WITH
+  query are rejected with 400 (the endpoint is read-only by construction,
+  not by permissions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import threading
+from datetime import date, datetime
+from decimal import Decimal
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.S)
+
+
+def _is_read_only(sql: str) -> bool:
+    """Single read-only statement: first significant keyword is SELECT or
+    WITH, and no statement separator smuggles in a second command."""
+    stripped = _COMMENT_RE.sub(" ", sql).strip().rstrip(";").strip()
+    if ";" in stripped:
+        return False
+    first = stripped.split(None, 1)[0].upper() if stripped else ""
+    return first in ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
+
+
+def _json_default(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def run_sql(spark: SparkSession, sql: str, limit: int, max_rows: int) -> dict:
+    """Execute read-only SQL with the row cap pushed into the plan."""
+    if not _is_read_only(sql):
+        raise ValueError("read-only endpoint: only a single SELECT/WITH query is allowed")
+    n = max(1, min(limit or max_rows, max_rows))
+    df = spark.sql(sql)
+    rows = df.limit(n + 1).collect()
+    truncated = len(rows) > n
+    return {
+        "columns": df.columns,
+        "rows": [[r[c] for c in df.columns] for r in rows[:n]],
+        "n_rows": min(len(rows), n),
+        "truncated": truncated,
+    }
+
+
+def make_server(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 0, max_rows: int = 10_000
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server bound to ``host:port``
+    (port 0 = ephemeral, read the chosen one from ``server_port``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, doc: dict) -> None:
+            body = json.dumps(doc, default=_json_default).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/health":
+                self._send(200, {"ok": True})
+            elif self.path == "/tables":
+                names = [t.name for t in spark.catalog.listTables()]
+                self._send(200, {"tables": sorted(names)})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/sql":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                out = run_sql(
+                    spark, req.get("sql", ""), int(req.get("limit") or 0), max_rows
+                )
+                self._send(200, out)
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # analysis errors etc. -> client, not stderr
+                self._send(400, {"error": type(e).__name__, "detail": str(e)[:500]})
+
+        def log_message(self, *a):  # quiet: Spark owns stdout here
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(spark: SparkSession, **kw) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the server on a daemon thread (used by tests and notebooks)."""
+    srv = make_server(spark, **kw)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t
+
+
+def main() -> None:
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark import (
+        get_spark,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        register_views,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8808)
+    ap.add_argument("--max-rows", type=int, default=10_000)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="kickhouse-bi-serve")
+    register_views(spark, args.sf_dir)
+    srv = make_server(spark, args.host, args.port, args.max_rows)
+    print(json.dumps({"serving": f"http://{args.host}:{srv.server_port}", "sf": args.sf_dir}))
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

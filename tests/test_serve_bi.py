@@ -1,0 +1,66 @@
+"""BI serving endpoint (S11): real HTTP requests against the live server."""
+
+import json
+import sys
+import urllib.error
+import urllib.request
+
+sys.path.insert(0, "/root/repo/jobs")
+
+from serve_bi import _is_read_only, serve_background  # noqa: E402
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (  # noqa: E402
+    register_views,
+)
+
+
+def _post(url, doc):
+    req = urllib.request.Request(
+        url, data=json.dumps(doc).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_serving_roundtrip(spark, sf_oracle):
+    register_views(spark, sf_oracle)
+    srv, _ = serve_background(spark, port=0, max_rows=50)
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        with urllib.request.urlopen(base + "/health", timeout=10) as r:
+            assert json.loads(r.read())["ok"] is True
+        with urllib.request.urlopen(base + "/tables", timeout=10) as r:
+            tables = json.loads(r.read())["tables"]
+        assert {"region", "nation", "orders", "lineitem"} <= set(tables)
+
+        out = _post(
+            base + "/sql",
+            {"sql": "SELECT r_name, count(*) AS n FROM region GROUP BY r_name", "limit": 10},
+        )
+        assert out["columns"] == ["r_name", "n"]
+        assert out["n_rows"] == 5 and not out["truncated"]
+
+        # row cap enforced and reported
+        out = _post(base + "/sql", {"sql": "SELECT * FROM orders", "limit": 7})
+        assert out["n_rows"] == 7 and out["truncated"] is True
+
+        # writes rejected with 400, session state untouched
+        try:
+            _post(base + "/sql", {"sql": "DROP VIEW region"})
+            raise AssertionError("write statement must be rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert spark.sql("SELECT count(*) FROM region").collect()[0][0] == 5
+    finally:
+        srv.shutdown()
+
+
+def test_read_only_guard():
+    assert _is_read_only("SELECT 1")
+    assert _is_read_only("  with x as (select 1) select * from x;")
+    assert _is_read_only("/* c */ SELECT 1 -- t")
+    assert not _is_read_only("DROP TABLE t")
+    assert not _is_read_only("SELECT 1; DROP TABLE t")
+    assert not _is_read_only("INSERT INTO t VALUES (1)")
+    assert not _is_read_only("SET spark.sql.ansi.enabled=false")
+    assert not _is_read_only("")
