@@ -250,8 +250,9 @@ def docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same definition as DuckDB's quantile_cont). The length histogram is the
     first thing a corpus curator looks at; exact percentiles need a per-group
     sort, which Spark's `percentile` does with partial aggregation (at
-    100 TB prefer `approx_percentile` — see docs_length_percentiles_approx's
-    tests; here exactness is the point, to pin the oracle)."""
+    100 TB prefer `approx_percentile` — bounded-memory KLL-style sketch;
+    docs_percentiles_approx_invariant below proves its error bound;
+    here exactness is the point, to pin the oracle)."""
     from ..functions.text import token_count
 
     d = _docs(spark, sf_dir).select(
@@ -269,6 +270,31 @@ def docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct("n_chars", 0.99, "chars_p99"),
         pct("n_tok", 0.50, "tokens_p50"),
         F.max("n_chars").alias("chars_max"),
+    )
+
+
+@register(
+    "docs_percentiles_approx_invariant",
+    tags=("stats", "invariant"),
+    oracle="SELECT lang, TRUE AS approx_ok FROM documents GROUP BY lang",
+)
+def docs_percentiles_approx_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the sketch-specific approx_percentile
+    (the 100 TB percentile path — bounded memory, mergeable partials): the
+    approximate median must land between the exact 45th and 55th
+    percentiles. The oracle states the expectation (TRUE per language);
+    the Spark side must EARN it from the actual sketch output."""
+    d = _docs(spark, sf_dir)
+    agg = d.groupBy("lang").agg(
+        F.percentile_approx("n_chars", 0.5, 10_000).alias("ap50"),
+        F.percentile("n_chars", F.lit(0.45)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.55)).alias("hi"),
+    )
+    return agg.select(
+        "lang",
+        ((F.col("ap50") >= F.col("lo")) & (F.col("ap50") <= F.col("hi"))).alias(
+            "approx_ok"
+        ),
     )
 
 

@@ -359,3 +359,58 @@ def multimodal_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     return d.mapInPandas(_decode_batches, schema=_MM_SCHEMA)
+
+
+@register(
+    "embedding_quantization_error",
+    tags=("similarity", "quantization"),
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               CAST(list_min(embedding) AS DOUBLE) AS lo,
+               CAST(list_max(embedding) AS DOUBLE) AS hi
+        FROM embeddings
+    ), d AS (
+        SELECT vec_id, label, lo, hi,
+               list_max(list_transform(e, x -> abs(x - (
+                   (CASE WHEN hi = lo THEN 0.0
+                         ELSE round((x - lo) * 255.0 / (hi - lo)) END)
+                   * ((hi - lo) / 255.0) + lo)))) AS max_err
+        FROM q
+    )
+    SELECT vec_id, label,
+           ROUND(lo + 1e-9, 4) AS lo_r, ROUND(hi + 1e-9, 4) AS hi_r,
+           ROUND(max_err + 1e-9, 6) AS max_abs_err,
+           max_err <= (hi - lo) / 510.0 + 1e-12 AS within_bound
+    FROM d
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization round-trip (functions/vectors.quantize_int8):
+    per-vector range-coded 1-byte components — 4x less ANN shuffle/scan at
+    100 TB — with the reconstruction error measured against the theoretical
+    half-grid bound (hi-lo)/510. Per-vector outputs only (list ops are
+    order-deterministic); no cross-partition double summation anywhere, so
+    the hash match is bitwise. The oracle recomputes the identical grid
+    arithmetic on DuckDB DOUBLE[] lists."""
+    from ..functions.vectors import dequantize_int8, quantize_int8
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("e"),
+        F.array_min("embedding").cast("double").alias("lo"),
+        F.array_max("embedding").cast("double").alias("hi"),
+    )
+    deq = dequantize_int8(quantize_int8("e"), F.col("lo"), F.col("hi"))
+    err = F.array_max(
+        F.zip_with(F.col("e"), deq, lambda x, y: F.abs(x.cast("double") - y))
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.col("lo") + 1e-9, 4).alias("lo_r"),
+        F.round(F.col("hi") + 1e-9, 4).alias("hi_r"),
+        F.round(err + 1e-9, 6).alias("max_abs_err"),
+        (err <= (F.col("hi") - F.col("lo")) / 510.0 + 1e-12).alias("within_bound"),
+    )
