@@ -80,12 +80,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for spec in selected:
-        df = spec.fn(spark, SF_DIR)
         if show_explain:
+            df = spec.fn(spark, SF_DIR)
             print(f"=== {spec.name} ===", file=sys.stderr)
             print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
+        # time plan construction AND execution: iterative operators (e.g.
+        # connected components) run driver-coordinated actions inside fn(),
+        # which timing only .collect() would silently exclude
         t0 = time.perf_counter()
-        df.collect()
+        spec.fn(spark, SF_DIR).collect()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
 
     if time_oracle:

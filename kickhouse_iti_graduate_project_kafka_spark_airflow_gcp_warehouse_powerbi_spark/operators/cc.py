@@ -110,9 +110,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_fp = None
+    # the convergence fingerprint doubles as a free edge count: size the next
+    # round's partitioning from it (~2M edge rows / partition) so late
+    # rounds — edge sets shrink monotonically — don't pay 32-partition
+    # scheduling overhead for a few thousand edges; at cluster scale the
+    # same formula spreads a billion-edge round over ~500 partitions
+    prev_fp = _edge_fingerprint(cur)
     for _ in range(max_iter):
-        cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)
+        n_parts = max(1, min(200, prev_fp[0] // 2_000_000 + 1))
+        cur = (
+            _small_star(_large_star(_symmetric(cur)))
+            .repartition(n_parts)
+            .localCheckpoint(eager=True)
+        )
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             break
