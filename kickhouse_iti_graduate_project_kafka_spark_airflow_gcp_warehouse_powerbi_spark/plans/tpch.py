@@ -500,3 +500,93 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fact-to-fact joins (TPC-H Q3/Q12 shapes): lineitem ⋈ orders are BOTH huge
+# at 100 TB — no broadcast; shuffle (sort-merge) join on the order key with
+# AQE choosing the physical strategy and handling skew. These complement the
+# star joins above, which only exercise broadcast dims.
+# --------------------------------------------------------------------------
+@register(
+    "shipping_priority_top10",
+    bench=True,
+    tags=("J5", "A9", "O1", "O2"),
+    oracle=f"""
+    SELECT o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS priority,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC LIMIT 10
+    """,
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-revenue per order for one segment, top-10.
+    lineitem⋈orders is fact-to-fact (shuffle join); customer's segment
+    filter prunes ~80% of the probe side BEFORE the join (predicate pushed
+    to the scan); top-10 is TakeOrderedAndProject, never a global sort.
+    Exact-decimal revenue keeps ordering ties deterministic (tie-broken by
+    orderkey)."""
+    cutoff = "1998-01-01"
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(cutoff))
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "late_shipments_by_priority",
+    tags=("J5", "A3", "A8"),
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           ROUND(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS late_ratio
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation over the full fact-to-fact
+    join — ship-lag classification per priority class. The 90-day lateness
+    predicate computes post-join (it needs columns from both sides); the
+    join itself is a plain shuffle join on the order key, map-side partial
+    counts after."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late).alias("late_lines"),
+            F.round(F.sum(late) * 1.0 / F.count(F.lit(1)), 4).alias("late_ratio"),
+        )
+    )
