@@ -340,3 +340,97 @@ def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "docs_per_source_sample",
+    tags=("sampling", "WF2"),
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reservoir-style k-per-group sampling, deterministically: rank by the
+    md5 of the id within each source and keep the first 3. Statistically a
+    uniform draw (hash order is pseudo-random), operationally a window —
+    partitioned by source, so fully parallel, no global sort. Re-runs and
+    other engines reproduce the same 'random' sample — the property actual
+    reservoir sampling (rand-dependent) can't give you at 100 TB."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    win = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(win).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "events_hourly_anomalies",
+    tags=("stats", "A2", "WF1"),
+    oracle="""
+    WITH h AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
+        FROM events GROUP BY event_type, DATE_TRUNC('hour', ts)
+    ), stats AS (
+        SELECT event_type,
+               COUNT(*) AS n_hours,
+               CAST(SUM(n) AS BIGINT) AS sum_n,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq
+        FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n,
+           ROUND((h.n - sum_n * 1.0 / n_hours)
+                 / sqrt((sum_sq - sum_n * 1.0 * sum_n / n_hours)
+                        / (n_hours - 1)) + 1e-9, 4) AS zscore
+    FROM h JOIN stats ON h.event_type = stats.event_type
+    WHERE abs((h.n - sum_n * 1.0 / n_hours)
+              / sqrt((sum_sq - sum_n * 1.0 * sum_n / n_hours)
+                     / (n_hours - 1))) >= 2.0
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hourly event counts whose z-score (vs that
+    event type's own distribution) exceeds ±2σ — the DQ alarm the reference
+    triages by hand in its notebook. Variance comes from EXACT integer sums
+    (Σn, Σn²) rather than a streaming float variance aggregate, so the
+    result is bitwise reproducible under any partitioning, and the oracle
+    matches hash-for-hash. Two shuffles total: the hourly rollup, then a
+    per-type stats aggregate small enough to broadcast back."""
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("sum_n") * 1.0 / F.col("n_hours")
+    var = (F.col("sum_sq") - F.col("sum_n") * 1.0 * F.col("sum_n") / F.col("n_hours")) / (
+        F.col("n_hours") - 1
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        joined.filter(F.abs(z) >= 2.0)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round(z + 1e-9, 4).alias("zscore"),
+        )
+    )
