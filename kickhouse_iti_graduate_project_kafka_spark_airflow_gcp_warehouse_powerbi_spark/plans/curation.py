@@ -434,3 +434,34 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z + 1e-9, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "docs_grouping_sets_counts",
+    tags=("A1", "rollup"),
+    oracle="""
+    SELECT COALESCE(source, 'ALL') AS src,
+           COALESCE(lang, 'ALL') AS lng,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def docs_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube (SURVEY §2.5
+    zero-cost extensions): one shuffle produces the (source,lang) grid,
+    both marginals, and the grand total via Expand. Expressed through the
+    engine's SQL surface over a registered view; sentinel 'ALL' stands in
+    for the grouping NULLs so rows stay distinguishable cross-engine."""
+    _docs(spark, sf_dir).createOrReplaceTempView("_docs_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(source, 'ALL') AS src,
+               COALESCE(lang, 'ALL') AS lng,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM _docs_gs
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """
+    )
