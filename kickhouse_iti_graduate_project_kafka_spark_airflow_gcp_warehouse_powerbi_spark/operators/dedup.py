@@ -172,6 +172,38 @@ def ngram_containment(
     test_sh = shingle_rows(test, text_col, id_col, n).select(
         "_id", F.xxhash64("_sh").alias("_h")
     )
+    return _containment_agg(test_sh, universe, id_col)
+
+
+def ngram_containment_split(
+    df: DataFrame,
+    test_pred,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """ngram_containment when train and test live in the SAME table,
+    separated by a row predicate on the id (``test_pred`` is a callable
+    Column -> Column, e.g. ``lambda i: i % 20 == 0``): tokenize/shingle the
+    corpus ONCE, then split the exploded rows — one scan and one windowed
+    shingle pass instead of two (at 100 TB, shingling is the expensive
+    narrow stage, so halving it matters more than anything in the join)."""
+    sh = (
+        shingle_rows(df, text_col, id_col, n)
+        .select(
+            "_id", F.xxhash64("_sh").alias("_h"), test_pred(F.col("_id")).alias("_is_test")
+        )
+        .persist()
+    )
+    universe = (
+        sh.filter(~F.col("_is_test")).select("_h").distinct().withColumn("_hit", F.lit(1))
+    )
+    test_sh = sh.filter(F.col("_is_test")).select("_id", "_h")
+    return _containment_agg(test_sh, universe, id_col)
+
+
+def _containment_agg(test_sh: DataFrame, universe: DataFrame, id_col: str) -> DataFrame:
+    """Shared tail: mark each test shingle contained-or-not, fold per doc."""
     return (
         test_sh.join(universe, "_h", "left")
         .groupBy("_id")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators.cc import cluster_sizes, connected_components
-from ..operators.dedup import ngram_containment, ngram_jaccard_pairs
+from ..operators.dedup import ngram_jaccard_pairs
 from ..sources.tables import load_table
 
 #: DuckDB CTE: distinct 3-word shingle sets per doc (mirrors
@@ -165,10 +165,12 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the remaining 'training' corpus (operators/dedup.ngram_containment).
     The deterministic doc_id-modulo split makes the check SQL-expressible
     for the oracle; a real pipeline passes an actual benchmark table."""
+    from ..operators.dedup import ngram_containment_split
+
     docs = _docs(spark, sf_dir)
-    test = docs.filter(F.col("doc_id") % 20 == 0)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-    return ngram_containment(train, test, "text", "doc_id", n=5)
+    return ngram_containment_split(
+        docs, lambda i: i % 20 == 0, "text", "doc_id", n=5
+    )
 
 
 def sample_bucket(key: F.Column, n_buckets: int = 100) -> F.Column:
