@@ -467,3 +467,55 @@ def docs_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         """
     )
+
+
+@register(
+    "events_funnel_signup_purchase",
+    tags=("WF2", "funnel"),
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_conversions,
+           CAST(MIN(FLOOR(epoch(next_ts) - epoch(ts))) AS BIGINT) AS fastest_secs
+    FROM seq
+    WHERE event_type = 'signup' AND next_type = 'purchase'
+      AND next_ts <= ts + INTERVAL 30 MINUTE
+    GROUP BY user_id
+    """,
+)
+def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel/sequence detection: a signup IMMEDIATELY followed by a
+    purchase within 30 minutes, per user — the event-sequence primitive
+    (ClickHouse users reach for sequenceMatch; Spark-first this is a lag/
+    lead window partitioned by user, fully parallel across users, no
+    cross-row UDF). Ties inside a timestamp are ordered by event_id so the
+    'next event' is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    conv = seq.filter(
+        (F.col("event_type") == "signup")
+        & (F.col("next_type") == "purchase")
+        & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    # seconds-between as FLOOR of the fractional-epoch difference — NOT
+    # unix_timestamp()-unix_timestamp(): per-operand truncation shifts the
+    # result by ±1 s vs engines that subtract exact epochs
+    secs = F.floor(F.col("next_ts").cast("double") - F.col("ts").cast("double"))
+    return conv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min(secs).cast("long").alias("fastest_secs"),
+    )
