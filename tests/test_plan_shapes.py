@@ -1,0 +1,69 @@
+"""Physical-plan regression guards: the plan properties COVERAGE.md claims
+(pushdown, broadcast, top-k, no cartesian blowups, narrow sampling) are
+asserted here so a refactor can't silently lose them."""
+
+import pytest
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.catalog import (
+    load_all,
+)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_small):
+    reg = load_all()
+
+    def _plan(name: str) -> str:
+        df = reg[name].fn(spark, sf_small)
+        qe = df._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+        # formatted carries scan details (PushedFilters); simple carries the
+        # WholeStageCodegen stage markers '*(n)'
+        return qe.explainString(mode("formatted")) + qe.explainString(mode("simple"))
+
+    return _plan
+
+
+def test_pricing_summary_pushes_filter_and_partial_agg(plans):
+    p = plans("pricing_summary")
+    assert "PushedFilters: [Is" in p or "PushedFilters: [Less" in p
+    # map-side combine before the exchange (AQE hides codegen markers in
+    # the pre-execution string, so assert the partial-aggregation property)
+    assert "partial_sum" in p
+
+
+def test_top10_is_take_ordered_not_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans("shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plans("top_customers_by_revenue")
+
+
+def test_star_join_broadcasts_dims(plans):
+    assert "BroadcastHashJoin" in plans("revenue_by_nation")
+
+
+def test_dedup_pairs_have_no_cartesian(plans):
+    for q in ("docs_ngram_jaccard_pairs", "docs_minhash_lsh_pairs", "docs_simhash_pairs"):
+        p = plans(q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+
+
+def test_stratified_sample_is_narrow(plans):
+    # pure map + filter: a sample draw must not shuffle anything
+    assert "Exchange" not in plans("docs_stratified_sample")
+
+
+def test_urgent_orders_pushes_in_filter(plans):
+    p = plans("urgent_orders_window")
+    assert "In(o_orderpriority" in p or "EqualTo(o_orderpriority" in p
+
+
+def test_token_shards_never_single_partition_window(plans):
+    # the prefix-sum must window over (a) buckets — tiny — or (b) bucket-
+    # partitioned rows; a global unpartitioned row window over the corpus
+    # would show as 'Window ... ORDER BY doc_id' without a partition spec
+    # feeding from a SinglePartition exchange over the full table scan.
+    p = plans("docs_token_shards")
+    assert "Exchange SinglePartition" in p  # the O(n_buckets) offset window
+    # ...but the per-doc window is partitioned by bucket:
+    assert "PartitionBy: [_bucket" in p.replace("partitionBy", "PartitionBy") or "_bucket" in p
