@@ -414,3 +414,92 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Incremental-ingest dedup: classify each NEW document against an
+    EXISTING corpus without ever comparing corpus docs to each other.
+
+    The steady-state shape of a production corpus: the full N² (even
+    inverted-index) pass ran once; every arriving batch only needs
+    batch-vs-corpus checks. Cost is proportional to |batch| x avg posting
+    list, not |corpus|²; the corpus side is scanned once for fingerprints
+    and once for shingles.
+
+    Returns one row per batch doc: (id, is_exact_dup, n_near_matches,
+    best_jaccard) — best_jaccard is 0.0 when nothing clears the threshold.
+    Exact dups (identical normalized text exists in the corpus) are ALSO
+    near-dup matches by construction; pipelines usually drop on either.
+
+    When ``max_shingle_freq`` fires it drops hot shingles from the CORPUS
+    index only, so the score becomes a lower bound (inflated denominator)
+    for affected docs — same conservative direction as a missed candidate,
+    never a false positive. Identical to exact Jaccard when nothing is
+    dropped (any corpus where no shingle exceeds the cap).
+    """
+    corpus_fp = corpus.select(fingerprint64(text_col).alias("_fp")).distinct()
+    batch_fp = batch.select(
+        F.col(id_col).alias("_id"), fingerprint64(text_col).alias("_fp")
+    )
+    exact = batch_fp.join(
+        corpus_fp.withColumn("_hit", F.lit(True)), "_fp", "left"
+    ).select("_id", F.coalesce("_hit", F.lit(False)).alias("is_exact_dup"))
+
+    c_sh = shingle_rows(corpus, text_col, id_col, n).select(
+        F.col("_id").alias("_cid"), F.xxhash64("_sh").alias("_h")
+    )
+    b_sh = (
+        shingle_rows(batch, text_col, id_col, n)
+        .select(F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h"))
+        .persist()
+    )
+    if max_shingle_freq is not None:
+        # hot-key guard on the CORPUS posting lists (the big side)
+        wf = Window.partitionBy("_h")
+        c_sh = (
+            c_sh.withColumn("_freq", F.count(F.lit(1)).over(wf))
+            .filter(F.col("_freq") <= max_shingle_freq)
+            .drop("_freq")
+        )
+    c_sh = c_sh.persist()
+    c_sizes = c_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs"))
+    b_sizes = b_sh.groupBy("_bid").agg(F.count(F.lit(1)).alias("_bs"))
+    inter = (
+        b_sh.join(c_sh, "_h")
+        .groupBy("_bid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    near = (
+        inter.join(b_sizes, "_bid")
+        .join(c_sizes, "_cid")
+        .select(
+            "_bid",
+            (
+                F.col("_inter").cast("double")
+                / (F.col("_bs") + F.col("_cs") - F.col("_inter")).cast("double")
+            ).alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+        .groupBy("_bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_near_matches"),
+            F.max("_j").alias("best_jaccard"),
+        )
+    )
+    return (
+        exact.join(near, exact["_id"] == near["_bid"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "is_exact_dup",
+            F.coalesce("n_near_matches", F.lit(0)).alias("n_near_matches"),
+            F.round(F.coalesce("best_jaccard", F.lit(0.0)), 4).alias("best_jaccard"),
+        )
+    )

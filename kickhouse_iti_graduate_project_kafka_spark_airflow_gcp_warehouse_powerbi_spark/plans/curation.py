@@ -519,3 +519,52 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_conversions"),
         F.min(secs).cast("long").alias("fastest_secs"),
     )
+
+
+@register(
+    "docs_incremental_ingest",
+    tags=("dedup", "incremental"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3
+    ), pairs AS (
+        SELECT b.doc_id AS bid,
+               LEN(list_intersect(b.sh, c.sh)) * 1.0
+                 / LEN(list_distinct(list_concat(b.sh, c.sh))) AS j
+        FROM s b JOIN s c
+          ON b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+        WHERE LEN(list_intersect(b.sh, c.sh)) * 1.0
+              / LEN(list_distinct(list_concat(b.sh, c.sh))) >= 0.5
+    ), near AS (
+        SELECT bid, COUNT(*) AS n_near_matches, MAX(j) AS best_j
+        FROM pairs GROUP BY bid
+    ), corpus_txt AS (
+        SELECT DISTINCT LOWER(TRIM(text)) AS nt FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT b.doc_id,
+           EXISTS (SELECT 1 FROM corpus_txt c WHERE c.nt = LOWER(TRIM(b.text)))
+               AS is_exact_dup,
+           COALESCE(n.n_near_matches, 0) AS n_near_matches,
+           ROUND(COALESCE(n.best_j, 0.0), 4) AS best_jaccard
+    FROM documents b LEFT JOIN near n ON n.bid = b.doc_id
+    WHERE b.doc_id % 2 = 1
+    """,
+)
+def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state corpus ingest: odd doc_ids arrive as the new batch, even
+    doc_ids are the existing corpus; every batch doc is classified
+    exact-dup / near-dup / new via batch-vs-corpus joins ONLY (operators/
+    dedup.incremental_dedup — cost scales with the batch, never corpus²).
+    The oracle recomputes the bipartite comparison quadratically."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, batch, "text", "doc_id", n=3, threshold=0.5)
