@@ -175,3 +175,96 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Index lifecycle: fit/assign once at ingest, persist, query many times.
+# --------------------------------------------------------------------------
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    iters: int = 5,
+) -> list[np.ndarray]:
+    """Materialize an IVF index: ``{path}/vectors`` holds the corpus
+    partitioned by cell id (with per-vector norms precomputed), and
+    ``{path}/centroids`` holds the k x dim centroid matrix as rows.
+
+    Partitioning by cell is the point: a query probing 2 of 256 cells
+    touches 2/256 of the files — the directory layout IS the index. The
+    cell column also makes the scan's partition filter visible to dynamic
+    partition pruning when the probe list arrives via a broadcast join.
+    """
+    spark = corpus.sparkSession
+    centroids = kmeans_centroids(corpus, vec_col, id_col, n_cells, iters)
+    (
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(vec_col).alias("n_nrm"),
+            assign_cells(_unit(vec_col), centroids).alias("cell"),
+        )
+        .sortWithinPartitions("cell", "n_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def load_centroids(spark, path: str) -> list[np.ndarray]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    return [np.asarray(r["centroid"], dtype="float64") for r in rows]
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search against a persisted index: cell assignment and norms
+    come from the index files (written once at ingest), so the query-time
+    cost is probe-list computation (k dot products per query, driver-free)
+    plus a broadcast join that lets dynamic partition pruning skip every
+    unprobed ``cell=`` directory. Results are identical to ``ivf_topk``
+    with the same centroids."""
+    centroids = load_centroids(spark, path)
+    c = spark.read.parquet(f"{path}/vectors")
+    q_scored = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_nrm"),
+        F.posexplode(_score_array(_unit(vec_col), centroids)).alias("cell", "_dist"),
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("_dist").asc(), F.col("cell").asc())
+    probes = (
+        q_scored.withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select("q_id", "q_vec", "q_nrm", "cell")
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.try_divide(dot("q_vec", "n_vec"), F.col("q_nrm") * F.col("n_nrm")).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
