@@ -40,3 +40,83 @@ def write_gold(
 
 def read_gold(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    order_by: Sequence[str],
+    target_rows_per_file: int = 1_000_000,
+    predicate: str | None = None,
+) -> dict:
+    """Small-file compaction — the MergeTree background-merge analogue.
+
+    Streaming appends (one file per micro-batch per partition) degrade scan
+    throughput: every file costs a task + footer read. This rewrites the
+    affected partitions into ``ceil(rows / target_rows_per_file)`` files
+    each, restoring the in-file ``order_by`` so row-group min/max skipping
+    works again after the rewrite.
+
+    Uses dynamic partition overwrite (only partitions present in the
+    rewritten frame are replaced — concurrent writers to OTHER partitions
+    are untouched), the same idempotence machinery as the silver sink.
+    ``predicate`` restricts the sweep (e.g. ``"month >= '2026-01'"``) so a
+    100 TB table compacts incrementally, newest partitions first.
+
+    Returns {files_before, files_after, rows} for observability.
+    """
+    import glob as _glob
+    import math
+
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+    rows = df.count()
+    if rows == 0:
+        return {"files_before": 0, "files_after": 0, "rows": 0}
+
+    def _count_files() -> int:
+        return len(_glob.glob(f"{path}/*/*.parquet"))
+
+    before = _count_files()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_files, F.col(partition_col))
+            .sortWithinPartitions(partition_col, *order_by)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {"files_before": before, "files_after": _count_files(), "rows": rows}
+
+
+def retention_sweep(
+    spark: SparkSession, path: str, partition_col: str, min_keep_value: str
+) -> dict:
+    """Partition-level TTL — the warehouse analogue of the reference's
+    Kafka topic retention (BASELINE.md: 12 h..7 d per topic). Drops every
+    Hive partition directory whose value sorts below ``min_keep_value``
+    (works for month='YYYY-MM' / date strings — lexicographic == temporal).
+
+    Deleting directories (not rows) keeps the sweep metadata-only: no
+    rewrite of surviving data, no tombstones — at 100 TB retention must
+    never cost a table scan.
+    """
+    import os
+    import shutil
+
+    dropped = []
+    for entry in sorted(os.listdir(path)):
+        if "=" not in entry:
+            continue
+        col, _, value = entry.partition("=")
+        if col == partition_col and value < min_keep_value:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(value)
+    return {"dropped_partitions": dropped, "kept": min_keep_value}
