@@ -568,3 +568,40 @@ def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_dedup(corpus, batch, "text", "doc_id", n=3, threshold=0.5)
+
+
+@register(
+    "events_hll_mergeable_distinct",
+    tags=("A10", "sketch", "invariant"),
+    oracle="SELECT TRUE AS daily_ok, TRUE AS merged_ok",
+)
+def events_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Spark 4 DataSketches HLL): daily
+    user sketches unioned into a total — the 100 TB distinct path, because
+    partial sketches merge associatively across partitions AND across days
+    without re-scanning history (exact count_distinct re-shuffles raw ids
+    every time). Invariant earned by the Spark side: every daily estimate
+    and the merged estimate within 5% of exact (HLL lgk=12 gives ~1.6%
+    standard error, so 5% is a >3σ bound)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    daily_ok = daily.select(
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+            <= F.col("exact") * 0.05
+        ).alias("ok")
+    ).agg(F.min("ok").alias("daily_ok"))
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).crossJoin(ev.agg(F.count_distinct("user_id").alias("exact")))
+    merged_ok = merged.select(
+        (F.abs(F.col("est") - F.col("exact")) <= F.col("exact") * 0.05).alias(
+            "merged_ok"
+        )
+    )
+    return daily_ok.crossJoin(merged_ok)
