@@ -392,3 +392,54 @@ def docs_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("fp").alias("n_fingerprints"),
         F.count_distinct("lang").alias("n_langs"),
     )
+
+
+@register(
+    "docs_top_tfidf_terms",
+    tags=("text", "A9"),
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w
+    ), stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM w GROUP BY term
+    )
+    SELECT term, tf, df,
+           ROUND(tf * ln(n_docs * 1.0 / df) + 1e-9, 4) AS tfidf
+    FROM stats, n
+    ORDER BY tfidf DESC, term ASC LIMIT 20
+    """,
+)
+def docs_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF term scoring (tf x ln(N/df)), top-20 — the
+    feature-weighting twin of docs_top_terms: high-frequency-but-ubiquitous
+    terms (df ~ N) score ~0, distinctive terms rise. One explode + one
+    aggregate; N arrives as a broadcast scalar (crossJoin of a 1-row agg),
+    never a collect. Identical float op order both engines: tf * ln(N/df)."""
+    d = _docs(spark, sf_dir)
+    from ..functions.text import tokens
+
+    w = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    n = w.agg(F.count_distinct("doc_id").alias("n_docs"))
+    stats = w.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")) + 1e-9, 4
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        .limit(20)
+    )
