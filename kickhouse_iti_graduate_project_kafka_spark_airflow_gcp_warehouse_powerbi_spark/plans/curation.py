@@ -605,3 +605,50 @@ def events_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return daily_ok.crossJoin(merged_ok)
+
+
+@register(
+    "events_weekly_cohort_retention",
+    tags=("A1", "WF2", "cohort"),
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               DATE_TRUNC('week', e.ts) AS active_week
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           CAST(FLOOR(date_diff('day', cohort_week, active_week) / 7.0)
+                AS BIGINT) AS week_offset,
+           COUNT(*) AS active_users
+    FROM active
+    GROUP BY cohort_week, FLOOR(date_diff('day', cohort_week, active_week) / 7.0)
+    """,
+)
+def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, counted
+    in each subsequent week they stay active — THE product-analytics query.
+    Two shuffles (per-user min, then the distinct + rollup); the cohort
+    join broadcasts the per-user firsts at test scale and shuffle-joins at
+    100 TB (AQE decides). week_offset computed from day arithmetic so both
+    engines bucket identically (week truncation anchors to Monday in
+    both)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week_ts")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min("active_week_ts").alias("cohort_week_ts")
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_week_ts", "active_week_ts")
+        .distinct()
+    )
+    return active.groupBy(
+        F.to_date("cohort_week_ts").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("active_week_ts"), F.to_date("cohort_week_ts")) / 7.0
+        ).alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("active_users"))
