@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Job: ANN index lifecycle — build once at ingest, query many times.
+
+    python jobs/ann_index.py build --path /tmp/ivf [--sf-dir DIR] \
+        [--n-cells 16] [--iters 5]
+    python jobs/ann_index.py query --path /tmp/ivf [--k 5] [--nprobe 2] \
+        [--query-ids 0 1 2]
+
+The batch twin of a vector-search service: ``build`` fits the spherical
+k-means quantizer and writes the cell-partitioned vector layout +
+centroid table (operators/ivf.py); ``query`` loads the index and answers
+top-k with only nprobe/n_cells of the data read (cell-directory pruning).
+Prints one JSON line per invocation for orchestration (the same contract
+as the other jobs/ entrypoints).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark import (
+        get_spark,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk_from_index,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        load_table,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["build", "query"])
+    ap.add_argument("--path", required=True)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    )
+    ap.add_argument("--n-cells", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--query-ids", type=int, nargs="*", default=[0, 1, 2, 3, 4])
+    args = ap.parse_args()
+
+    spark = get_spark(app_name=f"kickhouse-ann-{args.mode}")
+    emb = load_table(spark, args.sf_dir, "embeddings")
+
+    if args.mode == "build":
+        centroids = build_ivf_index(
+            emb, args.path, n_cells=args.n_cells, iters=args.iters
+        )
+        n = spark.read.parquet(f"{args.path}/vectors").count()
+        print(
+            json.dumps(
+                {"built": args.path, "n_cells": len(centroids), "n_vectors": n}
+            )
+        )
+    else:
+        queries = emb.filter(F.col("vec_id").isin(args.query_ids))
+        out = ivf_topk_from_index(
+            spark, args.path, queries, k=args.k, nprobe=args.nprobe
+        )
+        rows = [
+            {"q_id": r["q_id"], "n_id": r["n_id"], "cos": round(r["cos"], 4), "rank": r["rank"]}
+            for r in out.collect()
+        ]
+        print(json.dumps({"results": rows, "k": args.k, "nprobe": args.nprobe}))
+
+
+if __name__ == "__main__":
+    main()
