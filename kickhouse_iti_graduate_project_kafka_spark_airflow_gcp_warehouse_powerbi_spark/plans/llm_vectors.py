@@ -414,3 +414,116 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err + 1e-9, 6).alias("max_abs_err"),
         (err <= (F.col("hi") - F.col("lo")) / 510.0 + 1e-12).alias("within_bound"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal: audio (RIFF/WAV) twin of the image path
+# --------------------------------------------------------------------------
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("data_len", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+    ]
+)
+
+
+def _le_bytes(col: F.Column, nbytes: int) -> F.Column:
+    """Little-endian fixed-width binary from an integer column: big-endian
+    hex, then byte pairs concatenated in reverse order — all JVM-side."""
+    hx = F.lpad(F.hex(col.cast("bigint")), nbytes * 2, "0")
+    pairs = [F.substring(hx, 2 * j + 1, 2) for j in range(nbytes)]
+    return F.unhex(F.concat(*reversed(pairs)))
+
+
+def _wav_payload(channels: F.Column, rate: F.Column, body: F.Column) -> F.Column:
+    """Spec-correct 16-bit PCM WAV bytes assembled JVM-side, with a LIST
+    chunk inserted BEFORE data so the decoder must genuinely walk the chunk
+    list (fixed-offset shortcuts read the wrong chunk)."""
+    data_len = F.octet_length(body)
+    block_align = channels * 2
+    byte_rate = rate * block_align
+    return F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le_bytes(F.lit(48) + data_len, 4),  # 4 (WAVE) + 24 (fmt) + 12 (LIST) + 8 + data
+        F.encode(F.lit("WAVE"), "UTF-8"),
+        F.encode(F.lit("fmt "), "UTF-8"),
+        _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),  # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(F.lit(16), 2),  # bits/sample
+        F.encode(F.lit("LIST"), "UTF-8"),
+        _le_bytes(F.lit(4), 4),
+        F.encode(F.lit("INFO"), "UTF-8"),
+        F.encode(F.lit("data"), "UTF-8"),
+        _le_bytes(data_len, 4),
+        body,
+    )
+
+
+def _decode_audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.audiometa import parse_wav_meta, wav_duration_ms
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = parse_wav_meta(payload)
+            if meta is None:
+                rows.append((doc_id, None, None, None, None, None, None))
+                continue
+            ch, rate, bits, dlen = meta
+            dur = wav_duration_ms(ch, rate, bits, dlen)
+            rows.append((doc_id, ch, rate, bits, dlen, dur, (dur + 999) // 1000))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "channels", "sample_rate", "bits", "data_len",
+                "duration_ms", "n_chunks",
+            ],
+        )
+
+
+@register(
+    "multimodal_audio_metadata",
+    tags=("multimodal", "UDF"),
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS channels,
+               8000 + (doc_id * 37) % 36000 AS sample_rate,
+               OCTET_LENGTH(ENCODE(text)) AS data_len
+        FROM documents
+    )
+    SELECT doc_id, channels, sample_rate,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(data_len AS BIGINT) AS data_len,
+           (data_len * 1000) // (sample_rate * channels * 2) AS duration_ms,
+           ((data_len * 1000) // (sample_rate * channels * 2) + 999) // 1000
+               AS n_chunks
+    FROM b
+    """,
+)
+def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing with REAL container parsing: 16-bit PCM WAV
+    streams fabricated JVM-side (channels/rate derived from doc_id, doc
+    text as the sample body, a LIST chunk forcing true chunk walking), then
+    decoded in Arrow-batched mapInPandas by the pure-Python RIFF parser
+    (functions/audiometa.py). duration/chunk math is all integer — the
+    oracle recomputes it from the fabrication parameters; a hash match
+    proves fabrication and chunk-walking decode agree byte-for-byte.
+    Sample-level decode stays behind audiometa.decode_samples
+    (NotImplementedError: no audio libs in this container)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("_body")
+    )
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("bigint")
+    rate = (F.lit(8000) + (F.col("doc_id") * 37) % 36000).cast("bigint")
+    d = d.select("doc_id", _wav_payload(channels, rate, F.col("_body")).alias("payload"))
+    return d.mapInPandas(_decode_audio_batches, schema=_AUDIO_SCHEMA)
