@@ -443,3 +443,47 @@ def docs_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), F.col("term").asc())
         .limit(20)
     )
+
+
+@register(
+    "docs_chunk_windows",
+    tags=("text", "chunking"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+           CAST(LEN(toks[s : s + 63]) AS BIGINT) AS n_tok_chunk,
+           md5(array_to_string(toks[s : s + 63], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: overlapping 64-token windows every 48 tokens
+    (16-token overlap), one row per chunk with an md5 of the reconstructed
+    chunk text — the hash match proves BOTH engines slice identical
+    windows, not just equal counts. Narrow plan: tokenize once, explode
+    the start offsets, slice the token array per chunk; no shuffle until
+    the driver's own comparison. (Array slicing is fine for web-scale docs
+    of ~10^3 tokens; book-length corpora should switch to the row-based
+    shingle machinery in operators/dedup.py.)"""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("toks"))
+    d = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(48))).alias("s"),
+    )
+    chunk = F.slice("toks", F.col("s"), 64)
+    return d.select(
+        "doc_id",
+        ((F.col("s") - 1) / 48).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tok_chunk"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+    )
