@@ -611,44 +611,48 @@ def events_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     "events_weekly_cohort_retention",
     tags=("A1", "WF2", "cohort"),
     oracle="""
-    WITH firsts AS (
-        SELECT user_id, MIN(DATE_TRUNC('week', ts)) AS cohort_week
-        FROM events GROUP BY user_id
+    WITH wk AS (
+        SELECT user_id,
+               CAST(FLOOR((FLOOR(epoch(ts) / 86400) + 3) / 7) AS BIGINT)
+                   AS week_idx
+        FROM events
+    ), firsts AS (
+        SELECT user_id, MIN(week_idx) AS cohort_idx FROM wk GROUP BY user_id
     ), active AS (
-        SELECT DISTINCT e.user_id, f.cohort_week,
-               DATE_TRUNC('week', e.ts) AS active_week
-        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        SELECT DISTINCT w.user_id, f.cohort_idx, w.week_idx
+        FROM wk w JOIN firsts f ON w.user_id = f.user_id
     )
-    SELECT CAST(cohort_week AS DATE) AS cohort_week,
-           CAST(FLOOR(date_diff('day', cohort_week, active_week) / 7.0)
-                AS BIGINT) AS week_offset,
+    SELECT DATE '1970-01-01' + CAST(cohort_idx * 7 - 3 AS INTEGER)
+               AS cohort_week,
+           week_idx - cohort_idx AS week_offset,
            COUNT(*) AS active_users
     FROM active
-    GROUP BY cohort_week, FLOOR(date_diff('day', cohort_week, active_week) / 7.0)
+    GROUP BY cohort_idx, week_idx - cohort_idx
     """,
 )
 def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week, counted
     in each subsequent week they stay active — THE product-analytics query.
-    Two shuffles (per-user min, then the distinct + rollup); the cohort
-    join broadcasts the per-user firsts at test scale and shuffle-joins at
-    100 TB (AQE decides). week_offset computed from day arithmetic so both
-    engines bucket identically (week truncation anchors to Monday in
-    both)."""
+    Weeks are Monday-anchored indexes from INTEGER epoch-day arithmetic
+    (floor(epoch/86400), day 0 = Thursday, +3 shifts to Monday anchor) —
+    deliberately NOT date_trunc('week', ts): truncation of an instant is
+    session-timezone dependent and silently regroups boundary events when
+    a driver runs in a non-UTC zone. Two shuffles (per-user min, then the
+    distinct + rollup); the cohort join broadcasts the per-user firsts at
+    test scale and shuffle-joins at 100 TB (AQE decides)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", "ts").alias("active_week_ts")
+        "user_id",
+        F.floor((F.floor(F.col("ts").cast("double") / 86400) + 3) / 7).alias(
+            "week_idx"
+        ),
     )
-    firsts = ev.groupBy("user_id").agg(
-        F.min("active_week_ts").alias("cohort_week_ts")
-    )
-    active = (
-        ev.join(firsts, "user_id")
-        .select("user_id", "cohort_week_ts", "active_week_ts")
-        .distinct()
-    )
+    firsts = ev.groupBy("user_id").agg(F.min("week_idx").alias("cohort_idx"))
+    active = ev.join(firsts, "user_id").select(
+        "user_id", "cohort_idx", "week_idx"
+    ).distinct()
     return active.groupBy(
-        F.to_date("cohort_week_ts").alias("cohort_week"),
-        F.floor(
-            F.datediff(F.to_date("active_week_ts"), F.to_date("cohort_week_ts")) / 7.0
-        ).alias("week_offset"),
+        F.date_from_unix_date((F.col("cohort_idx") * 7 - 3).cast("int")).alias(
+            "cohort_week"
+        ),
+        (F.col("week_idx") - F.col("cohort_idx")).alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("active_users"))
