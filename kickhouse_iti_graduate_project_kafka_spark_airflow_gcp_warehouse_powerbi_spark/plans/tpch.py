@@ -590,3 +590,116 @@ def late_shipments_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(late) * 1.0 / F.count(F.lit(1)), 4).alias("late_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-type completion: anti, semi, full-outer (the reference's warehouse
+# relies on inner/left shapes; these close out the SQL join surface so a
+# reference user porting arbitrary queries finds every join type exercised)
+# --------------------------------------------------------------------------
+@register(
+    "customers_no_urgent_orders",
+    tags=("J-anti", "A1"),
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers who never placed an urgent order, per
+    segment. The filter on the right side applies BEFORE the anti join
+    (anti means 'no matching row among urgent orders'); Catalyst plans a
+    broadcast/shuffled anti join, never a NOT IN subquery materialization."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "brands_shipped_1995",
+    tags=("J-semi", "A1"),
+    oracle="""
+    SELECT p.p_brand AS brand, COUNT(*) AS n_parts
+    FROM part p
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+    )
+    GROUP BY p.p_brand
+    """,
+)
+def brands_shipped_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: parts with at least one 1995 shipment, counted per
+    brand. Semi join deduplicates the probe side inside the join operator —
+    no DISTINCT over the fact table, no row multiplication."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    ).select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "segment_conformance_fullouter",
+    tags=("J-full", "DQ"),
+    oracle="""
+    WITH expected(segment) AS (
+        VALUES ('AUTOMOBILE'), ('BUILDING'), ('FURNITURE'),
+               ('HOUSEHOLD'), ('MACHINERY'), ('ONLINE')
+    ), actual AS (
+        SELECT c_mktsegment AS segment, COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT COALESCE(e.segment, a.segment) AS segment,
+           COALESCE(a.n_customers, 0) AS n_customers,
+           CASE WHEN a.segment IS NULL THEN 'missing'
+                WHEN e.segment IS NULL THEN 'unexpected'
+                ELSE 'ok' END AS status
+    FROM expected e FULL OUTER JOIN actual a ON e.segment = a.segment
+    """,
+)
+def segment_conformance_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join as a dimension-conformance check: the expected
+    segment list (including 'ONLINE', which the data does not have —
+    keeping the null path non-vacuous) reconciled against the actual
+    distinct segments; null sides classify as missing/unexpected. The
+    expected side is a literal local relation — broadcast by construction."""
+    expected = spark.createDataFrame(
+        [(s,) for s in ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY", "ONLINE")],
+        "e_segment string",
+    )
+    actual = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("a_segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = expected.join(
+        actual, expected.e_segment == actual.a_segment, "full_outer"
+    )
+    return joined.select(
+        F.coalesce("e_segment", "a_segment").alias("segment"),
+        F.coalesce("n", F.lit(0)).alias("n_customers"),
+        F.when(F.col("a_segment").isNull(), "missing")
+        .when(F.col("e_segment").isNull(), "unexpected")
+        .otherwise("ok")
+        .alias("status"),
+    )
