@@ -9,7 +9,7 @@ the command line) on local[$SPARK_GRAFT_CPUS], times end-to-end execution
      "queries": {"q": sec, ...}, "sf": "..."}
 
 Also supported:
-    --all            run all 45 catalog queries, not just the bench set
+    --all            run every catalog query, not just the bench set
     --oracle         additionally time the DuckDB oracle per query (stderr)
     --explain        print each query's formatted physical plan (stderr)
 """
