@@ -270,3 +270,36 @@ def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "events_per_type_salted",
+    tags=("A1", "skew"),
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def events_per_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-phase aggregation (operators/skew.py) made
+    driver-visible: same answer as a plain groupBy — the oracle IS the
+    plain SQL — but each hot key spreads over 16 (key, salt) reducers in
+    phase 1 before the tiny phase-2 merge. With only 5 event types, a
+    plain groupBy at 100 TB would bottleneck on 5 reducers no matter how
+    many executors exist; this plan's phase 1 uses 80."""
+    from ..operators.skew import salted_aggregate
+
+    ev = _events(spark, sf_dir).withColumn(
+        "_high", F.when(F.col("value") >= 100, 1).otherwise(0)
+    )
+    return salted_aggregate(
+        ev,
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "n_high": F.sum("_high")},
+        {"n": F.sum("n"), "n_high": F.sum("n_high").cast("long")},
+        n_salts=16,
+        unique_col="event_id",
+    )
