@@ -303,3 +303,44 @@ def events_per_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         unique_col="event_id",
     )
+
+
+@register(
+    "top_users_salted_join",
+    tags=("A9", "skew", "J5"),
+    oracle="""
+    WITH hot AS (
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20
+    )
+    SELECT h.user_id, h.n_events,
+           CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events e JOIN hot h ON e.user_id = h.user_id
+    GROUP BY h.user_id, h.n_events
+    """,
+)
+def top_users_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated-dim join (operators/skew.py) made driver-visible:
+    the 20 hottest users — by definition the skewed join keys — join back
+    against the full event stream via (key, salt) so no single reducer
+    owns a hot user's rows. Oracle is the plain join; answers must be
+    identical, only the shuffle distribution differs."""
+    from ..operators.skew import salted_broadcast_left
+
+    ev = _events(spark, sf_dir)
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    joined = salted_broadcast_left(
+        ev.select("user_id", "event_type"), hot, "user_id",
+        n_salts=8, unique_col="event_type",
+    )
+    return joined.groupBy("user_id", "n_events").agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors")
+    )
