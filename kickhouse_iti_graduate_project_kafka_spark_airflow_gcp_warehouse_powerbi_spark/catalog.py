@@ -65,6 +65,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm_text,
         llm_vectors,
         scalars,
+        temporal,
         tpch,
         validator,
         warehouse,

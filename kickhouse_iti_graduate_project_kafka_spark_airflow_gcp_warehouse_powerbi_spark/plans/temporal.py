@@ -1,0 +1,109 @@
+"""Temporal enrichment plans: as-of joins over the event stream.
+
+The reference solves its only "latest state" need with argMax views
+(SURVEY.md §2.4 note: no theta/range/as-of joins exist there), but the
+ClickHouse engine it targets ships ``ASOF JOIN`` and event-pipeline users
+reach for it constantly — conversion attribution, sensor calibration,
+snapshot-as-of-fact joins. These queries make the engine's as-of operator
+(`operators/asof.py` — union-tag sweep, one shuffle, no range blow-up)
+driver-checkable against DuckDB's native ``ASOF JOIN``.
+
+Determinism: the driver fixtures have no duplicate (user_id, ts) pairs at
+any scale factor (verified), so ASOF's tie-unspecified corner never fires;
+gaps are exact integer microseconds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..operators.asof import asof_join
+from ..sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "purchase_attribution_asof",
+    tags=("asof", "join", "events"),
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_micros
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: attribute every purchase to the user's latest view
+    at-or-before the purchase instant (classic last-touch attribution).
+    Purchases with no prior view keep NULLs — ASOF LEFT JOIN semantics.
+    The oracle is DuckDB's native ASOF JOIN, so this row proves the
+    union-tag sweep reproduces the engine-standard semantics exactly."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(p, v, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_event_id").alias("view_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "gap_micros"
+        ),
+    )
+
+
+@register(
+    "purchase_next_error_asof",
+    tags=("asof", "join", "events"),
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           epoch_us(e.ts) - epoch_us(p.ts) AS gap_micros
+    FROM p ASOF LEFT JOIN e
+      ON p.user_id = e.user_id AND e.ts >= p.ts
+    """,
+)
+def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: the user's first error at-or-after each purchase
+    (did the purchase flow break next?). Exercises the reversed sweep
+    order; oracle is DuckDB ASOF with the >= inequality."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join(
+        p, e, on=["user_id"], left_ts="ts", right_ts="ts", direction="forward"
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("error_id"),
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias(
+            "gap_micros"
+        ),
+    )

@@ -1,0 +1,109 @@
+"""As-of join operator: semantics (ties, tolerance, direction, tiebreak),
+equivalence against a naive per-row reference, and plan shape (one shuffle,
+no range cross-product)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.asof import (
+    asof_join,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame([Row(**dict(zip(cols, r))) for r in rows])
+
+
+def test_backward_basic_and_unmatched(spark):
+    left = _mk(spark, [(1, "a", _ts(10)), (2, "a", _ts(3)), (3, "b", _ts(5))],
+               ["lid", "k", "ts"])
+    right = _mk(spark, [("a", 100, _ts(2)), ("a", 101, _ts(9)), ("c", 102, _ts(1))],
+                ["k", "rid", "ts"])
+    out = {r.lid: r.r_rid for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts").collect()}
+    assert out == {1: 101, 2: 100, 3: None}
+
+
+def test_equal_timestamp_is_inclusive_both_directions(spark):
+    left = _mk(spark, [(1, "a", _ts(5))], ["lid", "k", "ts"])
+    right = _mk(spark, [("a", 7, _ts(5))], ["k", "rid", "ts"])
+    for direction in ("backward", "forward"):
+        got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                        direction=direction).collect()
+        assert got[0].r_rid == 7, direction
+
+
+def test_forward_picks_earliest_following(spark):
+    left = _mk(spark, [(1, "a", _ts(5))], ["lid", "k", "ts"])
+    right = _mk(spark, [("a", 1, _ts(4)), ("a", 2, _ts(6)), ("a", 3, _ts(8))],
+                ["k", "rid", "ts"])
+    got = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    direction="forward").collect()
+    assert got[0].r_rid == 2
+
+
+def test_tolerance_voids_stale_matches(spark):
+    left = _mk(spark, [(1, "a", _ts(100)), (2, "a", _ts(11))], ["lid", "k", "ts"])
+    right = _mk(spark, [("a", 9, _ts(10))], ["k", "rid", "ts"])
+    out = {r.lid: r.r_rid for r in
+           asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     tolerance_micros=5_000_000).collect()}
+    # lid=1 is 90 s after the right row (> 5 s tolerance) -> voided
+    assert out == {1: None, 2: 9}
+
+
+def test_tiebreak_deterministic(spark):
+    right = _mk(spark, [("a", 1, _ts(4)), ("a", 2, _ts(4)), ("a", 3, _ts(4))],
+                ["k", "rid", "ts"])
+    back_left = _mk(spark, [(1, "a", _ts(9))], ["lid", "k", "ts"])
+    back = asof_join(back_left, right, on=["k"], left_ts="ts", right_ts="ts",
+                     tiebreak="rid").collect()
+    assert back[0].r_rid == 3  # highest tiebreak wins backward
+    fwd_left = _mk(spark, [(1, "a", _ts(1))], ["lid", "k", "ts"])
+    fwd = asof_join(fwd_left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    direction="forward", tiebreak="rid").collect()
+    assert fwd[0].r_rid == 1  # lowest tiebreak wins forward
+
+
+def test_matches_naive_reference_on_fixture(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), "ts")
+    got = {r.event_id: r.r_vid for r in
+           asof_join(p, v, on=["user_id"], left_ts="ts", right_ts="ts").collect()}
+
+    views = sorted(v.collect(), key=lambda r: r.ts)
+    expect = {}
+    for r in p.collect():
+        best = None
+        for w in views:
+            if w.user_id == r.user_id and w.ts <= r.ts:
+                best = w.vid  # views sorted asc: last hit = latest
+        expect[r.event_id] = best
+    assert got == expect
+    assert sum(1 for x in got.values() if x is not None) > 0
+
+
+def test_plan_one_shuffle_no_cartesian(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), "ts")
+    plan = (
+        asof_join(p, v, on=["user_id"], left_ts="ts", right_ts="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # union-tag sweep: exactly one exchange (the window partition), no join node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
