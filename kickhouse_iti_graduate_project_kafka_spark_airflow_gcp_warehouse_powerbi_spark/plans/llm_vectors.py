@@ -527,3 +527,163 @@ def multimodal_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = (F.lit(8000) + (F.col("doc_id") * 37) % 36000).cast("bigint")
     d = d.select("doc_id", _wav_payload(channels, rate, F.col("_body")).alias("payload"))
     return d.mapInPandas(_decode_audio_batches, schema=_AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Multimodal: video (RIFF/AVI) — frame-sample without a codec
+# --------------------------------------------------------------------------
+_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("usec_per_frame", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frames_walked", T.LongType()),
+        T.StructField("sampled_count", T.LongType()),
+        T.StructField("sampled_bytes", T.LongType()),
+    ]
+)
+
+
+def _avi_payload(
+    usec_per_frame: F.Column,
+    width: F.Column,
+    height: F.Column,
+    n_frames: F.Column,
+    frame_size: F.Column,
+    body: F.Column,
+) -> F.Column:
+    """Spec-correct minimal AVI assembled JVM-side: RIFF('AVI ') wrapping
+    LIST(hdrl -> avih[56]) and LIST(movi -> n_frames x '00dc' chunks whose
+    payloads are consecutive even-length slices of ``body``). Variable
+    frame count is built as a HOF fold over ``sequence`` (interpreted, but
+    bounded at <=8 frames/doc); every frame size is even by construction so
+    no RIFF pad bytes are needed."""
+    zero4 = _le_bytes(F.lit(0), 4)
+    avih = F.concat(
+        F.encode(F.lit("avih"), "UTF-8"),
+        _le_bytes(F.lit(56), 4),
+        _le_bytes(usec_per_frame, 4),      # dwMicroSecPerFrame
+        zero4, zero4, zero4,               # maxbytes/padding/flags
+        _le_bytes(n_frames, 4),            # dwTotalFrames
+        zero4,                             # initial frames
+        _le_bytes(F.lit(1), 4),            # dwStreams
+        zero4,                             # suggested buffer
+        _le_bytes(width, 4),
+        _le_bytes(height, 4),
+        zero4, zero4, zero4, zero4,        # reserved[4]
+    )
+    hdrl = F.concat(
+        F.encode(F.lit("LIST"), "UTF-8"),
+        _le_bytes(F.lit(4 + 64), 4),       # 'hdrl' + avih chunk (8 + 56)
+        F.encode(F.lit("hdrl"), "UTF-8"),
+        avih,
+    )
+    frame_chunks = F.aggregate(
+        F.sequence(F.lit(0), n_frames - 1),
+        F.lit(b""),
+        lambda acc, i: F.concat(
+            acc,
+            F.encode(F.lit("00dc"), "UTF-8"),
+            _le_bytes(frame_size, 4),
+            # substring is 1-based; even frame_size -> word-aligned always
+            F.substring(body, (i * frame_size + 1).cast("int"), frame_size.cast("int")),
+        ),
+    )
+    movi_size = (F.lit(4) + n_frames * (frame_size + 8)).cast("bigint")
+    movi = F.concat(
+        F.encode(F.lit("LIST"), "UTF-8"),
+        _le_bytes(movi_size, 4),
+        F.encode(F.lit("movi"), "UTF-8"),
+        frame_chunks,
+    )
+    riff_size = F.lit(4) + F.lit(8 + 68) + F.lit(8) + movi_size
+    return F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le_bytes(riff_size, 4),
+        F.encode(F.lit("AVI "), "UTF-8"),
+        hdrl,
+        movi,
+    )
+
+
+def _decode_video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..functions.videometa import parse_avi_meta, sample_frames, walk_frames
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            meta = parse_avi_meta(payload)
+            if meta is None:
+                rows.append((doc_id, None, None, None, None, None, None, None))
+                continue
+            usec, total, w, h = meta
+            frames = walk_frames(payload)
+            sampled = sample_frames(frames, every=2)
+            rows.append(
+                (
+                    doc_id, usec, w, h, total,
+                    len(frames),
+                    len(sampled),
+                    sum(sz for _, _, sz in sampled),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _VIDEO_SCHEMA.fields])
+
+
+@register(
+    "multimodal_video_framesample",
+    tags=("multimodal", "UDF"),
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               33333 + (doc_id % 3) * 8334 AS usec_per_frame,
+               320 + (doc_id % 8) * 16 AS width,
+               240 + (doc_id % 6) * 16 AS height,
+               4 + doc_id % 5 AS n_frames,
+               OCTET_LENGTH(ENCODE(text)) AS bl
+        FROM documents
+    ), f AS (
+        SELECT *, 2 * (bl // (2 * n_frames)) AS frame_size FROM b
+    )
+    SELECT doc_id,
+           CAST(usec_per_frame AS BIGINT) AS usec_per_frame,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames AS BIGINT) AS frames_walked,
+           CAST((n_frames + 1) // 2 AS BIGINT) AS sampled_count,
+           CAST(((n_frames + 1) // 2) * frame_size AS BIGINT) AS sampled_bytes
+    FROM f
+    """,
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing with REAL container parsing and pre-decode
+    frame sampling: minimal AVIs fabricated JVM-side (geometry/timing from
+    doc_id, doc text sliced into 4-8 even-length '00dc' frame chunks), then
+    walked in Arrow-batched mapInPandas by the pure-Python RIFF/AVI parser
+    (functions/videometa.py) which strides every 2nd frame — the sampling a
+    training pipeline runs before feature extraction. The oracle recomputes
+    header fields and stride arithmetic from the fabrication parameters; a
+    hash match proves fabrication, chunk walking, and stride selection all
+    agree (frames_walked must equal the header's n_frames). Pixel decode
+    stays behind videometa.decode_frame (NotImplementedError: no codec in
+    this container)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("_body"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("_bl"),
+    )
+    usec = (F.lit(33333) + (F.col("doc_id") % 3) * 8334).cast("bigint")
+    width = (F.lit(320) + (F.col("doc_id") % 8) * 16).cast("bigint")
+    height = (F.lit(240) + (F.col("doc_id") % 6) * 16).cast("bigint")
+    n_frames = (F.lit(4) + F.col("doc_id") % 5).cast("bigint")
+    frame_size = (F.lit(2) * F.floor(F.col("_bl") / (2 * n_frames))).cast("bigint")
+    d = d.select(
+        "doc_id",
+        _avi_payload(usec, width, height, n_frames, frame_size, F.col("_body")).alias(
+            "payload"
+        ),
+    )
+    return d.mapInPandas(_decode_video_batches, schema=_VIDEO_SCHEMA)
