@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators.asof import asof_join
+from ..operators.range_join import range_join
 from ..sources.tables import load_table
 
 
@@ -104,6 +105,56 @@ def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("r_event_id").alias("error_id"),
         (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("ts"))).alias(
+            "gap_micros"
+        ),
+    )
+
+
+@register(
+    "purchases_after_error_rangejoin",
+    tags=("rangejoin", "join", "events"),
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), e AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           epoch_us(p.ts) - epoch_us(e.ts) AS gap_micros
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND p.ts >= e.ts
+     AND epoch_us(p.ts) - epoch_us(e.ts) <= 21600000000
+    """,
+)
+def purchases_after_error_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval multi-match: every purchase paired with EVERY
+    error episode ([error_ts, error_ts + 6h]) of the same user containing
+    it (operators/range_join.py — bin-bucketed, bin = max interval length,
+    so intervals replicate to at most 2 bins and no per-key cross product
+    ever forms). The oracle is the plain inequality join DuckDB can afford
+    at this scale; the engine plan stays an equi-join on (user_id, bin)."""
+    six_h_us = 6 * 3600 * 1_000_000
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_start"),
+        F.timestamp_micros(F.unix_micros("ts") + six_h_us).alias("err_end"),
+    )
+    out = range_join(
+        p, e, on=["user_id"], point_col="ts",
+        start_col="err_start", end_col="err_end",
+        bin_width_micros=six_h_us,
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("i_error_id").alias("error_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("i_err_start"))).alias(
             "gap_micros"
         ),
     )
