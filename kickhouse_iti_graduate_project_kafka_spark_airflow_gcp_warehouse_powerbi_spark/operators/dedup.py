@@ -503,3 +503,96 @@ def incremental_dedup(
             F.round(F.coalesce("best_jaccard", F.lit(0.0)), 4).alias("best_jaccard"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str, id_col: str, l: int = 8
+) -> DataFrame:
+    """Exact-substring duplication coverage per document — the
+    suffix-array-style dedup statistic (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): how many of each doc's
+    tokens sit inside an ``l``-token run that appears at least twice
+    anywhere in the corpus (other docs OR self-repetition).
+
+    Spark-first plan, no suffix array needed for the statistic:
+
+    1. positional ``l``-gram stream via posexplode + window leads (the
+       codegen shingle machinery, positions kept, duplicates NOT dropped);
+    2. grams hashed to 8 bytes, grouped, kept where total occurrences >= 2
+       (one shuffle on the hash — the corpus-wide duplicate-run index);
+    3. left-semi join the positional stream back to duplicated hashes:
+       every occurrence becomes a covered interval [pos, pos + l);
+    4. gaps-and-islands per doc (running max-end window) merges
+       overlapping/adjacent intervals exactly, so coverage is never
+       double-counted; island coverage = max(pos)+l - min(pos).
+
+    Scale posture (100 TB): gram rows ~= token count (same volume the
+    near-dup operators already stream); the duplicate index is count-only
+    (a hot boilerplate gram cannot explode a join — step 3 is a semi-join
+    that returns each positional row at most once); windows partition by
+    doc, never globally. 64-bit gram hashing follows the MinHash/containment
+    operators' collision posture.
+
+    Output: (id_col, n_tokens, dup_tokens, dup_frac) for EVERY input doc
+    (docs shorter than ``l`` tokens or with no duplicated runs report 0).
+    """
+    from ..functions.text import token_count
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_t0"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_t0")] + [
+        F.lead("_t0", j).over(w).alias(f"_t{j}") for j in range(1, l)
+    ]
+    last = F.lead("_t0", l - 1).over(w)
+    grams = (
+        toks.select(
+            "_id",
+            "_pos",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("_gh"),
+            last.alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    dup_index = grams.groupBy("_gh").count().filter(F.col("count") >= 2)
+    spans = grams.join(dup_index.select("_gh"), "_gh", "left_semi")
+
+    w_doc = Window.partitionBy("_id").orderBy("_pos")
+    prev_max_end = F.max(F.col("_pos") + l).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("_pos") > prev_max_end), 1
+    ).otherwise(0)
+    islands = spans.withColumn(
+        "_island",
+        F.sum(new_island).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    coverage = (
+        islands.groupBy("_id", "_island")
+        .agg((F.max("_pos") + l - F.min("_pos")).alias("_cov"))
+        .groupBy("_id")
+        .agg(F.sum("_cov").alias("dup_tokens"))
+    )
+    base = df.select(F.col(id_col).alias("_id"), token_count(text_col).alias("n_tokens"))
+    return (
+        base.join(coverage, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0))
+                + 1e-9,
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -20,7 +20,12 @@ from ..functions.text import (
     stopword_count,
     token_count,
 )
-from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs
+from ..operators.dedup import (
+    duplicate_span_stats,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from ..sources.tables import load_table
 
 #: shared DuckDB CTE producing distinct 3-word shingle sets per doc
@@ -487,3 +492,56 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tok_chunk"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
     )
+
+
+@register(
+    "docs_dup_span_stats",
+    tags=("dedup", "text", "spans"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+    ), d AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), s AS (
+        SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+    ), i1 AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM s
+    ), i2 AS (
+        SELECT doc_id, pos, SUM(ni) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM i1
+    ), cov AS (
+        SELECT doc_id, island, MAX(pos) + 8 - MIN(pos) AS c
+        FROM i2 GROUP BY doc_id, island
+    ), per AS (
+        SELECT doc_id, SUM(c) AS dup_tokens FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CASE WHEN len(t.toks) > 0
+                      THEN COALESCE(per.dup_tokens, 0) * 1.0 / len(t.toks)
+                      ELSE 0.0 END + 1e-9, 6) AS dup_frac
+    FROM t LEFT JOIN per USING (doc_id)
+    """,
+)
+def docs_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (operators/dedup.py:
+    duplicate_span_stats): fraction of each doc's tokens inside an 8-token
+    run occurring >= 2 times corpus-wide — the Lee-et-al-style exact-dedup
+    statistic that near-dup Jaccard does NOT capture (it scores whole
+    docs; this scores repeated *passages*). The oracle rebuilds the same
+    positional grams, duplicate index, and gaps-and-islands merge in SQL,
+    so the hash match proves interval arithmetic end to end."""
+    return duplicate_span_stats(_docs(spark, sf_dir), "text", "doc_id", l=8)

@@ -319,3 +319,55 @@ def test_text_metrics_basics(spark):
     assert row["n"] == 13
     assert 0.0 <= row["q"] <= 1.0
     assert row["lang"] == "en"  # 'the' x2, 'to' -> en markers >= 2
+
+
+def test_duplicate_span_stats_semantics(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    shared = "alpha beta gamma delta"  # 4 tokens, shared verbatim by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared} one two three four"),
+            Row(doc_id=2, text=f"zero {shared} five six seven"),
+            Row(doc_id=3, text="totally unique words here nothing repeats at all"),
+            Row(doc_id=4, text="short doc"),
+            Row(doc_id=5, text="loop loop loop loop loop loop loop loop loop loop"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in duplicate_span_stats(docs, "text", "doc_id", l=4).collect()
+    }
+    # docs 1/2: exactly one shared 4-gram -> one island of 4 tokens each
+    assert out[1] == (8, 4, 0.5)
+    assert out[2][0] == 8 and out[2][1] == 4
+    # doc 3: nothing repeated anywhere
+    assert out[3][1] == 0
+    # doc 4: shorter than l -> zero coverage, tokens still counted
+    assert out[4] == (2, 0, 0.0)
+    # doc 5: self-repetition; every 4-gram equals every other -> full coverage
+    assert out[5] == (10, 10, 1.0)
+
+
+def test_duplicate_span_islands_merge_overlaps(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    # "a b c d e" appears twice -> doc 1 has overlapping 4-gram spans
+    # [0,4) and [1,5) which must merge into 5 covered tokens, not 8.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e tail1 tail2 tail3"),
+            Row(doc_id=2, text="head1 head2 a b c d e tail4"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dup_tokens
+        for r in duplicate_span_stats(docs, "text", "doc_id", l=4).collect()
+    }
+    assert out[1] == 5 and out[2] == 5
