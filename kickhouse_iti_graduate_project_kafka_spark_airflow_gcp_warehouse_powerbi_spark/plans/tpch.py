@@ -703,3 +703,139 @@ def segment_conformance_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise("ok")
         .alias("status"),
     )
+
+
+@register(
+    "orders_status_pivot",
+    tags=("pivot", "A3", "extension"),
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (the BI matrix shape Power BI builds over the warehouse):
+    order counts by priority pivoted across status columns. The pivot
+    values are DECLARED, not discovered — at 100 TB an undeclared pivot
+    runs an extra distinct-scan job just to learn the columns; declaring
+    them keeps it a single groupBy with conditional partials. Oracle is
+    the equivalent conditional aggregation."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+    )
+
+
+@register(
+    "event_type_set_ops",
+    tags=("O3", "setops", "extension"),
+    oracle="""
+    WITH h1 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+    ), h2 AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'error'
+    )
+    SELECT 'both' AS which, user_id FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+    UNION ALL
+    SELECT 'purchase_only', user_id FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+    """,
+)
+def event_type_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT completion of the set-operator family (union is
+    covered by union_by_name_mixed): purchasing users who also hit errors
+    vs purchasing users who never did. Both Spark ops plan as aggregate +
+    join (no sort), shuffling only distinct user ids."""
+    ev = _t(spark, sf_dir, "events")
+    h1 = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    h2 = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return h1.intersect(h2).select(F.lit("both").alias("which"), "user_id").unionAll(
+        h1.exceptAll(h2).select(F.lit("purchase_only").alias("which"), "user_id")
+    )
+
+
+@register(
+    "orders_rank_suite",
+    tags=("WF", "extension"),
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               DENSE_RANK() OVER w AS price_dense_rank,
+               NTILE(4) OVER w AS price_quartile,
+               ROUND(PERCENT_RANK() OVER w + 1e-9, 6) AS price_pct_rank,
+               ROUND(CUME_DIST() OVER w + 1e-9, 6) AS price_cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT * FROM r WHERE price_dense_rank <= 5
+    """,
+)
+def orders_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window completion (row_number/rank appear elsewhere):
+    dense_rank, ntile, percent_rank, cume_dist over one shared window
+    (per-priority by price, orderkey tiebreak for determinism), top-5
+    dense ranks kept. One shuffle on the partition key; all four
+    functions evaluate in a single Window exec pass."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    r = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("price_cume_dist"),
+    )
+    return r.filter(F.col("price_dense_rank") <= 5)
+
+
+@register(
+    "user_event_gaps",
+    tags=("WF", "extension", "events"),
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per user via lag — the
+    session-liveness / bot-cadence primitive. Exact integer microseconds
+    end to end (sum instead of avg so no float division crosses
+    engines); event_id tiebreak makes lag deterministic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+    )
