@@ -158,3 +158,41 @@ def purchases_after_error_rangejoin(spark: SparkSession, sf_dir: str) -> DataFra
             "gap_micros"
         ),
     )
+
+
+@register(
+    "user_hourly_resample_ffill",
+    tags=("resample", "UDF", "asof", "events"),
+    oracle="""
+    WITH b AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ), spans AS (
+        SELECT user_id,
+               (MIN(us) + 3599999999) // 3600000000 AS h0,
+               MAX(us) // 3600000000 AS h1
+        FROM b GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, UNNEST(range(h0, h1 + 1)) AS hour_idx
+        FROM spans WHERE h1 >= h0
+    ), pts AS (
+        SELECT user_id, hour_idx, hour_idx * 3600000000 AS gus FROM grid
+    )
+    SELECT p.user_id, p.hour_idx, e.value
+    FROM pts p ASOF JOIN b e
+      ON p.user_id = e.user_id AND e.us <= p.gus
+    """,
+)
+def user_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (`applyInPandas`) extension point: each user's event
+    series regularized onto an hourly grid with forward fill
+    (operators/resample.py — vectorized searchsorted per group, integer
+    epoch-hour grid so no timezone or float behavior crosses engines).
+    The oracle rebuilds the grid with range() and fills via DuckDB's
+    native ASOF JOIN; a pytest additionally proves this equals the
+    engine's own native composition (hour sequence explode + asof_join).
+    Values are carried, never computed, so doubles are bitwise-stable."""
+    from ..operators.resample import hourly_ffill_resample
+
+    return hourly_ffill_resample(
+        _events(spark, sf_dir), key="user_id", ts_col="ts", value_col="value"
+    )

@@ -1,0 +1,101 @@
+"""Grouped-map resample operator: agreement with the engine's own native
+composition (hour-sequence explode + asof_join), grid boundary semantics,
+and the no-boundary-crossing edge."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.asof import (
+    asof_join,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.resample import (
+    HOUR_US,
+    hourly_ffill_resample,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+
+
+def _native_composition(ev):
+    """Hour grid via sequence explode, fill via the engine's asof_join."""
+    base = ev.select("user_id", F.unix_micros("ts").alias("us"))
+    grid = (
+        base.groupBy("user_id")
+        .agg(
+            F.floor((F.min("us") + (HOUR_US - 1)) / HOUR_US).alias("h0"),
+            F.floor(F.max("us") / HOUR_US).alias("h1"),
+        )
+        .filter(F.col("h1") >= F.col("h0"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1")).alias("hour_idx"),
+        )
+        .withColumn("gts", F.timestamp_micros(F.col("hour_idx") * HOUR_US))
+    )
+    right = ev.select("user_id", "ts", F.col("value").cast("double").alias("value"))
+    out = asof_join(grid, right, on=["user_id"], left_ts="gts", right_ts="ts")
+    return out.select("user_id", "hour_idx", F.col("r_value").alias("value"))
+
+
+def test_grouped_map_equals_native_composition(spark, sf_small):
+    ev = load_table(spark, sf_small, "events")
+    got = sorted(
+        (r.user_id, r.hour_idx, r.value)
+        for r in hourly_ffill_resample(ev).collect()
+    )
+    expect = sorted(
+        (r.user_id, r.hour_idx, r.value)
+        for r in _native_composition(ev).collect()
+    )
+    assert len(got) > 100
+    assert got == expect
+
+
+def test_grid_bounds_and_ffill(spark):
+    h = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return h + dt.timedelta(minutes=minutes)
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: obs at 00:30 (v=1), 02:10 (v=2) -> grid hours 1,2
+            Row(user_id=1, ts=at(30), value=1.0),
+            Row(user_id=1, ts=at(130), value=2.0),
+            # user 2: both obs inside hour 0 -> no boundary crossed, no rows
+            Row(user_id=2, ts=at(10), value=9.0),
+            Row(user_id=2, ts=at(50), value=8.0),
+            # user 3: obs exactly ON the hour boundary -> included at that hour
+            Row(user_id=3, ts=at(60), value=5.0),
+            Row(user_id=3, ts=at(125), value=6.0),
+        ]
+    )
+    rows = {
+        (r.user_id, r.hour_idx): r.value
+        for r in hourly_ffill_resample(ev).collect()
+    }
+    base_h = int(h.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // HOUR_US
+    assert rows[(1, base_h + 1)] == 1.0  # hour 1: carries 00:30 obs
+    assert rows[(1, base_h + 2)] == 1.0  # 02:00 grid point: 02:10 obs is later
+    assert not any(u == 2 for (u, _) in rows)
+    assert rows[(3, base_h + 1)] == 5.0  # boundary obs included at its own hour
+
+
+def test_grid_value_at_exact_grid_point(spark):
+    # disambiguate the comment above: at hour-2 grid point (02:00) the
+    # latest obs at-or-before is still the 00:30 one.
+    h = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=h + dt.timedelta(minutes=30), value=1.0),
+            Row(user_id=1, ts=h + dt.timedelta(minutes=130), value=2.0),
+        ]
+    )
+    rows = {
+        r.hour_idx: r.value for r in hourly_ffill_resample(ev).collect()
+    }
+    base_h = int(h.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // HOUR_US
+    assert rows == {base_h + 1: 1.0, base_h + 2: 1.0}
