@@ -496,6 +496,7 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_dup_span_stats",
+    bench=True,
     tags=("dedup", "text", "spans"),
     oracle=r"""
     WITH t AS (

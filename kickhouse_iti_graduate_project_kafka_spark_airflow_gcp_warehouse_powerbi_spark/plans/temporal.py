@@ -30,6 +30,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "purchase_attribution_asof",
+    bench=True,
     tags=("asof", "join", "events"),
     oracle="""
     WITH p AS (
@@ -112,6 +113,7 @@ def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "purchases_after_error_rangejoin",
+    bench=True,
     tags=("rangejoin", "join", "events"),
     oracle="""
     WITH p AS (
