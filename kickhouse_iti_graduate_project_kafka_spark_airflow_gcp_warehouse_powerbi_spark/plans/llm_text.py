@@ -546,3 +546,91 @@ def docs_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional grams, duplicate index, and gaps-and-islands merge in SQL,
     so the hash match proves interval arithmetic end to end."""
     return duplicate_span_stats(_docs(spark, sf_dir), "text", "doc_id", l=8)
+
+
+@register(
+    "docs_repetition_signals",
+    tags=("quality", "text", "repetition"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, 1 AS lvl, unnest(toks) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, 2 AS lvl,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS gram
+        FROM t WHERE len(toks) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS lvl,
+               unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]) AS gram
+        FROM t WHERE len(toks) >= 3
+    ), c AS (
+        SELECT doc_id, lvl, gram, COUNT(*) AS cnt
+        FROM g GROUP BY doc_id, lvl, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN lvl = 1 THEN cnt END) AS BIGINT) AS n_words,
+           CAST(MAX(CASE WHEN lvl = 1 THEN cnt END) AS BIGINT) AS top_word_count,
+           MAX(CASE WHEN lvl = 1 THEN cnt END) * 1.0
+               / SUM(CASE WHEN lvl = 1 THEN cnt END) AS top_word_frac,
+           CAST(MAX(CASE WHEN lvl = 2 THEN cnt END) AS BIGINT) AS top_bigram_count,
+           MAX(CASE WHEN lvl = 2 THEN cnt END) * 1.0
+               / SUM(CASE WHEN lvl = 2 THEN cnt END) AS top_bigram_frac,
+           (SUM(CASE WHEN lvl = 3 THEN cnt END)
+            - COUNT(CASE WHEN lvl = 3 THEN 1 END)) * 1.0
+               / SUM(CASE WHEN lvl = 3 THEN cnt END) AS dup_trigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality filters (Gopher-rule shape):
+    fraction of words taken by the most frequent unigram / bigram, and the
+    fraction of trigram occurrences that are repeats of an earlier trigram
+    in the SAME doc. Complements docs_dup_span_stats, which scores
+    corpus-wide repeated passages; these signals catch boilerplate-heavy or
+    looping documents before any cross-doc comparison.
+
+    Scale shape: gram arrays are built narrow inside each row (zip_with
+    over slices — no window, no per-doc shuffle for gram construction),
+    then exactly two keyed shuffles: partial-agg counts on
+    (doc_id, lvl, gram) and the per-doc pivot on doc_id. Both keys are
+    doc-bounded, so cost is linear in corpus tokens at any SF."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    empty = F.array().cast("array<string>")
+    join2 = lambda a, b: F.concat_ws(" ", a, b)  # noqa: E731
+    bi = F.when(
+        n >= 2, F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), join2)
+    ).otherwise(empty)
+    tri = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2), join2),
+            join2,
+        ),
+    ).otherwise(empty)
+    tag = lambda arr, lvl: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(lvl).alias("lvl"), g.alias("gram"))
+    )
+    ex = d.select(
+        "doc_id", F.explode(F.concat(tag(toks, 1), tag(bi, 2), tag(tri, 3))).alias("t")
+    ).select("doc_id", F.col("t.lvl").alias("lvl"), F.col("t.gram").alias("gram"))
+    counts = ex.groupBy("doc_id", "lvl", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    c1 = F.when(F.col("lvl") == 1, F.col("cnt"))
+    c2 = F.when(F.col("lvl") == 2, F.col("cnt"))
+    c3 = F.when(F.col("lvl") == 3, F.col("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.sum(c1).alias("n_words"),
+        F.max(c1).alias("top_word_count"),
+        (F.max(c1).cast("double") / F.sum(c1).cast("double")).alias("top_word_frac"),
+        F.max(c2).alias("top_bigram_count"),
+        (F.max(c2).cast("double") / F.sum(c2).cast("double")).alias("top_bigram_frac"),
+        ((F.sum(c3) - F.count(c3)).cast("double") / F.sum(c3).cast("double")).alias(
+            "dup_trigram_frac"
+        ),
+    )
