@@ -198,3 +198,81 @@ def user_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_ffill_resample(
         _events(spark, sf_dir), key="user_id", ts_col="ts", value_col="value"
     )
+
+
+@register(
+    "user_state_scd2",
+    tags=("scd2", "warehouse", "window", "events"),
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM e
+    ), v AS (
+        SELECT user_id, run_id, event_type AS state, MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM r GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+           state,
+           valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           n_events,
+           CAST(LEAD(valid_from) OVER w2 IS NULL AS INT) AS is_current
+    FROM v
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each user's event stream into
+    change-runs of event_type and emit one versioned row per run with
+    [valid_from, valid_to) validity, open-ended for the current state —
+    the slowly-changing-dimension machinery a star-schema warehouse (the
+    reference's dim_* tables, DDL 1-120) needs the moment a dimension
+    attribute starts changing over time.
+
+    Scale shape: a single shuffle on user_id feeds all three steps — the
+    change-flag lag, the running-sum run id (same window sort, exchange
+    reused), and after the per-run groupBy (map-side combined, same key
+    prefix) the version/lead window again on user_id. Per-user state never
+    materializes as an array; everything is streaming window + hash-agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    versions = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return versions.select(
+        "user_id",
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
+    )
