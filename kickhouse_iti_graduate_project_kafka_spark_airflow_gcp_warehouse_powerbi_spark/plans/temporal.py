@@ -276,3 +276,77 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "purchase_state_point_in_time",
+    tags=("scd2", "asof", "join", "events"),
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+        SELECT user_id, ts, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM e
+    ), dim AS (
+        SELECT user_id, run_id, event_type AS state, MIN(ts) AS valid_from
+        FROM r GROUP BY user_id, run_id, event_type
+    ), p AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           dim.state AS state_at_purchase,
+           CAST(dim.state = 'purchase' AS INT) AS self_consistent
+    FROM p ASOF JOIN dim
+      ON p.user_id = dim.user_id AND dim.valid_from <= p.ts
+    """,
+)
+def purchase_state_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 dim built by
+    user_state_scd2: the state valid at each purchase instant. Because
+    SCD2 intervals are non-overlapping per key, state-at-time is exactly
+    "last valid_from at-or-before ts" — so the lookup is the as-of
+    operator (one shuffle), NEVER an interval-predicate join that Spark
+    would plan as a nested loop. self_consistent must be 1 on every row
+    (a purchase instant lies inside a 'purchase' run by construction);
+    the driver-checked column makes the SCD2/as-of composition
+    self-proving at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    dim = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(p, dim.select("user_id", "state", "valid_from"),
+                    on=["user_id"], left_ts="ts", right_ts="valid_from")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("r_state").alias("state_at_purchase"),
+        (F.col("r_state") == F.lit("purchase")).cast("int").alias("self_consistent"),
+    )
