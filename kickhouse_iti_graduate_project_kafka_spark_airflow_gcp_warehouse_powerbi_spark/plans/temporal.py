@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..operators.asof import asof_join
 from ..operators.range_join import range_join
+from ..operators.scd import scd2_collapse
 from ..sources.tables import load_table
 
 
@@ -239,43 +240,16 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's dim_* tables, DDL 1-120) needs the moment a dimension
     attribute starts changing over time.
 
-    Scale shape: a single shuffle on user_id feeds all three steps — the
+    Scale shape (operators/scd.py): a single shuffle on user_id feeds the
     change-flag lag, the running-sum run id (same window sort, exchange
-    reused), and after the per-run groupBy (map-side combined, same key
-    prefix) the version/lead window again on user_id. Per-user state never
-    materializes as an array; everything is streaming window + hash-agg."""
-    from pyspark.sql import Window
-
+    reused), the per-run groupBy (map-side combined, same key prefix),
+    and the version/lead window. Per-user state never materializes as an
+    array; everything is streaming window + hash-agg."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    runs = ev.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.sum(chg)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("run_id"),
-    )
-    versions = runs.groupBy("user_id", "run_id").agg(
-        F.first("event_type").alias("state"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
-    return versions.select(
-        "user_id",
-        F.row_number().over(w2).cast("bigint").alias("version"),
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        "n_events",
-        F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
-    )
+    return scd2_collapse(
+        ev, keys=["user_id"], attr_col="event_type", ts_col="ts",
+        tiebreak=["event_id"],
+    ).withColumnRenamed("event_type", "state")
 
 
 @register(
@@ -319,26 +293,10 @@ def purchase_state_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver-checked column makes the SCD2/as-of composition
     self-proving at any SF."""
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = F.when(
-        F.lag("event_type").over(w).isNull()
-        | (F.lag("event_type").over(w) != F.col("event_type")),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    runs = ev.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.sum(chg)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("run_id"),
-    )
-    dim = runs.groupBy("user_id", "run_id").agg(
-        F.first("event_type").alias("state"),
-        F.min("ts").alias("valid_from"),
-    )
+    dim = scd2_collapse(
+        ev, keys=["user_id"], attr_col="event_type", ts_col="ts",
+        tiebreak=["event_id"],
+    ).withColumnRenamed("event_type", "state")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
