@@ -634,3 +634,62 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_trigram_frac"
         ),
     )
+
+
+@register(
+    "docs_word_commonness",
+    tags=("quality", "text", "corpus-stats"),
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ), dfreq AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df
+        FROM w GROUP BY word
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(dfreq.df) AS BIGINT) AS sum_df,
+           CAST(SUM(dfreq.df) AS BIGINT) * 1.0 / COUNT(*) AS mean_df,
+           CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax_occurrences,
+           SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+               AS hapax_frac
+    FROM w JOIN dfreq USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def docs_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality features: for each doc, the mean document
+    frequency of its word occurrences (boilerplate-heavy docs score high)
+    and the fraction of occurrences whose word appears in no other doc
+    (hapax/rare-token ratio — a standard quality-classifier feature).
+
+    Scale shape: one word-keyed aggregation for document frequency
+    (count_distinct over (word, doc_id) — partial-combined, so stopword
+    skew collapses map-side), then an occurrences-to-vocab join on word
+    and a doc-keyed pivot. The vocab side is orders of magnitude smaller
+    than occurrences (Heaps' law) — at this SF Spark broadcasts it; at
+    100 TB it's a sort-merge on word where AQE's skew split handles the
+    stopword keys. All aggregates are integer sums, so results are
+    bitwise-stable under any partitioning."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    dfreq = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    joined = words.join(dfreq, "word")
+    hapax = F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("df").alias("sum_df"),
+        (F.sum("df").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_df"
+        ),
+        F.sum(hapax).alias("n_hapax_occurrences"),
+        (F.sum(hapax).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "hapax_frac"
+        ),
+    )
