@@ -33,6 +33,7 @@ def scd2_collapse(
     attr_col: str,
     ts_col: str,
     tiebreak: Sequence[str] = (),
+    with_last_ts: bool = False,
 ) -> DataFrame:
     """Collapse an append-only change stream into SCD Type-2 versions.
 
@@ -49,6 +50,10 @@ def scd2_collapse(
 
     Rows where ``attr_col`` IS NULL participate like any other value
     (NULL-safe change comparison), matching SQL ``IS DISTINCT FROM``.
+
+    ``with_last_ts=True`` appends a ``last_ts`` column (the run's newest
+    event timestamp) — the high-watermark ``streaming/scd2.py`` uses for
+    retry-idempotent incremental maintenance.
     """
     keys = list(keys)
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
@@ -69,13 +74,16 @@ def scd2_collapse(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("_run_id"),
     )
-    versions = runs.groupBy(*keys, "_run_id").agg(
+    aggs = [
         F.first("_attr").alias(attr_col),
         F.min("_ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
-    )
+    ]
+    if with_last_ts:
+        aggs.append(F.max("_ts").alias("last_ts"))
+    versions = runs.groupBy(*keys, "_run_id").agg(*aggs)
     w2 = Window.partitionBy(*keys).orderBy("valid_from")
-    return versions.select(
+    cols = [
         *keys,
         F.row_number().over(w2).cast("bigint").alias("version"),
         attr_col,
@@ -83,4 +91,7 @@ def scd2_collapse(
         F.lead("valid_from").over(w2).alias("valid_to"),
         "n_events",
         F.lead("valid_from").over(w2).isNull().cast("int").alias("is_current"),
-    )
+    ]
+    if with_last_ts:
+        cols.insert(len(cols) - 1, F.col("last_ts"))
+    return versions.select(*cols)
