@@ -123,3 +123,23 @@ def test_streaming_wrapper_bootstrap(spark, tmp_path):
     finally:
         q.stop()
     assert _snapshot(spark, dim) == _expected(spark, ALL)
+
+
+def test_backfill_cli(spark, tmp_path, monkeypatch):
+    """jobs/scd2_dim.py backfill bootstraps a dim equal to the batch twin."""
+    import sys as _sys
+
+    src = str(tmp_path / "events")
+    dim = str(tmp_path / "dim")
+    _frame(spark, ALL).write.parquet(src)
+    _sys.path.insert(0, "/root/repo/jobs")
+    import scd2_dim
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["scd2_dim.py", "backfill", "--events", src, "--dim", dim,
+         "--keys", "key", "--attr", "attr", "--ts", "ts",
+         "--tiebreak", "seq", "--buckets", "4"],
+    )
+    scd2_dim.main()
+    assert _snapshot(spark, dim) == _expected(spark, ALL)
