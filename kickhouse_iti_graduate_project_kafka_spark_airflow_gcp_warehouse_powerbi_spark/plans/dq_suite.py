@@ -344,3 +344,45 @@ def top_users_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_errors")
     )
+
+
+@register(
+    "events_value_histogram",
+    tags=("histogram", "A1", "binning"),
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bin_low,
+           COUNT(*) AS n,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type, bin
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value measure per event type — the
+    binning primitive behind every dashboard distribution panel (the
+    reference's Grafana histograms bin exactly like this). One groupBy on
+    (type, bin) with map-side partials; bin ids are exact-integer-valued
+    doubles floored identically by both engines, and only order-
+    independent aggregates (count/min/max) touch the double column, so no
+    float-sum determinism hazard exists."""
+    ev = _events(spark, sf_dir)
+    bin_ = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * F.lit(25.0)).alias("bin_low"),
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )

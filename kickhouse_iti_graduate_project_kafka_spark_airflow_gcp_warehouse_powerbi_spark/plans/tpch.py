@@ -839,3 +839,68 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.sum("gap_us").alias("total_gap_us"),
     )
+
+
+@register(
+    "customer_rfm_quartiles",
+    tags=("rfm", "window", "A9", "segmentation"),
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           last_order,
+           frequency,
+           monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT)
+               AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+               AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT)
+               AS m_quartile
+    FROM rfm
+    """,
+)
+def customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic BI customer-scoring query a PowerBI user builds on the star
+    schema. One groupBy on o_custkey, then three global NTILE(4) windows.
+
+    Determinism: ntile ties are broken by appending o_custkey to every
+    ORDER BY (both engines), and monetary is an exact decimal sum cast to
+    double, so quartile boundaries are bitwise-reproducible.
+
+    Scale note: unpartitioned NTILE serializes into one task — fine for
+    per-customer aggregates (rows = |customers|, thousands of times
+    smaller than orders), but at 100 TB the documented alternative is
+    quantile cutpoints via `percentile_approx` + a broadcast range join,
+    which `docs_percentiles_approx_invariant` already exercises."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        decimal_sum("o_totalprice", 2, 18).alias("monetary"),
+    )
+    return rfm.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "o_custkey"))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )
