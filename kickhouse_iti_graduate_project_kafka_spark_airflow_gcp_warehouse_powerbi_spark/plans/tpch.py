@@ -904,3 +904,51 @@ def customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_quartile"),
     )
+
+
+@register(
+    "orders_above_customer_avg",
+    tags=("subquery", "window", "decorrelation"),
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           CAST(a.s AS DOUBLE) / a.n AS cust_avg_price,
+           o.o_totalprice - CAST(a.s AS DOUBLE) / a.n AS above_by
+    FROM orders o
+    JOIN (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+    ) a USING (o_custkey)
+    WHERE o.o_totalprice > CAST(a.s AS DOUBLE) / a.n
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery decorrelation ("orders above their customer's
+    average order value" — the shape BI tools generate constantly). The
+    oracle spells out the aggregate-then-join rewrite; the Spark plan goes
+    one better: a windowed exact-decimal average over o_custkey means ONE
+    shuffle and no join at all — the self-join the naive rewrite pays is
+    gone, and at 100 TB that is the difference between one exchange of the
+    fact table and two plus a join.
+
+    Determinism: cust_avg is (exact decimal sum cast double) / count on
+    both engines — bitwise identical, so the > filter keeps identical
+    rows and the double subtraction matches bitwise."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_ = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg_price", avg_)
+        .filter(F.col("o_totalprice") > F.col("cust_avg_price"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "cust_avg_price",
+            (F.col("o_totalprice") - F.col("cust_avg_price")).alias("above_by"),
+        )
+    )
