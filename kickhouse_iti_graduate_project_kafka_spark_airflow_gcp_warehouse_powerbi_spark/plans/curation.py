@@ -104,9 +104,10 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, MIN(r) AS component FROM reach GROUP BY id
     )
     SELECT d.lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END) AS n_kept,
-           COUNT(*) - SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END)
-               AS n_dropped
+           CAST(SUM(CASE WHEN c.component = d.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(CASE WHEN c.component = d.doc_id
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
     FROM documents d JOIN comp c ON c.id = d.doc_id
     GROUP BY d.lang
     """,
@@ -315,7 +316,7 @@ def docs_percentiles_approx_invariant(spark: SparkSession, sf_dir: str) -> DataF
                    AS prefix
         FROM w
     )
-    SELECT prefix // 2000 AS shard_id,
+    SELECT CAST(prefix // 2000 AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
