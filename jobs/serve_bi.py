@@ -31,9 +31,13 @@ Endpoints:
 - ``GET  /tables``   → registered view names
 - ``POST /sql``      → body ``{"sql": "SELECT ...", "limit": 100}``;
   returns ``{"columns": [...], "rows": [[...]], "n_rows": N,
-  "truncated": bool}``. Statements that are not a single SELECT/WITH
-  query are rejected with 400 (the endpoint is read-only by construction,
-  not by permissions).
+  "truncated": bool}``. Read-only means: a single SELECT / WITH / VALUES /
+  TABLE query — **parser-verified** (the statement is parsed with Spark's
+  own SQL parser and rejected if any node of the logical plan is a
+  command, DDL, or DML node, which closes the ``WITH ... INSERT`` hole a
+  first-keyword check alone would allow) — or one of the metadata
+  commands SHOW / DESCRIBE / EXPLAIN. Everything else is rejected with
+  400 (read-only by construction, not by permissions).
 """
 
 from __future__ import annotations
@@ -55,14 +59,106 @@ from pyspark.sql import SparkSession
 _COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.S)
 
 
-def _is_read_only(sql: str) -> bool:
-    """Single read-only statement: first significant keyword is SELECT or
-    WITH, and no statement separator smuggles in a second command."""
+# Query-shaped statements: must ALSO pass the plan-node check below,
+# because Spark's grammar admits `WITH c AS (...) INSERT ...` whose first
+# keyword is WITH but whose plan root is InsertIntoStatement.
+_QUERY_KEYWORDS = ("SELECT", "WITH", "VALUES", "TABLE")
+# Metadata commands that never write; EXPLAIN only plans its child, it
+# does not execute it. These parse to *Command nodes by design, so they
+# are admitted by keyword and exempt from the deny-node scan.
+_META_KEYWORDS = ("SHOW", "DESCRIBE", "DESC", "EXPLAIN")
+
+
+def _first_keyword(sql: str) -> str:
     stripped = _COMMENT_RE.sub(" ", sql).strip().rstrip(";").strip()
     if ";" in stripped:
-        return False
-    first = stripped.split(None, 1)[0].upper() if stripped else ""
-    return first in ("SELECT", "WITH", "VALUES", "TABLE", "DESCRIBE", "SHOW", "EXPLAIN")
+        return ""  # statement separator smuggling a second command
+    return stripped.split(None, 1)[0].upper() if stripped else ""
+
+
+def _is_read_only(sql: str) -> bool:
+    """Textual pre-gate: single statement whose first significant keyword
+    is query- or metadata-shaped. NOT sufficient alone (``WITH...INSERT``);
+    ``_assert_read_only`` adds the parser-verified plan-node check."""
+    return _first_keyword(sql) in _QUERY_KEYWORDS + _META_KEYWORDS
+
+
+# Logical-plan node names that mean the statement writes or mutates state.
+# Spark v2 DDL/DML nodes are NOT all suffixed `Command`/`Statement`
+# (e.g. `CreateTableAsSelect`, `MergeIntoTable`), hence the prefix list.
+_DENY_NODE_RE = re.compile(
+    r".*(?:Command|Statement)$"
+    r"|^(?:Insert|Overwrite|Write|Delete|Update|Merge|Create|Replace|Drop"
+    r"|Alter|Truncate|Analyze|Cache|Uncache|Refresh|Load|Reset|Grant"
+    r"|Revoke|Call|Vacuum|Optimize)"
+    r"|^(?:Set|Use|Add)[A-Z_]"
+)
+# Textual fallback when the JVM parser is unreachable (e.g. Spark
+# Connect): tokens that may never appear anywhere in an accepted query.
+# Coarser than the plan check (a column literally named `insert` would be
+# rejected), but errs closed, never open.
+_DENY_TOKEN_RE = re.compile(
+    r"\b(?:INSERT|OVERWRITE|DELETE|UPDATE|MERGE|CREATE|DROP|ALTER|TRUNCATE"
+    r"|LOAD|GRANT|REVOKE|REFRESH|CACHE|UNCACHE|ANALYZE|VACUUM|CALL)\b",
+    re.I,
+)
+_STRING_LIT_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"")
+
+
+def _plan_node_names(jplan, out: list, depth: int = 0) -> None:
+    """Collect simple class names of every node in a parsed (unresolved)
+    logical plan, including subquery/CTE inner plans."""
+    if depth > 500:
+        return
+    out.append(jplan.getClass().getSimpleName())
+    children = jplan.children()
+    for i in range(children.size()):
+        _plan_node_names(children.apply(i), out, depth + 1)
+    inner = jplan.innerChildren()
+    for i in range(inner.size()):
+        _plan_node_names(inner.apply(i), out, depth + 1)
+
+
+def _assert_read_only(spark: SparkSession, sql: str) -> None:
+    """Raise ValueError unless ``sql`` is a single read-only statement.
+
+    Two layers: (1) textual first-keyword gate, (2) for query-shaped
+    statements, parse with ``sessionState().sqlParser().parsePlan`` and
+    reject if any plan node is a command/DDL/DML node — the fix for the
+    ``WITH c AS (SELECT 1) INSERT OVERWRITE DIRECTORY ...`` bypass, which
+    passes layer 1 but parses to an ``InsertIntoStatement`` root."""
+    first = _first_keyword(sql)
+    if first not in _QUERY_KEYWORDS + _META_KEYWORDS:
+        raise ValueError(
+            "read-only endpoint: only a single SELECT/WITH/VALUES/TABLE query "
+            "or SHOW/DESCRIBE/EXPLAIN is allowed"
+        )
+    if first in _META_KEYWORDS:
+        return  # metadata commands never write; EXPLAIN only plans
+    try:
+        jparser = spark._jsparkSession.sessionState().sqlParser()
+    except Exception:
+        # No JVM parser handle (Spark Connect). Fall back to the coarse
+        # token denylist over the statement with string literals removed.
+        if _DENY_TOKEN_RE.search(
+            _STRING_LIT_RE.sub(" ", _COMMENT_RE.sub(" ", sql))
+        ):
+            raise ValueError(
+                "read-only endpoint: statement contains a write/DDL keyword"
+            ) from None
+        return
+    try:
+        jplan = jparser.parsePlan(sql)
+    except Exception as e:
+        raise ValueError(f"parse error: {str(e)[:300]}") from None
+    names: list = []
+    _plan_node_names(jplan, names)
+    denied = sorted({n for n in names if _DENY_NODE_RE.match(n)})
+    if denied:
+        raise ValueError(
+            f"read-only endpoint: statement contains non-query plan node(s) "
+            f"{denied}"
+        )
 
 
 def _json_default(v):
@@ -77,8 +173,7 @@ def _json_default(v):
 
 def run_sql(spark: SparkSession, sql: str, limit: int, max_rows: int) -> dict:
     """Execute read-only SQL with the row cap pushed into the plan."""
-    if not _is_read_only(sql):
-        raise ValueError("read-only endpoint: only a single SELECT/WITH query is allowed")
+    _assert_read_only(spark, sql)
     n = max(1, min(limit or max_rows, max_rows))
     df = spark.sql(sql)
     rows = df.limit(n + 1).collect()

@@ -32,7 +32,10 @@ def parse_wav_meta(b: bytes) -> tuple[int, int, int, int] | None:
             data_len = size
             break  # data is the payload; nothing to walk past it here
         i += 8 + size + (size % 2)  # chunks are word-aligned
-    if None in (channels, rate, bits, data_len) or channels == 0 or rate == 0:
+    # bits < 8 floors bytes-per-sample to zero, which would make
+    # wav_duration_ms divide by zero — malformed audio degrades to a null
+    # metadata row, never a worker exception ("unknown bytes are data").
+    if None in (channels, rate, bits, data_len) or channels == 0 or rate == 0 or bits < 8:
         return None
     return channels, rate, bits, data_len
 

@@ -116,6 +116,7 @@ def connected_components(
     # scheduling overhead for a few thousand edges; at cluster scale the
     # same formula spreads a billion-edge round over ~500 partitions
     prev_fp = _edge_fingerprint(cur)
+    converged = False
     for _ in range(max_iter):
         n_parts = max(1, min(200, prev_fp[0] // 2_000_000 + 1))
         cur = (
@@ -125,8 +126,20 @@ def connected_components(
         )
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # Treating an unconverged edge set as a star forest would return
+        # silently wrong labels, and downstream keep/drop dedup decisions
+        # depend on them — fail loudly instead. Kiveris et al. prove
+        # convergence in O(log² n) rounds; hitting this with max_iter=25
+        # means a graph far outside the design envelope (or a bug).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"alternating large-star/small-star rounds "
+            f"(last fingerprint {prev_fp}); raise max_iter"
+        )
     # post-convergence the edge set is a star forest: (member, root)
     labels = cur.select(F.col("u").alias(id_col), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias(id_col)).distinct().withColumn(

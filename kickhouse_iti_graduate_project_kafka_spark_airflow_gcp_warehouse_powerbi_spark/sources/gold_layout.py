@@ -81,12 +81,29 @@ def compact_partitions(
 
     before = _count_files()
     n_files = max(1, math.ceil(rows / target_rows_per_file))
+    # Repartitioning by the partition value ALONE would send every row of
+    # one Hive partition to a single task → one file, however large the
+    # partition. Spread each partition across ceil(partition_rows/target)
+    # buckets (per-partition row counts via a broadcast self-agg join) so
+    # an oversized partition splits into target-sized files while small
+    # partitions stay one file.
+    counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("_part_rows"))
+    spread = F.xxhash64(*order_by) if order_by else F.xxhash64(F.rand())
+    buckets = F.greatest(
+        F.lit(1), F.ceil(F.col("_part_rows") / F.lit(target_rows_per_file))
+    )
+    bucketed = (
+        df.join(F.broadcast(counts), partition_col)
+        .withColumn("_compact_bucket", F.pmod(spread, buckets).cast("int"))
+        .drop("_part_rows")
+    )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.repartition(n_files, F.col(partition_col))
+            bucketed.repartition(n_files, F.col(partition_col), F.col("_compact_bucket"))
             .sortWithinPartitions(partition_col, *order_by)
+            .drop("_compact_bucket")
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(path)

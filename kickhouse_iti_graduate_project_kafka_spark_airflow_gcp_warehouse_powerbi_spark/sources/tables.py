@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -32,10 +33,13 @@ SMALL_TABLES = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: tables whose parquet files carry TIMESTAMP(NANOS) columns — Spark has no
-#: nanosecond timestamp type, so these are read as long (legacy conf) and
-#: truncated to microseconds (integer division: doubles cannot represent
-#: epoch-nanos exactly, and DuckDB truncates rather than rounds).
+#: tables that have carried TIMESTAMP(NANOS) columns in some fixture
+#: vintages — Spark has no nanosecond timestamp type, so those read as long
+#: (legacy conf) and are truncated to microseconds (integer division:
+#: doubles cannot represent epoch-nanos exactly, and DuckDB truncates
+#: rather than rounds). Later fixture vintages write TIMESTAMP(MICROS)
+#: directly; the loader inspects the read schema and converts only when
+#: the column actually surfaced as a long.
 NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -48,7 +52,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         for c in nanos_cols:
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            if isinstance(df.schema[c].dataType, LongType):
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            else:
+                # TIMESTAMP(MICROS) vintage surfaces as TIMESTAMP_NTZ. The
+                # naive wall clock is nominally UTC (same convention the
+                # nanos vintage encoded as epoch micros). A bare NTZ→LTZ
+                # cast interprets the wall clock in the *session* timezone
+                # and would shift every instant under a non-UTC driver
+                # session; shifting the NTZ wall clock into the session
+                # timezone first makes the subsequent cast land on the
+                # naive-as-UTC instant regardless of session timezone.
+                tz = spark.conf.get("spark.sql.session.timeZone")
+                df = df.withColumn(
+                    c,
+                    F.convert_timezone(F.lit("UTC"), F.lit(tz), F.col(c)).cast(
+                        "timestamp"
+                    ),
+                )
         return df
     return spark.read.parquet(path)
 

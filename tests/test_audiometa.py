@@ -53,3 +53,14 @@ def test_duration_math():
 def test_sample_decode_is_an_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_samples(_wav())
+
+
+def test_sub_byte_bit_depth_degrades_to_null_meta():
+    """bits_per_sample in 0..7 floors bytes-per-sample to zero; the parser
+    must return None (null metadata row) rather than let wav_duration_ms
+    divide by zero inside a mapInPandas worker (round-2 advisor finding)."""
+    for bits in (0, 1, 7):
+        assert parse_wav_meta(_wav(bits=bits)) is None
+    # 8-bit audio is legitimate and must still parse
+    meta = parse_wav_meta(_wav(bits=8))
+    assert meta is not None and meta[2] == 8

@@ -87,3 +87,39 @@ def test_retention_sweep_drops_old_partitions(spark, sf_small, tmp_path):
     assert back.agg(F.min("month")).collect()[0][0] >= cutoff
     expected_kept = orders.filter(F.col("month") >= cutoff).count()
     assert back.count() == expected_kept
+
+
+def test_compaction_splits_oversized_partition(spark, sf_small, tmp_path):
+    """A Hive partition larger than target_rows_per_file must be rewritten
+    as multiple target-sized files, not collapsed into one giant file
+    (round-2 advisor finding: repartition on the partition value alone
+    sent every row of a partition to a single task)."""
+    path = str(tmp_path / "gold_orders4")
+    orders = _fragmented_table(spark, sf_small, path)
+    months = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("month=")
+    )
+    per_month = {
+        r["month"]: r["n"]
+        for r in orders.groupBy("month").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # pick a target that forces >=3 files for the biggest month
+    big_month = max(per_month, key=per_month.get)
+    target = max(1, per_month[big_month] // 3)
+
+    compact_partitions(
+        spark, path, "month", ["o_orderdate", "o_orderkey"], target_rows_per_file=target
+    )
+    import math
+
+    for m in months:
+        n_files = len(glob.glob(f"{path}/month={m}/*.parquet"))
+        want = math.ceil(per_month[m] / target)
+        # exact spread is hash-bucketed; assert the promise that matters:
+        # oversized partitions split, and never beyond the bucket count
+        assert n_files <= want
+        if want >= 3:
+            assert n_files >= 2, f"partition {m} not split ({n_files} files)"
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()

@@ -7,7 +7,7 @@ import urllib.request
 
 sys.path.insert(0, "/root/repo/jobs")
 
-from serve_bi import _is_read_only, serve_background  # noqa: E402
+from serve_bi import _assert_read_only, _is_read_only, serve_background  # noqa: E402
 
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (  # noqa: E402
     register_views,
@@ -64,3 +64,63 @@ def test_read_only_guard():
     assert not _is_read_only("INSERT INTO t VALUES (1)")
     assert not _is_read_only("SET spark.sql.ansi.enabled=false")
     assert not _is_read_only("")
+
+
+def _rejected(spark, sql):
+    try:
+        _assert_read_only(spark, sql)
+        return False
+    except ValueError:
+        return True
+
+
+def test_plan_level_guard(spark, tmp_path):
+    # Accepted: genuine queries, however they start.
+    _assert_read_only(spark, "SELECT 1")
+    _assert_read_only(spark, "WITH c AS (SELECT 1 AS x) SELECT * FROM c")
+    _assert_read_only(spark, "VALUES (1, 'a'), (2, 'b')")
+    _assert_read_only(spark, "EXPLAIN SELECT 1")
+    _assert_read_only(spark, "SHOW TABLES")
+    # A column merely *named* like a write keyword must still pass
+    # (plan-node check, not token grep).
+    _assert_read_only(spark, "SELECT 1 AS insert_ts, 2 AS update_count")
+
+    # The round-2 advisor bypass: first keyword WITH, plan root INSERT.
+    target = tmp_path / "exfil"
+    bypass = (
+        f"WITH c AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY '{target}' "
+        "USING parquet SELECT * FROM c"
+    )
+    assert _rejected(spark, bypass)
+    assert not target.exists()
+
+    # Other command shapes caught at the plan level.
+    assert _rejected(spark, "WITH c AS (SELECT 1) INSERT INTO tgt SELECT * FROM c")
+    assert _rejected(spark, "CREATE TABLE t (a INT) USING parquet")
+    assert _rejected(spark, "SELECT 1; DROP TABLE t")
+    assert _rejected(spark, "CACHE TABLE region")
+    assert _rejected(spark, "")
+
+
+def test_http_rejects_with_insert_bypass(spark, sf_oracle, tmp_path):
+    register_views(spark, sf_oracle)
+    srv, _ = serve_background(spark, port=0, max_rows=50)
+    base = f"http://127.0.0.1:{srv.server_port}"
+    target = tmp_path / "exfil_http"
+    try:
+        try:
+            _post(
+                base + "/sql",
+                {
+                    "sql": (
+                        f"WITH c AS (SELECT 1 AS x) INSERT OVERWRITE DIRECTORY "
+                        f"'{target}' USING parquet SELECT * FROM c"
+                    )
+                },
+            )
+            raise AssertionError("WITH...INSERT bypass must be rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert not target.exists()
+    finally:
+        srv.shutdown()
