@@ -79,17 +79,28 @@ def main() -> None:
         spec.fn(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    plan_secs: dict[str, float] = {}
+    exec_secs: dict[str, float] = {}
     for spec in selected:
         if show_explain:
             df = spec.fn(spark, SF_DIR)
             print(f"=== {spec.name} ===", file=sys.stderr)
             print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
-        # time plan construction AND execution: iterative operators (e.g.
-        # connected components) run driver-coordinated actions inside fn(),
-        # which timing only .collect() would silently exclude
+        # Each query's headline number covers plan construction AND
+        # execution: iterative operators (e.g. connected components) run
+        # driver-coordinated actions inside fn(), which timing only
+        # .collect() would silently exclude. The two phases are ALSO
+        # reported separately so a regression can be attributed: plan_secs
+        # is fn() (expression-tree build + any in-fn actions), exec_secs is
+        # the final collect().
         t0 = time.perf_counter()
-        spec.fn(spark, SF_DIR).collect()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        df = spec.fn(spark, SF_DIR)
+        t1 = time.perf_counter()
+        df.collect()
+        t2 = time.perf_counter()
+        plan_secs[spec.name] = round(t1 - t0, 3)
+        exec_secs[spec.name] = round(t2 - t1, 3)
+        timings[spec.name] = round(t2 - t0, 3)
 
     if time_oracle:
         from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.testing import (
@@ -117,6 +128,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "plan_secs": plan_secs,
+        "exec_secs": exec_secs,
         "sf": SF_DIR,
     }
     if deltas:

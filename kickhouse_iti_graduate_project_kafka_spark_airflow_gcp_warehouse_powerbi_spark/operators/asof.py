@@ -26,9 +26,11 @@ Scale posture (100 TB): cost is sort-shuffle on ``on`` keys, identical to
 any equi-join on the same keys; no intermediate blow-up regardless of how
 many right rows precede a left row. A pathologically hot key serializes
 into one task's linear scan (windows cannot be salted without breaking the
-carry) — if one key owns billions of rows, pre-bucket by coarse time range
-and as-of join within ranges, seeding each range with the previous range's
-last right row.
+carry) — for that shape use :func:`asof_join_bucketed`, which pre-buckets
+by coarse time range and sweeps within (key, range) partitions, seeding
+each range with the previous range's last right row so results are
+identical to the plain sweep while a single key parallelizes across
+``time_span / bucket`` tasks.
 
 Tie semantics match DuckDB/ClickHouse ASOF: ``backward`` matches the
 latest right row with ``r.ts <= l.ts`` (equal timestamps DO match, because
@@ -114,6 +116,156 @@ def asof_join(
         order.append(_ordered(F.col(_PAY).getField(tiebreak)))
     w = (
         Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+
+    matched = F.col(_PAY)
+    if tolerance_micros is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(_TS)) - F.unix_micros(matched.getField(right_ts))
+        )
+        matched = F.when(gap <= F.lit(tolerance_micros), matched)
+
+    out_left = [F.col(c) for c in left.columns]
+    out_right = [
+        matched.getField(c).alias(f"{right_prefix}{c}") for c in pay_cols
+    ]
+    return swept.filter(F.col(_SIDE) == 1).select(*out_left, *out_right)
+
+
+_BKT = "__asof_bucket"
+_SEED = "__asof_seed"
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    bucket_micros: int,
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
+    right_prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join identical in result to :func:`asof_join`, with the sweep
+    partitioned by (key, coarse-time-bucket) instead of key alone — the
+    hot-key mitigation the plain sweep's docstring prescribes.
+
+    Mechanics (backward; forward is the mirror):
+
+    1. every row gets ``bucket = floor(epoch_us(ts) / bucket_micros)``;
+    2. per (key, bucket), the latest right payload is aggregated
+       (``max_by`` — a map-side-combinable agg, so even a bucket with a
+       billion right rows reduces without a window);
+    3. a window over the per-key *bucket sequence* (one row per distinct
+       (key, bucket) on either side — bounded by time-span/bucket, not by
+       row count) carries that payload forward and lags it one bucket:
+       the **seed**, i.e. the right row that was current when the bucket
+       opened;
+    4. the union-tag sweep runs per (key, bucket) with the seed injected
+       as a side ``-1`` row at the bucket boundary, so in-bucket right
+       rows overwrite it and left rows with no earlier in-bucket right
+       row fall back to it.
+
+    A key holding ~all rows therefore spreads over ``time_span /
+    bucket_micros`` tasks; only the per-bucket aggregate (tiny) passes
+    through a per-key window. Tolerance still compares against the
+    matched right row's TRUE timestamp (carried inside the payload
+    struct), so a stale seed voids exactly as in the plain sweep.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if bucket_micros <= 0:
+        raise ValueError("bucket_micros must be positive")
+    on = list(on)
+    pay_cols = [c for c in right.columns if c not in on]
+    left_carry = [c for c in left.columns if c not in on]
+    if right_ts not in pay_cols:
+        raise ValueError(f"right_ts {right_ts!r} must be a non-key right column")
+    backward = direction == "backward"
+
+    def _bucket(ts_col: Column) -> Column:
+        return F.floor(F.unix_micros(ts_col) / F.lit(bucket_micros)).cast("long")
+
+    r_tagged = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias(_TS),
+        _bucket(F.col(right_ts)).alias(_BKT),
+        F.lit(0).alias(_SIDE),
+        F.struct(*[F.col(c) for c in pay_cols]).alias(_PAY),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_carry],
+    )
+    l_tagged = left.select(
+        *[F.col(k) for k in on],
+        F.col(left_ts).alias(_TS),
+        _bucket(F.col(left_ts)).alias(_BKT),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r_tagged.schema[_PAY].dataType).alias(_PAY),
+        *[F.col(c) for c in left_carry],
+    )
+
+    # (2) best right payload per (key, bucket): the row an empty following
+    # bucket would inherit. max_by/min_by on (ts [, tiebreak]) — struct
+    # comparison is lexicographic, matching the sweep's order.
+    ord_fields = [F.col(_TS)]
+    if tiebreak is not None:
+        ord_fields.append(F.col(_PAY).getField(tiebreak))
+    ord_struct = F.struct(*ord_fields)
+    best = F.max_by(F.col(_PAY), ord_struct) if backward else F.min_by(
+        F.col(_PAY), ord_struct
+    )
+    per_bucket = r_tagged.groupBy(*on, _BKT).agg(best.alias("__bucket_best"))
+
+    # (3) seed per (key, bucket) over the union of bucket ids present on
+    # either side, so a left-only bucket still inherits.
+    domain = (
+        r_tagged.select(*on, _BKT).union(l_tagged.select(*on, _BKT)).distinct()
+    )
+    seq = Window.partitionBy(*on).orderBy(
+        F.col(_BKT).asc() if backward else F.col(_BKT).desc()
+    )
+    seeds = (
+        domain.join(per_bucket, on + [_BKT], "left")
+        .withColumn(
+            _SEED,
+            F.last("__bucket_best", ignorenulls=True).over(
+                seq.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .filter(F.col(_SEED).isNotNull())
+    )
+    # Seed sits at the bucket boundary (open edge for the sweep direction)
+    # with side -1: ordered before every real row of the bucket, so any
+    # in-bucket right row overwrites it.
+    boundary_us = (
+        F.col(_BKT) * F.lit(bucket_micros)
+        if backward
+        else (F.col(_BKT) + 1) * F.lit(bucket_micros) - 1
+    )
+    seed_rows = seeds.select(
+        *[F.col(k) for k in on],
+        F.timestamp_micros(boundary_us).alias(_TS),
+        F.col(_BKT),
+        F.lit(-1).alias(_SIDE),
+        F.col(_SEED).alias(_PAY),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_carry],
+    )
+
+    unioned = r_tagged.unionByName(l_tagged).unionByName(seed_rows)
+
+    def _ordered(c: Column) -> Column:
+        return c.asc() if backward else c.desc()
+
+    order = [_ordered(F.col(_TS)), F.col(_SIDE).asc()]
+    if tiebreak is not None:
+        order.append(_ordered(F.col(_PAY).getField(tiebreak)))
+    w = (
+        Window.partitionBy(*on, _BKT)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

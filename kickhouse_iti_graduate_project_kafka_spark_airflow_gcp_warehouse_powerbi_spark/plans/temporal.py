@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_bucketed
 from ..operators.range_join import range_join
 from ..operators.scd import scd2_collapse
 from ..sources.tables import load_table
@@ -62,6 +62,53 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
     out = asof_join(p, v, on=["user_id"], left_ts="ts", right_ts="ts")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_event_id").alias("view_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "gap_micros"
+        ),
+    )
+
+
+@register(
+    "purchase_attribution_asof_bucketed",
+    tags=("asof", "join", "events", "skew"),
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), v AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_micros
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def purchase_attribution_asof_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same attribution as ``purchase_attribution_asof``, through the
+    range-bucketed sweep (operators/asof.asof_join_bucketed) with 6-hour
+    buckets — the hot-key mitigation. Sharing the plain query's DuckDB
+    ASOF-JOIN oracle makes the driver row a machine-checked proof that the
+    bucketed plan is result-identical while a single celebrity key spreads
+    over time_span/6h tasks instead of serializing into one."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = asof_join_bucketed(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts",
+        bucket_micros=6 * 3_600_000_000,
+    )
     return out.select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
