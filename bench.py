@@ -74,9 +74,29 @@ def main() -> None:
     spark = get_spark(app_name="kickhouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so timings measure the queries
-    for spec in selected[:1]:
+    # Warm pass: run EVERY selected query once so JIT/codegen compilation,
+    # parquet footer reads and broadcast pools amortize before timing —
+    # r02 showed cold-start landing on whichever queries ran early
+    # (revenue_by_nation "+57%" was startup cost, not a plan change; its
+    # steady-state execution matches r01). Operator-level caches are
+    # cleared afterwards so the timed pass still pays real operator cost
+    # (within the timed pass, intended cache sharing — e.g. CC consumers —
+    # still shows up, which is the production sweep's behavior).
+    for spec in selected:
         spec.fn(spark, SF_DIR).count()
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
+        dedup as _dedup,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans import (
+        curation as _curation,
+    )
+
+    def _clear_operator_caches() -> None:
+        _curation.clear_component_cache()
+        _dedup.clear_pair_cache()
+        _dedup.release_persisted()
+
+    _clear_operator_caches()
 
     timings: dict[str, float] = {}
     plan_secs: dict[str, float] = {}

@@ -29,6 +29,89 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, shingles_from_tokens, tokens
 
+# ---------------------------------------------------------------------------
+# Persist lifecycle. Operators persist intermediates (shingle indexes) that
+# the returned lazy DataFrame consumes, so they cannot unpersist before the
+# caller's action runs. Every persist goes through _persist() so a session
+# running many queries (the driver's 100+-query sweep, a long-lived BI
+# driver) can release accumulated cache with release_persisted() once the
+# consuming action finishes — unpersist is correctness-safe at any time
+# (lineage recomputes), so an early release costs at most a recompute.
+# ---------------------------------------------------------------------------
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate this module has persisted; returns how
+    many were released. Call after the consuming action (collect/write)."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
+
+#: (cache_key, text_col, id_col, n, threshold, guard) -> persisted pair DF.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def jaccard_pairs_cached(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+    *,
+    cache_key: str,
+    materialize: bool = True,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with session-scoped reuse: the first call
+    per (cache_key, params) persists the pair set; later calls return the
+    cached pairs. ``cache_key`` identifies the corpus (e.g. its path) —
+    callers MUST change it when the underlying data changes. Pair sets are
+    tiny next to the shingle index (near-dup pairs, not postings), so
+    pinning them is cheap; entries for other cache_keys are evicted so at
+    most one corpus stays pinned.
+
+    ``materialize=True`` (default) runs the computation immediately and
+    releases the shingle-index intermediates before returning. A caller
+    that will itself run an action over the pairs soon (e.g. connected
+    components' first checkpoint) can pass ``materialize=False`` to let
+    that action populate the persisted cache through lineage — one pass
+    instead of two — and MUST call :func:`release_persisted` after it."""
+    key = (cache_key, text_col, id_col, n, threshold, max_shingle_freq)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    ).persist()
+    if materialize:
+        pairs.count()  # materialize now: the shingle index becomes releasable
+        release_persisted()
+    for k in [k for k in _PAIR_CACHE if k[0] != cache_key]:
+        _PAIR_CACHE.pop(k).unpersist()
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
+def clear_pair_cache() -> None:
+    for k in list(_PAIR_CACHE):
+        _PAIR_CACHE.pop(k).unpersist()
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact (normalized) text. Returns the input
@@ -101,7 +184,7 @@ def ngram_jaccard_pairs(
     """
     # the exploded index feeds both join legs and the size aggregate —
     # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM)
-    exploded = shingle_rows(df, text_col, id_col, n).persist()
+    exploded = _persist(shingle_rows(df, text_col, id_col, n))
     if max_shingle_freq is not None:
         # posting-list length via a window on _sh (not groupBy+join: the
         # window's hash partitioning on _sh is exactly what the inverted-
@@ -188,12 +271,10 @@ def ngram_containment_split(
     corpus ONCE, then split the exploded rows — one scan and one windowed
     shingle pass instead of two (at 100 TB, shingling is the expensive
     narrow stage, so halving it matters more than anything in the join)."""
-    sh = (
-        shingle_rows(df, text_col, id_col, n)
-        .select(
+    sh = _persist(
+        shingle_rows(df, text_col, id_col, n).select(
             "_id", F.xxhash64("_sh").alias("_h"), test_pred(F.col("_id")).alias("_is_test")
         )
-        .persist()
     )
     universe = (
         sh.filter(~F.col("_is_test")).select("_h").distinct().withColumn("_hit", F.lit(1))
@@ -262,10 +343,10 @@ def minhash_lsh_pairs(
     n_bands = num_hashes // band_size
     # shingles as hashed rows (codegen end to end); persisted because they
     # feed the signature aggregate AND the verification sets
-    exploded_h = (
-        shingle_rows(df, text_col, id_col, n)
-        .select("_id", F.xxhash64("_sh").alias("_h"))
-        .persist()
+    exploded_h = _persist(
+        shingle_rows(df, text_col, id_col, n).select(
+            "_id", F.xxhash64("_sh").alias("_h")
+        )
     )
     # signature via hash-aggregate: min(xxhash64(seed_i, h)) per doc, with
     # map-side combine — one shuffle on _id
@@ -456,10 +537,10 @@ def incremental_dedup(
     c_sh = shingle_rows(corpus, text_col, id_col, n).select(
         F.col("_id").alias("_cid"), F.xxhash64("_sh").alias("_h")
     )
-    b_sh = (
-        shingle_rows(batch, text_col, id_col, n)
-        .select(F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h"))
-        .persist()
+    b_sh = _persist(
+        shingle_rows(batch, text_col, id_col, n).select(
+            F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h")
+        )
     )
     if max_shingle_freq is not None:
         # hot-key guard on the CORPUS posting lists (the big side)
@@ -469,7 +550,7 @@ def incremental_dedup(
             .filter(F.col("_freq") <= max_shingle_freq)
             .drop("_freq")
         )
-    c_sh = c_sh.persist()
+    c_sh = _persist(c_sh)
     c_sizes = c_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs"))
     b_sizes = b_sh.groupBy("_bid").agg(F.count(F.lit(1)).alias("_bs"))
     inter = (

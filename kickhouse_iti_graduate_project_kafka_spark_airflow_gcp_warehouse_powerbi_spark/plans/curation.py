@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..operators.cc import cluster_sizes, connected_components
-from ..operators.dedup import ngram_jaccard_pairs
+from ..operators.dedup import jaccard_pairs_cached, release_persisted
 from ..sources.tables import load_table
 
 #: DuckDB CTE: distinct 3-word shingle sets per doc (mirrors
@@ -37,6 +37,42 @@ _SHINGLES_CTE = r"""
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+#: sf_dir -> persisted (id, component) labels for the standard near-dup
+#: clustering (3-gram Jaccard >= 0.5). docs_dup_clusters and
+#: docs_dedup_survivors consume the SAME clustering; without sharing, each
+#: re-runs the iterative large-star/small-star rounds (~3 s at sf0.1,
+#: hours at 100 TB). Labels are two 8-byte columns per doc — cheap to pin.
+_CC_CACHE: dict[str, DataFrame] = {}
+
+
+def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit = _CC_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    docs = _docs(spark, sf_dir)
+    # materialize=False: CC's first eager checkpoint computes the pairs
+    # through lineage, populating the persisted pair cache in the same
+    # pass — no separate pair-materialization barrier.
+    pairs = jaccard_pairs_cached(
+        docs, "text", "doc_id", n=3, threshold=0.5, cache_key=sf_dir,
+        materialize=False,
+    )
+    comps = connected_components(
+        pairs, src="a_id", dst="b_id", nodes=docs.select(F.col("doc_id").alias("id"))
+    ).persist()
+    comps.count()
+    release_persisted()  # shingle-index intermediates; pairs/comps stay pinned
+    for k in [k for k in _CC_CACHE if k != sf_dir]:
+        _CC_CACHE.pop(k).unpersist()
+    _CC_CACHE[sf_dir] = comps
+    return comps
+
+
+def clear_component_cache() -> None:
+    for k in list(_CC_CACHE):
+        _CC_CACHE.pop(k).unpersist()
 
 
 @register(
@@ -72,11 +108,7 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same transitive closure with a recursive CTE — exact
     match proves both the pair generation AND the O(log n)-round cluster
     resolution. Output: one row per cluster (singletons included)."""
-    docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
-    comps = connected_components(
-        pairs, src="a_id", dst="b_id", nodes=docs.select(F.col("doc_id").alias("id"))
-    )
+    comps = _dup_components(spark, sf_dir)
     return cluster_sizes(comps).select(
         F.col("component").alias("cluster_rep"), "cluster_size"
     )
@@ -118,10 +150,7 @@ def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language. Deterministic because the representative is the
     component min, not an arbitrary survivor."""
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
-    comps = connected_components(
-        pairs, src="a_id", dst="b_id", nodes=docs.select(F.col("doc_id").alias("id"))
-    )
+    comps = _dup_components(spark, sf_dir)
     labeled = docs.join(comps, docs["doc_id"] == comps["id"])
     kept = F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
     return labeled.groupBy("lang").agg(

@@ -23,7 +23,7 @@ from ..functions.text import (
 from ..operators.dedup import (
     duplicate_span_stats,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
+    jaccard_pairs_cached,
     simhash_pairs,
 )
 from ..sources.tables import load_table
@@ -210,7 +210,10 @@ def docs_lang_guess_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs at 3-gram Jaccard >= 0.5 via the inverted-index
     operator (no N^2 cross join; see operators/dedup.py)."""
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5)
+    pairs = jaccard_pairs_cached(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5,
+        cache_key=sf_dir,
+    )
     return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -258,7 +261,9 @@ def simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dried-up candidate generator breaks the hash match."""
     docs = _docs(spark, sf_dir)
     sim = simhash_pairs(docs, "text", "doc_id", n=3, max_hamming=3).select("a_id", "b_id")
-    exact = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select("a_id", "b_id")
+    exact = jaccard_pairs_cached(
+        docs, "text", "doc_id", threshold=0.5, cache_key=sf_dir
+    ).select("a_id", "b_id")
     violations = sim.join(exact, ["a_id", "b_id"], "left_anti")
     return (
         sim.agg(F.count(F.lit(1)).alias("_np"))

@@ -371,3 +371,41 @@ def test_duplicate_span_islands_merge_overlaps(spark):
         for r in duplicate_span_stats(docs, "text", "doc_id", l=4).collect()
     }
     assert out[1] == 5 and out[2] == 5
+
+
+def test_persist_lifecycle_and_pair_cache(spark, sf_small):
+    """Round-2 verdict #5: persisted shingle intermediates must be
+    releasable, and CC consumers must share one persisted pair set."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
+        dedup,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        load_table,
+    )
+
+    dedup.clear_pair_cache()
+    dedup.release_persisted()
+    docs = load_table(spark, sf_small, "documents")
+
+    p1 = dedup.jaccard_pairs_cached(docs, "text", "doc_id", cache_key=sf_small)
+    # intermediates were released inside the cached call
+    assert not dedup._PERSISTED
+    # second call is a cache hit: same object, no new persists
+    p2 = dedup.jaccard_pairs_cached(docs, "text", "doc_id", cache_key=sf_small)
+    assert p2 is p1 and not dedup._PERSISTED
+    # cached pairs equal a fresh computation
+    fresh = sorted(
+        (r.a_id, r.b_id) for r in
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id").collect()
+    )
+    dedup.release_persisted()  # fresh call's intermediates
+    assert sorted((r.a_id, r.b_id) for r in p1.collect()) == fresh
+
+    # plain operator tracks its persists and releases them all
+    before = len(dedup._PERSISTED)
+    df = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    df.count()
+    assert len(dedup._PERSISTED) > before
+    released = dedup.release_persisted()
+    assert released >= 1 and not dedup._PERSISTED
+    dedup.clear_pair_cache()
