@@ -1,0 +1,87 @@
+"""Production-dim (1536) stress tests for the ANN literal-array paths.
+
+Round-2 verdict #6: the hyperplane-LSH and IVF operators build their
+coefficient/centroid state into column-literal trees; at toy dims (64)
+a per-dim expression unroll would also pass, so these tests pin the
+O(n_planes)/O(n_cells) literal design at embedding-model dims — analysis
+must stay bounded (no dim×planes Catalyst node blowup, no codegen
+fallback stalls) and results must be deterministic.
+"""
+
+import time
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+    assign_cells,
+    kmeans_centroids,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.similarity import (
+    hyperplane_signature,
+)
+
+DIM = 1536
+
+
+def _vectors(spark, n, dim=DIM, seed=1):
+    """n deterministic pseudo-random unit-ish vectors, generated JVM-side
+    (a Python-side literal per row would itself be a driver bottleneck)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda p: F.sin(F.col("id") * F.lit(seed) + p.cast("double") * 0.7919),
+        ).alias("embedding"),
+    )
+
+
+def test_hyperplane_signature_dim1536_analysis_bounded(spark):
+    df = _vectors(spark, 200)
+    t0 = time.perf_counter()
+    sig = df.select("vec_id", hyperplane_signature("embedding", DIM, n_planes=8).alias("sig"))
+    sig.schema  # forces analysis
+    analysis = time.perf_counter() - t0
+    # O(n_planes) literal arrays: analysis is instant; the per-dim unroll
+    # this replaced took minutes at dim 1536 (12k+ Catalyst nodes)
+    assert analysis < 10.0, f"analysis took {analysis:.1f}s"
+    plan = sig._jdf.queryExecution().analyzed().toString()
+    assert len(plan.splitlines()) < 60, "plan tree grew with dim"
+
+    rows1 = sig.collect()
+    rows2 = sig.collect()
+    assert rows1 == rows2  # deterministic
+    sigs = {r.sig for r in rows1}
+    assert len(sigs) > 1  # planes actually discriminate
+    assert all(0 <= r.sig < 256 for r in rows1)  # 8 planes -> [0, 2^8)
+
+
+def test_assign_cells_dim1536_analysis_and_correctness(spark):
+    rng = np.random.default_rng(7)
+    centroids = [rng.normal(size=DIM) for _ in range(16)]
+    df = _vectors(spark, 100)
+    t0 = time.perf_counter()
+    assigned = df.select("vec_id", "embedding", assign_cells("embedding", centroids).alias("cell"))
+    assigned.schema
+    analysis = time.perf_counter() - t0
+    assert analysis < 10.0, f"analysis took {analysis:.1f}s"
+
+    rows = assigned.collect()
+    assert rows == assigned.collect()  # deterministic
+    # cross-check nearest centroid in numpy for a sample of rows
+    cs = np.stack(centroids)
+    for r in rows[:10]:
+        v = np.asarray(r.embedding)
+        want = int(np.argmin(((cs - v) ** 2).sum(axis=1)))
+        assert r.cell == want, f"vec {r.vec_id}: {r.cell} != {want}"
+
+
+def test_kmeans_dim1536_runs_and_is_deterministic(spark):
+    corpus = _vectors(spark, 80)
+    t0 = time.perf_counter()
+    c1 = kmeans_centroids(corpus, "embedding", "vec_id", n_cells=8, iters=2)
+    fit = time.perf_counter() - t0
+    assert fit < 120.0, f"k-means fit took {fit:.1f}s"
+    c2 = kmeans_centroids(corpus, "embedding", "vec_id", n_cells=8, iters=2)
+    assert all((a == b).all() for a, b in zip(c1, c2))  # bitwise stable
+    assert all(len(c) == DIM for c in c1)
