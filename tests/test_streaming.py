@@ -254,3 +254,60 @@ def test_silver_sink_idempotent_on_batch_retry(spark, tmpdir):
     write_batch_idempotent(bp, 0, part, partition_cols=("month",))
     out = read_silver(spark, part)
     assert out.count() == 2 and set(out.columns) == {"id", "month"}
+
+
+def test_silver_reader_sees_only_committed_batches(spark, tmpdir):
+    """Round-2 verdict #7: a reader concurrent with an in-flight batch
+    write must see only whole committed batches. An uncommitted
+    ``_batch_id`` partition (data on disk, no marker in ``_commits/``) is
+    invisible to read_silver; it appears atomically once the marker lands."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.maintenance import (
+        committed_batches,
+        record_commit,
+    )
+
+    silver = f"{tmpdir}/silver_atomic"
+    b0 = spark.createDataFrame([("E1", 1), ("E2", 2)], "id string, v int")
+    b1 = spark.createDataFrame([("E3", 3)], "id string, v int")
+    write_batch_idempotent(b0, 0, silver)
+    write_batch_idempotent(b1, 1, silver)
+    assert committed_batches(silver) == [0, 1]
+    assert read_silver(spark, silver).count() == 3
+
+    # simulate an in-flight writer: batch 2's data files exist but the
+    # commit marker does not (exactly the torn state a crash mid-write or
+    # a concurrent read during overwrite exposes)
+    import pyspark.sql.functions as SF
+
+    b2 = spark.createDataFrame([("E4", 4), ("E5", 5)], "id string, v int")
+    b2.withColumn("_batch_id", SF.lit(2)).write.mode("append").partitionBy(
+        "_batch_id"
+    ).parquet(silver)
+    assert committed_batches(silver) == [0, 1]
+    got = {(r["id"], r["v"]) for r in read_silver(spark, silver).collect()}
+    assert got == {("E1", 1), ("E2", 2), ("E3", 3)}, "uncommitted batch leaked"
+
+    # the marker makes the whole batch visible at once
+    record_commit(silver, 2)
+    got = {(r["id"], r["v"]) for r in read_silver(spark, silver).collect()}
+    assert got == {("E1", 1), ("E2", 2), ("E3", 3), ("E4", 4), ("E5", 5)}
+
+
+def test_backfill_clears_stale_manifest(spark, tmpdir):
+    """A full backfill overwrite reseeds the table without batch
+    bookkeeping; a stale manifest must not filter the new data away."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.maintenance import (
+        backfill,
+        committed_batches,
+    )
+
+    silver = f"{tmpdir}/silver_reseed"
+    b0 = spark.createDataFrame([("E1", 1)], "id string, v int")
+    write_batch_idempotent(b0, 0, silver)
+    assert committed_batches(silver) == [0]
+
+    src = spark.createDataFrame([("N1", 10), ("N2", 20)], "id string, v int")
+    backfill(src, lambda df: df, silver)
+    assert committed_batches(silver) is None
+    got = {(r["id"], r["v"]) for r in read_silver(spark, silver).collect()}
+    assert got == {("N1", 10), ("N2", 20)}
