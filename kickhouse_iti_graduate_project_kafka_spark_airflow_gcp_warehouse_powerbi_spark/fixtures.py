@@ -156,6 +156,37 @@ def entity_fixtures(seed: int = 42) -> dict[str, list[dict]]:
         {"idLineup": "7002", "idEvent": "2000", "strPosition": "Center",
          "strSubstitute": "YES", "idPlayer": "72", "ingested_at": BASE_TS},
     ]
+    # schedules: PK (idEvent, strTimestamp); one valid soccer row, one
+    # rescheduled version of the same event, one non-soccer
+    fx["schedule"] = [
+        {"idEvent": "1001", "strTimestamp": "2026-01-03 15:00:00",
+         "strEvent": "Greens vs Reds", "idHomeTeam": "13", "idAwayTeam": "10",
+         "dateEvent": "2026-01-03", "strStatus": "NS", "strCountry": "Z",
+         "strTime": "15:00:00", "strSport": "Soccer", "ingested_at": BASE_TS},
+        {"idEvent": "1001", "strTimestamp": "2026-01-04 15:00:00",
+         "strEvent": "Greens vs Reds", "idHomeTeam": "13", "idAwayTeam": "10",
+         "dateEvent": "2026-01-04", "strStatus": "NS", "strCountry": "Z",
+         "strTime": "15:00:00", "strSport": "soccer", "ingested_at": BASE_TS + 300},
+        {"idEvent": "2001", "strTimestamp": "2026-01-03 19:00:00",
+         "strEvent": "Dunkers vs Dunkers", "idHomeTeam": "12", "idAwayTeam": "12",
+         "dateEvent": "2026-01-03", "strStatus": "NS", "strCountry": "X",
+         "strTime": "19:00:00", "strSport": "Basketball", "ingested_at": BASE_TS},
+    ]
+
+    # live-event lookups: full event doc keyed by idEvent
+    fx["live.event.lookup"] = [
+        {"idEvent": "1000", "idLeague": "1", "idHomeTeam": "10",
+         "idAwayTeam": "11", "strStatus": "FT",
+         "strTimestamp": "2026-01-01 15:00:00", "dateEvent": "2026-01-01",
+         "strPostponed": "no", "strLocked": "unlocked",
+         "strSport": "SOCCER", "ingested_at": BASE_TS + 7500},
+        {"idEvent": "2000", "idLeague": "5", "idHomeTeam": "12",
+         "idAwayTeam": "12", "strStatus": "FT",
+         "strTimestamp": "2026-01-01 18:00:00", "dateEvent": "2026-01-01",
+         "strPostponed": "no", "strLocked": "unlocked",
+         "strSport": "Basketball", "ingested_at": BASE_TS + 7500},
+    ]
+
     fx["event.highlights"] = [
         {"idEvent": "1000", "strFilename": "f1", "strVideo": "http://v/1",
          "strThumb": "http://t/1", "strBanner": "", "strSport": "Soccer",

@@ -5,7 +5,7 @@ A7 channel dedup, W8 media_type, latest-state hub view)."""
 
 import pytest
 
-from fixtures_entities import entity_fixtures
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.fixtures import entity_fixtures
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.expressions import (
     surrogate_key,
 )

@@ -8,7 +8,7 @@ import tempfile
 
 import pytest
 
-from fixtures_entities import entity_fixtures
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.fixtures import entity_fixtures
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.validate import (
     validate_all_entities,
 )
