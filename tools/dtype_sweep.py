@@ -32,11 +32,28 @@ from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_sp
 
 
 def canon(v):
-    """Type-preserving canonical form: int and float stay distinct."""
+    """Type-preserving canonical form: int and float stay distinct.
+
+    Date-like values are the one sanctioned collapse: a DuckDB DATE comes
+    back from fetchdf() as a midnight datetime64 while Spark's DateType
+    stays datetime.date — r01 driver rows (moving_avg_daily_orders) prove
+    the driver hashes these equal, so both normalize to 'YYYY-MM-DD'."""
+    import datetime as _dt
+
     if v is None:
         return None
+    import pandas as _pd
+
+    if v is _pd.NaT:
+        return None  # null timestamp — both engines surface SQL NULL
     if hasattr(v, "item"):  # numpy scalar → native
         v = v.item()
+    if isinstance(v, _dt.datetime):
+        if v.time() == _dt.time(0, 0) and v.tzinfo is None:
+            return ("d", v.date().isoformat())
+        return ("t", v.isoformat())
+    if isinstance(v, _dt.date):
+        return ("d", v.isoformat())
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
