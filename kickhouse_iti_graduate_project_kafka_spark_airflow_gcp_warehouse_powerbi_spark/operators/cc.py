@@ -47,12 +47,16 @@ def _large_star(sym: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("_mv"))
         .select("u", F.least("_mv", "u").alias("_m"))
     )
+    # No distinct here: each input edge emits at most one output edge, so
+    # volume stays bounded, and the round's canonical form (which the
+    # convergence fingerprint needs) comes from _small_star's distinct —
+    # min-aggregations are duplicate-insensitive, so correctness is
+    # unaffected and the round saves one full shuffle.
     return (
         sym.filter(F.col("v") > F.col("u"))
         .join(mins, "u")
         .select(F.col("v").alias("u"), F.col("_m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -110,20 +114,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # the convergence fingerprint doubles as a free edge count: size the next
-    # round's partitioning from it (~2M edge rows / partition) so late
-    # rounds — edge sets shrink monotonically — don't pay 32-partition
-    # scheduling overhead for a few thousand edges; at cluster scale the
-    # same formula spreads a billion-edge round over ~500 partitions
+    # partition sizing per round is AQE's job: every round ends in
+    # _small_star's distinct (a shuffle), and adaptive coalescing
+    # right-sizes its output as edge sets shrink — an explicit repartition
+    # here would be a second full shuffle doing the same work
     prev_fp = _edge_fingerprint(cur)
     converged = False
     for _ in range(max_iter):
-        n_parts = max(1, min(200, prev_fp[0] // 2_000_000 + 1))
-        cur = (
-            _small_star(_large_star(_symmetric(cur)))
-            .repartition(n_parts)
-            .localCheckpoint(eager=True)
-        )
+        cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             converged = True
