@@ -134,21 +134,13 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     ).filter(F.size("_shingles") > 0)
 
 
-def shingle_rows(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, *, deduped: bool = True
-) -> DataFrame:
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct (doc, shingle) ROWS via posexplode + window lead — fully
     whole-stage-codegen (array higher-order functions are interpreted and
     cost ~30µs/shingle; this path measured ~8x faster at 5k docs). Both
     dedup operators consume shingles in exploded form anyway, so the array
     is never materialized. Documents shorter than ``n`` tokens yield no
-    rows. One shuffle on _id for the window.
-
-    ``deduped=False`` returns the raw (possibly repeated) rows so a caller
-    can fold the dedup into a partitioning it needs anyway — see
-    ngram_jaccard_pairs, which dedups under ``_sh`` hash partitioning and
-    thereby serves dedup + hot-shingle window + inverted-index self-join
-    from ONE exchange."""
+    rows. One shuffle on _id for the window."""
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(text_col)).alias("_pos", "_t0"),
@@ -156,12 +148,12 @@ def shingle_rows(
     w = Window.partitionBy("_id").orderBy("_pos")
     parts = [F.col("_t0")] + [F.lead("_t0", j).over(w).alias(f"_t{j}") for j in range(1, n)]
     last = F.lead("_t0", n - 1).over(w)
-    out = (
+    return (
         toks.select("_id", F.concat_ws(" ", *parts).alias("_sh"), last.alias("_last"))
         .filter(F.col("_last").isNotNull())
         .select("_id", "_sh")
+        .distinct()
     )
-    return out.distinct() if deduped else out
 
 
 def ngram_jaccard_pairs(
@@ -190,19 +182,9 @@ def ngram_jaccard_pairs(
 
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
-    # The exploded index feeds both join legs and the size aggregate —
-    # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM).
-    # Dedup happens UNDER _sh hash partitioning (repartition first, then
-    # dropDuplicates — HashPartitioning(_sh) satisfies the (_id,_sh)
-    # clustering since equal pairs share a shingle), so the one _sh
-    # exchange also serves the hot-shingle window and the inverted-index
-    # self-join below: one shuffle of the shingle stream where a plain
-    # distinct + window cost two.
-    exploded = _persist(
-        shingle_rows(df, text_col, id_col, n, deduped=False)
-        .repartition(F.col("_sh"))
-        .dropDuplicates(["_id", "_sh"])
-    )
+    # the exploded index feeds both join legs and the size aggregate —
+    # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM)
+    exploded = _persist(shingle_rows(df, text_col, id_col, n))
     if max_shingle_freq is not None:
         # posting-list length via a window on _sh (not groupBy+join: the
         # window's hash partitioning on _sh is exactly what the inverted-
