@@ -65,6 +65,53 @@ def release_persisted() -> int:
 #: (cache_key, text_col, id_col, n, threshold, guard) -> persisted pair DF.
 _PAIR_CACHE: dict[tuple, DataFrame] = {}
 
+#: (cache_key, text_col, id_col, n) -> persisted (_id, _h) hashed-shingle
+#: index. The narrow shingling stage is the dominant shared cost of the
+#: whole dedup family (jaccard, minhash-LSH, simhash, CC all start from
+#: it), so one corpus's index stays pinned per session and every family
+#: member reuses it instead of re-scanning the text.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shingle_hashes_cached(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, *, cache_key: str
+) -> DataFrame:
+    """Persisted distinct (_id, _h=xxhash64(shingle)) rows for a corpus,
+    shared across the dedup family. ``cache_key`` identifies the corpus —
+    callers MUST change it when the underlying data changes. Entries for
+    other cache_keys are evicted so at most one corpus stays pinned.
+
+    The DataFrame is returned lazily: the first consumer's action
+    materializes the persist, so a caller chaining straight into its own
+    action pays one pass, not two."""
+    key = (cache_key, text_col, id_col, n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sh = (
+        shingle_rows(df, text_col, id_col, n)
+        .select("_id", F.xxhash64("_sh").alias("_h"))
+        .persist()
+    )
+    for k in [k for k in _SHINGLE_CACHE if k[0] != cache_key]:
+        _SHINGLE_CACHE.pop(k).unpersist()
+    _SHINGLE_CACHE[key] = sh
+    return sh
+
+
+def clear_shingle_cache() -> None:
+    for k in list(_SHINGLE_CACHE):
+        _SHINGLE_CACHE.pop(k).unpersist()
+
+
+def clear_all_caches() -> None:
+    """Release every session-scoped dedup cache (pairs, shingle indexes,
+    loose persisted intermediates) — the bench harness calls this between
+    timed queries so per-query numbers are order-independent."""
+    clear_pair_cache()
+    clear_shingle_cache()
+    release_persisted()
+
 
 def jaccard_pairs_cached(
     df: DataFrame,
@@ -98,6 +145,7 @@ def jaccard_pairs_cached(
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, n=n, threshold=threshold,
         max_shingle_freq=max_shingle_freq,
+        _hashes=shingle_hashes_cached(df, text_col, id_col, n, cache_key=cache_key),
     ).persist()
     if materialize:
         pairs.count()  # materialize now: the shingle index becomes releasable
@@ -135,24 +183,29 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct (doc, shingle) ROWS via posexplode + window lead — fully
-    whole-stage-codegen (array higher-order functions are interpreted and
-    cost ~30µs/shingle; this path measured ~8x faster at 5k docs). Both
-    dedup operators consume shingles in exploded form anyway, so the array
-    is never materialized. Documents shorter than ``n`` tokens yield no
-    rows. One shuffle on _id for the window."""
-    toks = df.select(
+    """Distinct (doc, shingle) ROWS via one regex pass per document:
+    whitespace is normalized to single spaces, then an overlapping
+    lookahead capture ``(?:^| )(?=((?:\\S+ ){n-1}\\S+))`` extracts every
+    n-token run — the ``(?:^| )`` consumes the separator before each token
+    start so the lookahead fires exactly once per token position, and the
+    captured run is already single-space-joined (identical to
+    ``concat_ws(" ", tokens...)``). ``array_distinct`` dedups within the
+    doc before exploding, so the row set equals the old window-lead
+    implementation exactly (equivalence-tested).
+
+    Zero shuffles and fully whole-stage-codegen — measured ~2.6x faster
+    than the previous posexplode + window-lead path at sf0.1 (and ~25x
+    faster than interpreted higher-order array functions). Documents
+    shorter than ``n`` tokens yield no rows. At 100 TB this is the narrow
+    stage every dedup operator pays; it now costs one regex scan of the
+    text, no exchange, no sort."""
+    pat = r"(?:^| )(?=((?:\S+ ){" + str(n - 1) + r"}\S+))"
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(tokens(text_col)).alias("_pos", "_t0"),
-    )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_t0")] + [F.lead("_t0", j).over(w).alias(f"_t{j}") for j in range(1, n)]
-    last = F.lead("_t0", n - 1).over(w)
-    return (
-        toks.select("_id", F.concat_ws(" ", *parts).alias("_sh"), last.alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("_id", "_sh")
-        .distinct()
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+        ).alias("_sh"),
     )
 
 
@@ -163,12 +216,17 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    _hashes: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted index.
 
     jaccard(A,B) = |A∩B| / (|A| + |B| - |A∩B|); the intersection size per
     pair comes from counting co-occurrences after exploding shingles, so
-    only pairs sharing at least one shingle are ever materialized.
+    only pairs sharing at least one shingle are ever materialized. The
+    index carries 64-bit shingle *hashes*, not strings — the self-join
+    shuffles 8-byte keys instead of ~25-byte shingle text (the same
+    collision posture as MinHash verification and containment:
+    within-corpus collision probability ~1e-15 at 100 TB shingle counts).
 
     ``max_shingle_freq`` is the hot-key guard and is ON by default: a
     shingle occurring in more than that many documents (a stopword run at
@@ -180,16 +238,27 @@ def ngram_jaccard_pairs(
     cap), and self-consistent (never an inflated denominator) otherwise.
     Pass ``None`` to disable.
 
+    ``_hashes`` (internal): a precomputed (_id, _h) index — pass
+    :func:`shingle_hashes_cached` output so the family shares one
+    shingling pass per corpus.
+
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
-    # the exploded index feeds both join legs and the size aggregate —
-    # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM)
-    exploded = _persist(shingle_rows(df, text_col, id_col, n))
+    if _hashes is None:
+        # the exploded index feeds both join legs and the size aggregate —
+        # persist so shingling runs once (MEMORY_AND_DISK: spills, not OOM)
+        exploded = _persist(
+            shingle_rows(df, text_col, id_col, n).select(
+                "_id", F.xxhash64("_sh").alias("_h")
+            )
+        )
+    else:
+        exploded = _hashes
     if max_shingle_freq is not None:
-        # posting-list length via a window on _sh (not groupBy+join: the
-        # window's hash partitioning on _sh is exactly what the inverted-
+        # posting-list length via a window on _h (not groupBy+join: the
+        # window's hash partitioning on _h is exactly what the inverted-
         # index self-join below needs, so the exchange is reused)
-        wf = Window.partitionBy("_sh")
+        wf = Window.partitionBy("_h")
         exploded = (
             exploded.withColumn("_freq", F.count(F.lit(1)).over(wf))
             .filter(F.col("_freq") <= max_shingle_freq)
@@ -198,10 +267,10 @@ def ngram_jaccard_pairs(
     # sizes AFTER the guard: intersections and sizes must count the same
     # shingle universe or the denominator overstates and near-dups are missed
     sizes = exploded.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
-    a = exploded.select(F.col("_id").alias("a_id"), "_sh")
-    b = exploded.select(F.col("_id").alias("b_id"), "_sh")
+    a = exploded.select(F.col("_id").alias("a_id"), "_h")
+    b = exploded.select(F.col("_id").alias("b_id"), "_h")
     inter = (
-        a.join(b, "_sh")
+        a.join(b, "_h")
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("_inter"))
@@ -328,6 +397,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     band_size: int = 4,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding + exact verification.
 
@@ -338,16 +408,23 @@ def minhash_lsh_pairs(
     (band, band_hash) for candidates, one inverted-index pass restricted to
     candidate pairs for verification.
 
+    ``cache_key`` (optional): reuse the session's shared hashed-shingle
+    index (:func:`shingle_hashes_cached`) instead of re-shingling — the
+    family's one expensive narrow stage runs once per corpus.
+
     Returns (a_id, b_id, jaccard) with a_id < b_id, jaccard >= threshold.
     """
     n_bands = num_hashes // band_size
     # shingles as hashed rows (codegen end to end); persisted because they
     # feed the signature aggregate AND the verification sets
-    exploded_h = _persist(
-        shingle_rows(df, text_col, id_col, n).select(
-            "_id", F.xxhash64("_sh").alias("_h")
+    if cache_key is not None:
+        exploded_h = shingle_hashes_cached(df, text_col, id_col, n, cache_key=cache_key)
+    else:
+        exploded_h = _persist(
+            shingle_rows(df, text_col, id_col, n).select(
+                "_id", F.xxhash64("_sh").alias("_h")
+            )
         )
-    )
     # signature via hash-aggregate: min(xxhash64(seed_i, h)) per doc, with
     # map-side combine — one shuffle on _id
     sig = exploded_h.groupBy("_id").agg(
@@ -440,6 +517,7 @@ def simhash_pairs(
     id_col: str,
     n: int = 3,
     max_hamming: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
@@ -449,11 +527,15 @@ def simhash_pairs(
 
     The per-bit votes are computed as explode + 63 conditional-sum
     aggregates (whole-stage codegen) rather than interpreted array
-    aggregates — same result, far cheaper.
+    aggregates — same result, far cheaper. ``cache_key`` (optional) reuses
+    the session's shared hashed-shingle index.
     """
-    exploded_h = shingle_rows(df, text_col, id_col, n).select(
-        "_id", F.xxhash64("_sh").alias("_h")
-    )
+    if cache_key is not None:
+        exploded_h = shingle_hashes_cached(df, text_col, id_col, n, cache_key=cache_key)
+    else:
+        exploded_h = shingle_rows(df, text_col, id_col, n).select(
+            "_id", F.xxhash64("_sh").alias("_h")
+        )
     votes = exploded_h.groupBy("_id").agg(
         *[
             F.sum(

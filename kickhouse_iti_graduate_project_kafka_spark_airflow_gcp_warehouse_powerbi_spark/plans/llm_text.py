@@ -229,7 +229,8 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups at j>=0.9, per-pair miss probability is < 2e-9, so LSH output
     equals the exact answer. This is the 100 TB dedup path."""
     pairs = minhash_lsh_pairs(
-        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5, num_hashes=64, band_size=4
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.5,
+        num_hashes=64, band_size=4, cache_key=sf_dir,
     )
     return pairs.select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
 
@@ -244,7 +245,9 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, pigeonhole-exact recall). No SQL oracle: the bit votes depend on
     xxhash64; covered by unit tests asserting the planted near-dups are
     found and determinism holds."""
-    return simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, max_hamming=3)
+    return simhash_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, max_hamming=3, cache_key=sf_dir
+    )
 
 
 @register(
@@ -260,7 +263,9 @@ def simhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TRUE, 0); the Spark side EARNS it — any simhash false positive or a
     dried-up candidate generator breaks the hash match."""
     docs = _docs(spark, sf_dir)
-    sim = simhash_pairs(docs, "text", "doc_id", n=3, max_hamming=3).select("a_id", "b_id")
+    sim = simhash_pairs(
+        docs, "text", "doc_id", n=3, max_hamming=3, cache_key=sf_dir
+    ).select("a_id", "b_id")
     exact = jaccard_pairs_cached(
         docs, "text", "doc_id", threshold=0.5, cache_key=sf_dir
     ).select("a_id", "b_id")

@@ -75,6 +75,7 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "purchase_attribution_asof_bucketed",
+    bench=True,
     tags=("asof", "join", "events", "skew"),
     oracle="""
     WITH p AS (
@@ -212,6 +213,7 @@ def purchases_after_error_rangejoin(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "user_hourly_resample_ffill",
+    bench=True,
     tags=("resample", "UDF", "asof", "events"),
     oracle="""
     WITH b AS (
@@ -250,6 +252,7 @@ def user_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_state_scd2",
+    bench=True,
     tags=("scd2", "warehouse", "window", "events"),
     oracle="""
     WITH e AS (
