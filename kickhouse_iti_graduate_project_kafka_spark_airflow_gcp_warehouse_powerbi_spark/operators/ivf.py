@@ -73,6 +73,164 @@ def assign_cells(vec_col: str | Column, centroids: list[np.ndarray]) -> Column:
     return (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
 
 
+#: Above this centroid count the plan-literal argmin becomes the bottleneck
+#: (k ndarray literals per query plan: analysis cost and plan size grow
+#: O(k x dim)); the Arrow path ships the centroid matrix ONCE per executor
+#: as a broadcast variable instead.
+ARROW_CELL_THRESHOLD = 64
+
+
+def _centroid_matrix(centroids: list[np.ndarray]) -> np.ndarray:
+    return np.stack([np.asarray(c, dtype="float64") for c in centroids])
+
+
+def assign_cells_df(
+    df: DataFrame,
+    centroids: list[np.ndarray],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    normalize: bool = True,
+) -> DataFrame:
+    """Append the nearest-centroid cell id, choosing the physical strategy
+    by centroid count:
+
+    - ``k <= ARROW_CELL_THRESHOLD``: plan-literal argmin (whole-stage
+      codegen, zero Python in the row path) — fastest at small k.
+    - larger k: ``mapInPandas`` consuming the k x dim centroid matrix from
+      a **broadcast variable** — the plan stays O(1) in k, the matrix
+      crosses the wire once per executor, and the batch scoring is one
+      BLAS GEMM per Arrow batch. This is the path that lets production
+      cell counts (256-65536) scale: plan-literal centroids at k=256 and
+      dim=1536 would put ~400k doubles into every query plan.
+
+    Both paths compute the same score (-2 v·c + ||c||²) on float64 with
+    first-minimum tie-break; k-means centroids are rounded to 1e-6 per
+    iteration precisely so summation-order differences between codegen
+    and BLAS cannot flip an assignment.
+
+    ``normalize=False`` skips unit normalization when ``vec_col`` is
+    already unit-length (the k-means inner loop).
+    """
+    if len(centroids) <= ARROW_CELL_THRESHOLD:
+        vec = _unit(vec_col) if normalize else F.col(vec_col)
+        return df.withColumn(out_col, assign_cells(vec, centroids))
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+    cols = df.columns
+    # a fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema object and corrupt df.columns
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def gen(batches):
+        cm = bc.value
+        c_sq = (cm * cm).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype="int32")
+                yield pdf[cols + [out_col]]
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype="float64") for x in pdf[vec_col]]
+            )
+            if normalize:
+                nrm = np.sqrt((v * v).sum(axis=1))
+                v = v / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            scores = -2.0 * (v @ cm.T) + c_sq
+            # np.argmin returns the FIRST minimal index — same tie-break
+            # as array_position on the literal path
+            pdf[out_col] = np.argmin(scores, axis=1).astype("int32")
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(gen, schema)
+
+
+def probe_cells_df(
+    queries: DataFrame,
+    centroids: list[np.ndarray],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query probe list: (q_id, q_vec, q_nrm, cell) rows for the
+    ``nprobe`` nearest cells, ordered ties-to-lowest-cell. Same dual
+    strategy as :func:`assign_cells_df` — plan-literal score array +
+    window at small k, broadcast matrix + ``mapInPandas`` beyond
+    ARROW_CELL_THRESHOLD (argsort is stable, so equal distances keep
+    ascending cell order, matching the window's (dist, cell) sort)."""
+    if len(centroids) <= ARROW_CELL_THRESHOLD:
+        q_scored = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(vec_col).alias("q_nrm"),
+            F.posexplode(_score_array(_unit(vec_col), centroids)).alias(
+                "cell", "_dist"
+            ),
+        )
+        probe_w = Window.partitionBy("q_id").orderBy(
+            F.col("_dist").asc(), F.col("cell").asc()
+        )
+        return (
+            q_scored.withColumn("_pr", F.row_number().over(probe_w))
+            .filter(F.col("_pr") <= nprobe)
+            .select("q_id", "q_vec", "q_nrm", "cell")
+        )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+    src = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    vec_field = src.schema["q_vec"]
+    schema = StructType(
+        [
+            src.schema["q_id"],
+            StructField("q_vec", vec_field.dataType),
+            StructField("q_nrm", DoubleType()),
+            StructField("cell", IntegerType()),
+        ]
+    )
+    np_probe = int(nprobe)
+
+    def gen(batches):
+        import pandas as pd
+
+        cm = bc.value
+        c_sq = (cm * cm).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype="float64") for x in pdf["q_vec"]]
+            )
+            nrm = np.sqrt((v * v).sum(axis=1))
+            u = v / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            scores = -2.0 * (u @ cm.T) + c_sq
+            order = np.argsort(scores, axis=1, kind="stable")[:, :np_probe]
+            n, p = order.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": pdf["q_id"].to_numpy().repeat(p),
+                    "q_vec": [x for x in pdf["q_vec"] for _ in range(p)],
+                    "q_nrm": nrm.repeat(p),
+                    "cell": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    return src.mapInPandas(gen, schema)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -101,7 +259,9 @@ def kmeans_centroids(
 
     vecs = corpus.select(_unit(vec_col).alias("_v"))
     for _ in range(iters):
-        assigned = vecs.withColumn("_cell", assign_cells("_v", centroids))
+        assigned = assign_cells_df(
+            vecs, centroids, vec_col="_v", out_col="_cell", normalize=False
+        )
         means = (
             assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
             .groupBy("_cell", "_pos")
@@ -140,25 +300,16 @@ def ivf_topk(
     among its ``nprobe`` nearest centroids. Exact cosine within the probed
     cells; recall grows with nprobe (nprobe = n_cells degenerates to brute
     force). Returns (q_id, n_id, cos, rank)."""
-    c = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm(vec_col).alias("n_nrm"),
-        assign_cells(_unit(vec_col), centroids).alias("cell"),
+    c = assign_cells_df(
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(vec_col).alias("n_nrm"),
+        ),
+        centroids,
+        vec_col="n_vec",
     )
-    # probe list: explode the per-query score array, keep nprobe best cells
-    q_scored = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(vec_col).alias("q_nrm"),
-        F.posexplode(_score_array(_unit(vec_col), centroids)).alias("cell", "_dist"),
-    )
-    probe_w = Window.partitionBy("q_id").orderBy(F.col("_dist").asc(), F.col("cell").asc())
-    probes = (
-        q_scored.withColumn("_pr", F.row_number().over(probe_w))
-        .filter(F.col("_pr") <= nprobe)
-        .select("q_id", "q_vec", "q_nrm", "cell")
-    )
+    probes = probe_cells_df(queries, centroids, nprobe, id_col, vec_col)
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
@@ -200,11 +351,14 @@ def build_ivf_index(
     spark = corpus.sparkSession
     centroids = kmeans_centroids(corpus, vec_col, id_col, n_cells, iters)
     (
-        corpus.select(
-            F.col(id_col).alias("n_id"),
-            F.col(vec_col).alias("n_vec"),
-            norm(vec_col).alias("n_nrm"),
-            assign_cells(_unit(vec_col), centroids).alias("cell"),
+        assign_cells_df(
+            corpus.select(
+                F.col(id_col).alias("n_id"),
+                F.col(vec_col).alias("n_vec"),
+                norm(vec_col).alias("n_nrm"),
+            ),
+            centroids,
+            vec_col="n_vec",
         )
         .sortWithinPartitions("cell", "n_id")
         .write.partitionBy("cell")
@@ -240,18 +394,7 @@ def ivf_topk_from_index(
     with the same centroids."""
     centroids = load_centroids(spark, path)
     c = spark.read.parquet(f"{path}/vectors")
-    q_scored = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(vec_col).alias("q_nrm"),
-        F.posexplode(_score_array(_unit(vec_col), centroids)).alias("cell", "_dist"),
-    )
-    probe_w = Window.partitionBy("q_id").orderBy(F.col("_dist").asc(), F.col("cell").asc())
-    probes = (
-        q_scored.withColumn("_pr", F.row_number().over(probe_w))
-        .filter(F.col("_pr") <= nprobe)
-        .select("q_id", "q_vec", "q_nrm", "cell")
-    )
+    probes = probe_cells_df(queries, centroids, nprobe, id_col, vec_col)
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("q_id") != F.col("n_id"))

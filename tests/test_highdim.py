@@ -76,6 +76,69 @@ def test_assign_cells_dim1536_analysis_and_correctness(spark):
         assert r.cell == want, f"vec {r.vec_id}: {r.cell} != {want}"
 
 
+def test_assign_cells_arrow_256cells_dim1536(spark):
+    """Production cell count (256 > ARROW_CELL_THRESHOLD): assignment must
+    go through the broadcast-matrix mapInPandas path — plan size and
+    analysis time stay O(1) in k — and agree with a driver-side numpy
+    reference of the same score formula."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        assign_cells_df,
+    )
+
+    rng = np.random.default_rng(11)
+    centroids = [rng.normal(size=DIM) for _ in range(256)]
+    df = _vectors(spark, 300)
+    t0 = time.perf_counter()
+    assigned = assign_cells_df(df, centroids, vec_col="embedding")
+    assigned.schema  # forces analysis
+    analysis = time.perf_counter() - t0
+    assert analysis < 10.0, f"analysis took {analysis:.1f}s"
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert len(plan.splitlines()) < 60, "plan tree grew with n_cells"
+
+    rows = assigned.collect()
+    assert rows == assigned.collect()  # deterministic
+    cs = np.stack(centroids)
+    c_sq = (cs * cs).sum(axis=1)
+    for r in rows[:20]:
+        v = np.asarray(r.embedding, dtype="float64")
+        u = v / (np.linalg.norm(v) or 1.0)
+        want = int(np.argmin(-2.0 * (cs @ u) + c_sq))
+        assert r.cell == want, f"vec {r.vec_id}: {r.cell} != {want}"
+
+
+def test_probe_cells_arrow_matches_literal_path(spark, monkeypatch):
+    """Forcing the Arrow path at small k (threshold monkeypatched to 1)
+    must reproduce the plan-literal path exactly — probe sets AND corpus
+    cell assignments — proving the two physical strategies are one
+    logical operator."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import ivf
+
+    rng = np.random.default_rng(3)
+    centroids = [np.round(rng.normal(size=32), 6) for _ in range(12)]
+    df = _vectors(spark, 120, dim=32)
+
+    lit_assign = sorted(
+        (r.vec_id, r.cell)
+        for r in ivf.assign_cells_df(df, centroids, vec_col="embedding").collect()
+    )
+    lit_probe = sorted(
+        (r.q_id, r.cell)
+        for r in ivf.probe_cells_df(df, centroids, nprobe=3).collect()
+    )
+    monkeypatch.setattr(ivf, "ARROW_CELL_THRESHOLD", 1)
+    arrow_assign = sorted(
+        (r.vec_id, r.cell)
+        for r in ivf.assign_cells_df(df, centroids, vec_col="embedding").collect()
+    )
+    arrow_probe = sorted(
+        (r.q_id, r.cell)
+        for r in ivf.probe_cells_df(df, centroids, nprobe=3).collect()
+    )
+    assert lit_assign == arrow_assign
+    assert lit_probe == arrow_probe
+
+
 def test_kmeans_dim1536_runs_and_is_deterministic(spark):
     corpus = _vectors(spark, 80)
     t0 = time.perf_counter()
