@@ -21,17 +21,31 @@ drops the bookkeeping column.
 **Reader atomicity (commit manifest).** Dynamic overwrite alone is
 idempotent but not atomic-with-readers: a reader concurrent with an
 in-flight batch write could glimpse a partial ``_batch_id`` partition.
-So each batch is COMMITTED only after its data write finishes: a marker
-file lands in ``<table>/_commits/<batch_id>.json`` via write-temp +
-atomic rename, and ``read_silver`` filters to committed batch ids (a
+So each batch is COMMITTED only after its data write finishes: the
+committed set lives in ONE swap-atomic manifest file
+(``<table>/_commits/manifest.json``) updated by write-temp + fsync +
+rename, and ``read_silver`` filters to committed batch ids (a
 partition-pruning ``isin`` on the 8-byte batch column — the driver holds
 one int per batch, nothing else). The ``_``-prefixed directory is
-invisible to parquet discovery, like ``_spark_metadata``. Remaining
-window, stated honestly: a retry of a batch whose data AND marker both
-landed (crash between marker and checkpoint commit) briefly rewrites an
-already-visible partition — closing that needs snapshot isolation
-(Delta/Iceberg); on a cluster the same protocol runs through the Hadoop
-FileSystem rename.
+invisible to parquet discovery, like ``_spark_metadata``. Readers see
+either the old committed set or the new one, never a torn state, and the
+single file means one read (no listing) on every storage backend.
+
+**Retry window: closed.** The historical gap — a crash between manifest
+update and checkpoint commit causing the retried batch to REWRITE an
+already-visible partition — is closed by making the manifest the single
+source of truth of batch completion: ``write_batch_idempotent`` treats an
+already-committed batch id as a finished write and SKIPS the data write
+entirely (the partition's contents were final the instant its manifest
+entry landed; the retry only needs the checkpoint to advance). This is
+the same txn-id dedup Delta's idempotent writes use. No snapshot
+isolation is required because committed partitions are never rewritten.
+
+The manifest I/O is driver-local ``os`` file I/O, correct for
+``file:``-scheme tables (this container). For object-store/HDFS paths it
+FAILS CLOSED (raises) instead of silently dropping the visibility
+guarantee — at cluster scale, route these helpers through the Hadoop
+FileSystem API (same write-temp + rename protocol; see SCALING.md).
 """
 
 from __future__ import annotations
@@ -52,36 +66,92 @@ BATCH_COL = "_batch_id"
 COMMITS_DIR = "_commits"
 
 
+#: the single swap-atomic manifest file enumerating committed batch ids
+MANIFEST = "manifest.json"
+
+
 def _commits_path(target_path: str) -> str:
     return os.path.join(target_path, COMMITS_DIR)
 
 
+def _require_local(target_path: str, op: str) -> str:
+    """The manifest helpers use driver-local ``os`` I/O. A remote-scheme
+    path (hdfs://, s3a://, gs://, ...) would silently bypass the
+    whole-batch visibility guarantee, so fail CLOSED with a pointer at the
+    cluster-scale fix instead of failing open. ``file:`` URIs are local —
+    strip the scheme."""
+    if target_path.startswith("file:"):
+        return target_path[len("file:"):] or "/"
+    if "://" in target_path:
+        raise NotImplementedError(
+            f"{op}: commit-manifest I/O for non-local path {target_path!r} "
+            "must go through the Hadoop FileSystem API (write-temp + rename, "
+            "same protocol); driver-local os I/O would fail open. See "
+            "SCALING.md."
+        )
+    return target_path
+
+
+def _read_manifest(d: str) -> set[int]:
+    """Committed ids from the manifest file, merged with any legacy
+    per-batch ``<id>.json`` markers (pre-manifest tables migrate on their
+    next commit)."""
+    ids: set[int] = set()
+    mpath = os.path.join(d, MANIFEST)
+    if os.path.isfile(mpath):
+        try:
+            with open(mpath) as f:
+                ids.update(int(b) for b in json.load(f).get("batch_ids", []))
+        except (json.JSONDecodeError, ValueError, OSError):
+            # a torn manifest is impossible via os.replace; treat garbage
+            # as corruption and fail loudly rather than un-commit batches
+            raise RuntimeError(f"corrupt commit manifest: {mpath}")
+    for name in os.listdir(d):
+        if name.endswith(".json") and name != MANIFEST:
+            try:
+                ids.add(int(name[: -len(".json")]))
+            except ValueError:
+                continue
+    return ids
+
+
 def record_commit(target_path: str, batch_id: int) -> None:
-    """Mark ``batch_id`` committed: write the marker to a temp file and
-    atomically rename it into ``_commits/``. Readers either see the marker
-    (whole batch visible) or don't (batch invisible) — never a torn state."""
+    """Mark ``batch_id`` committed: rewrite the single manifest file with
+    the full committed set via write-temp + fsync + atomic rename (the
+    directory entry is fsynced too, so the rename survives power loss).
+    Readers either see the old committed set or the new one — never a torn
+    state. Single-writer per table (one streaming query owns a silver
+    table), so the read-modify-write needs no lock."""
+    target_path = _require_local(target_path, "record_commit")
     d = _commits_path(target_path)
     os.makedirs(d, exist_ok=True)
+    ids = _read_manifest(d)
+    ids.add(int(batch_id))
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"batch_id": int(batch_id)}, f)
-    os.replace(tmp, os.path.join(d, f"{int(batch_id)}.json"))
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": 1, "batch_ids": sorted(ids)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, MANIFEST))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def committed_batches(target_path: str) -> list[int] | None:
     """Committed batch ids, or None when the table has no manifest (a
     batch-backfilled table without ``_batch_id`` bookkeeping)."""
+    target_path = _require_local(target_path, "committed_batches")
     d = _commits_path(target_path)
     if not os.path.isdir(d):
         return None
-    out = []
-    for name in os.listdir(d):
-        if name.endswith(".json"):
-            try:
-                out.append(int(name[: -len(".json")]))
-            except ValueError:
-                continue
-    return sorted(out)
+    return sorted(_read_manifest(d))
 
 
 def write_batch_idempotent(
@@ -95,7 +165,15 @@ def write_batch_idempotent(
     are replaced, so re-running a batch id (Spark's at-least-once retry)
     yields byte-identical silver state instead of duplicates. Business
     partition columns nest UNDER the batch partition, so month-pruned reads
-    still prune (parquet partition discovery handles both levels)."""
+    still prune (parquet partition discovery handles both levels).
+
+    An ALREADY-COMMITTED batch id is a completed write being retried
+    (crash landed between manifest update and checkpoint commit): the
+    data write is SKIPPED so the visible partition is never rewritten —
+    this is what closes the marker-vs-checkpoint retry window."""
+    committed = committed_batches(target_path)
+    if committed is not None and int(batch_id) in committed:
+        return
     (
         out.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -156,13 +234,17 @@ def backfill(
     """One-time seed of a silver table from existing bronze rows — the
     INSERT...SELECT backfill path (reference: DDL 474-613), sharing the
     exact transform function with the streaming maintenance."""
+    # check BEFORE the data write: a remote path's stale manifest could not
+    # be dropped below, which would fail open — raise up front instead of
+    # leaving a half-done overwrite (matches record_commit's posture)
+    local_path = _require_local(target_path, "backfill")
     writer = transform(source).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(target_path)
     # a full overwrite invalidates any previous batch bookkeeping; drop a
     # stale manifest so read_silver doesn't filter the reseeded table away
-    d = _commits_path(target_path)
+    d = _commits_path(local_path)
     if os.path.isdir(d):
         import shutil
 

@@ -311,3 +311,130 @@ def test_backfill_clears_stale_manifest(spark, tmpdir):
     assert committed_batches(silver) is None
     got = {(r["id"], r["v"]) for r in read_silver(spark, silver).collect()}
     assert got == {("N1", 10), ("N2", 20)}
+
+
+def test_crash_between_data_write_and_manifest(spark, tmpdir):
+    """Crash injection leg 1: the process dies AFTER the batch's data files
+    land but BEFORE the manifest records it. The batch must stay invisible,
+    and the retry must complete it exactly once."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    silver = f"{tmpdir}/silver_crash1"
+    b0 = spark.createDataFrame([("E1", 1)], "id string, v int")
+    maintenance.write_batch_idempotent(b0, 0, silver)
+
+    # batch 1: kill between the parquet write and record_commit
+    b1 = spark.createDataFrame([("E2", 2), ("E3", 3)], "id string, v int")
+    orig = maintenance.record_commit
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash before manifest update")
+
+    maintenance.record_commit = _boom
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected crash"):
+            maintenance.write_batch_idempotent(b1, 1, silver)
+    finally:
+        maintenance.record_commit = orig
+
+    # data is on disk, but the batch is NOT committed and NOT visible
+    assert maintenance.committed_batches(silver) == [0]
+    got = {(r["id"], r["v"]) for r in maintenance.read_silver(spark, silver).collect()}
+    assert got == {("E1", 1)}, "half-committed batch leaked to readers"
+
+    # retry (Spark re-runs the batch from the checkpoint WAL): completes it
+    maintenance.write_batch_idempotent(b1, 1, silver)
+    assert maintenance.committed_batches(silver) == [0, 1]
+    got = {(r["id"], r["v"]) for r in maintenance.read_silver(spark, silver).collect()}
+    assert got == {("E1", 1), ("E2", 2), ("E3", 3)}
+
+
+def test_crash_between_manifest_and_checkpoint_skips_rewrite(spark, tmpdir):
+    """Crash injection leg 2 (the historical retry window): data AND
+    manifest landed, the crash hit before the streaming checkpoint
+    advanced, so Spark retries the batch. The retry must NOT rewrite the
+    already-visible partition — the data files must be untouched even if
+    the retried transform would produce different bytes."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    silver = f"{tmpdir}/silver_crash2"
+    b0 = spark.createDataFrame([("E1", 1), ("E2", 2)], "id string, v int")
+    maintenance.write_batch_idempotent(b0, 0, silver)
+    part_dir = os.path.join(silver, "_batch_id=0")
+    before = {
+        f: os.path.getmtime(os.path.join(part_dir, f))
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    }
+    assert before, "expected parquet files in the batch partition"
+
+    # the retry delivers a DIFFERENT frame for the same batch id (e.g. a
+    # nondeterministic transform); the committed partition must win
+    b0_retry = spark.createDataFrame([("X9", 99)], "id string, v int")
+    maintenance.write_batch_idempotent(b0_retry, 0, silver)
+
+    after = {
+        f: os.path.getmtime(os.path.join(part_dir, f))
+        for f in os.listdir(part_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before, "retry rewrote an already-committed partition"
+    got = {(r["id"], r["v"]) for r in maintenance.read_silver(spark, silver).collect()}
+    assert got == {("E1", 1), ("E2", 2)}
+
+
+def test_manifest_is_single_swap_atomic_file(spark, tmpdir):
+    """The committed set lives in one manifest.json (no per-batch marker
+    litter, no temp leftovers), and legacy per-batch markers from a
+    pre-manifest table merge into it on the next commit."""
+    import json
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    silver = f"{tmpdir}/silver_manifest"
+    b = spark.createDataFrame([("E1", 1)], "id string, v int")
+    maintenance.write_batch_idempotent(b, 0, silver)
+    maintenance.write_batch_idempotent(
+        spark.createDataFrame([("E2", 2)], "id string, v int"), 1, silver
+    )
+    d = os.path.join(silver, "_commits")
+    names = sorted(os.listdir(d))
+    assert names == ["manifest.json"], f"unexpected commit files: {names}"
+    with open(os.path.join(d, "manifest.json")) as f:
+        doc = json.load(f)
+    assert doc["batch_ids"] == [0, 1]
+
+    # legacy migration: a pre-manifest marker merges on the next commit
+    with open(os.path.join(d, "7.json"), "w") as f:
+        json.dump({"batch_id": 7}, f)
+    assert maintenance.committed_batches(silver) == [0, 1, 7]
+    maintenance.record_commit(silver, 2)
+    assert maintenance.committed_batches(silver) == [0, 1, 2, 7]
+
+
+def test_manifest_remote_path_fails_closed():
+    """Driver-local manifest I/O on an object-store path must raise (not
+    silently drop the visibility guarantee), and file: URIs must work."""
+    import pytest
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    with pytest.raises(NotImplementedError, match="Hadoop FileSystem"):
+        maintenance.committed_batches("s3a://bucket/table")
+    with pytest.raises(NotImplementedError, match="Hadoop FileSystem"):
+        maintenance.record_commit("gs://bucket/table", 0)
+    # file: scheme is local: no raise, no manifest -> None
+    assert maintenance.committed_batches("file:/nonexistent/table") is None
