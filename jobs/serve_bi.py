@@ -107,9 +107,14 @@ _STRING_LIT_RE = re.compile(r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.)*\"")
 
 def _plan_node_names(jplan, out: list, depth: int = 0) -> None:
     """Collect simple class names of every node in a parsed (unresolved)
-    logical plan, including subquery/CTE inner plans."""
+    logical plan, including subquery/CTE inner plans. Fails CLOSED on
+    pathological nesting: returning silently at the cap would leave the
+    deeper nodes unscanned — an attacker could bury a Command below it."""
     if depth > 500:
-        return
+        raise ValueError(
+            "read-only endpoint: statement nesting exceeds the 500-level "
+            "scan cap; rejected"
+        )
     out.append(jplan.getClass().getSimpleName())
     children = jplan.children()
     for i in range(children.size()):

@@ -87,15 +87,28 @@ def compact_partitions(
     # buckets (per-partition row counts via a broadcast self-agg join) so
     # an oversized partition splits into target-sized files while small
     # partitions stay one file.
-    counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("_part_rows"))
-    spread = F.xxhash64(*order_by) if order_by else F.xxhash64(F.rand())
+    counts = df.groupBy(F.col(partition_col).alias("_pc")).agg(
+        F.count(F.lit(1)).alias("_part_rows")
+    )
+    # spread MUST be deterministic: this stage feeds an overwrite of its
+    # own source table, and a nondeterministic expression (rand) under a
+    # repartition is the classic task-retry duplicate/lost-row hazard —
+    # recomputation must land every row in the same bucket. Fall back to
+    # hashing ALL columns when no order_by is given.
+    spread = F.xxhash64(*(order_by if order_by else df.columns))
     buckets = F.greatest(
         F.lit(1), F.ceil(F.col("_part_rows") / F.lit(target_rows_per_file))
     )
+    # eqNullSafe: a NULL partition value (__HIVE_DEFAULT_PARTITION__) must
+    # join its row count like any other partition — a plain equi-join
+    # would silently drop those rows from the rewrite and dynamic
+    # overwrite would leave the null partition permanently uncompacted
     bucketed = (
-        df.join(F.broadcast(counts), partition_col)
+        df.join(
+            F.broadcast(counts), F.col(partition_col).eqNullSafe(F.col("_pc"))
+        )
         .withColumn("_compact_bucket", F.pmod(spread, buckets).cast("int"))
-        .drop("_part_rows")
+        .drop("_part_rows", "_pc")
     )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

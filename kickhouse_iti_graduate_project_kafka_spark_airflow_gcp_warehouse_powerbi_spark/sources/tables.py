@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -54,7 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for c in nanos_cols:
             if isinstance(df.schema[c].dataType, LongType):
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-            else:
+            elif isinstance(df.schema[c].dataType, TimestampNTZType):
                 # TIMESTAMP(MICROS) vintage surfaces as TIMESTAMP_NTZ. The
                 # naive wall clock is nominally UTC (same convention the
                 # nanos vintage encoded as epoch micros). A bare NTZ→LTZ
@@ -70,6 +70,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                         "timestamp"
                     ),
                 )
+            # else: already TimestampType (a micros-adjusted-to-UTC fixture
+            # vintage) — an instant needs NO conversion; running the NTZ
+            # shift here would double-shift under a non-UTC session tz
         return df
     return spark.read.parquet(path)
 

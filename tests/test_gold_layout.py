@@ -61,3 +61,31 @@ def test_write_gold_sorted_within_partition(spark, sf_small, tmpdir):
     )
     vals = [(r["o_orderdate"], r["o_orderkey"]) for r in one]
     assert vals == sorted(vals)  # row order inside the partition is the sort key
+
+
+def test_compact_preserves_null_partition_and_rows(spark, tmpdir):
+    """r03 ADVICE: compaction must not drop rows whose partition value is
+    NULL (__HIVE_DEFAULT_PARTITION__) — the count join is null-safe — and
+    the bucket spread must be deterministic (no rand), so a re-run leaves
+    identical content."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.gold_layout import (
+        compact_partitions,
+    )
+
+    df = spark.createDataFrame(
+        [("2026-01", 1), ("2026-01", 2), (None, 3), (None, 4), ("2026-02", 5)],
+        "month string, v int",
+    )
+    write_gold(df, f"{tmpdir}/t", "month", ["v"])
+    before = {(r["month"], r["v"]) for r in read_gold(spark, f"{tmpdir}/t").collect()}
+    assert before == {("2026-01", 1), ("2026-01", 2), (None, 3), (None, 4), ("2026-02", 5)}
+
+    stats = compact_partitions(spark, f"{tmpdir}/t", "month", ["v"], target_rows_per_file=2)
+    assert stats["rows"] == 5
+    after = {(r["month"], r["v"]) for r in read_gold(spark, f"{tmpdir}/t").collect()}
+    assert after == before, "compaction lost or duplicated rows (null partition?)"
+
+    # deterministic spread: compacting again is a no-op content-wise
+    compact_partitions(spark, f"{tmpdir}/t", "month", ["v"], target_rows_per_file=2)
+    again = {(r["month"], r["v"]) for r in read_gold(spark, f"{tmpdir}/t").collect()}
+    assert again == before
