@@ -208,3 +208,114 @@ def test_bucketed_tiebreak_matches_plain(spark):
     got = asof_join_bucketed(left, right, on=["k"], left_ts="ts", right_ts="ts",
                              bucket_micros=60_000_000, tiebreak="rid").collect()
     assert got[0].r_rid == 3
+
+
+# ---------------------------------------------------------------------------
+# Round-4 verdict #8: boundary fixtures + hypothesis sweep over bucket sizes
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _us(m: int) -> dt.datetime:
+    """Naive datetime m microseconds after the epoch (session tz is UTC)."""
+    return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=m)
+
+
+def test_bucketed_only_match_exactly_at_bucket_boundary(spark):
+    """Every left row's ONLY match sits exactly on a bucket boundary (ts a
+    multiple of bucket_micros): the boundary right row belongs to the NEXT
+    bucket, and the seed row injected at that same boundary instant must
+    lose to it (side -1 < side 0 in sweep order), both directions."""
+    bucket = 10_000_000  # 10 s buckets
+    right = _mk(
+        spark,
+        [("a", 1, _us(0 * bucket)), ("a", 2, _us(1 * bucket)), ("a", 3, _us(2 * bucket))],
+        ["k", "rid", "ts"],
+    )
+    # left rows mid-bucket: backward match = the boundary row opening their
+    # bucket; forward match = the boundary row opening the next bucket
+    left = _mk(
+        spark,
+        [(1, "a", _us(bucket + 5)), (2, "a", _us(2 * bucket + 5))],
+        ["lid", "k", "ts"],
+    )
+    for direction, want in (("backward", {1: 2, 2: 3}), ("forward", {1: 3, 2: None})):
+        plain = {
+            r.lid: r.r_rid
+            for r in asof_join(
+                left, right, on=["k"], left_ts="ts", right_ts="ts", direction=direction
+            ).collect()
+        }
+        bucketed = {
+            r.lid: r.r_rid
+            for r in asof_join_bucketed(
+                left, right, on=["k"], left_ts="ts", right_ts="ts",
+                bucket_micros=bucket, direction=direction,
+            ).collect()
+        }
+        assert plain == want, direction
+        assert bucketed == want, direction
+
+    # left rows exactly ON the boundary: equal timestamps match inclusively
+    left_on = _mk(spark, [(1, "a", _us(bucket))], ["lid", "k", "ts"])
+    for direction in ("backward", "forward"):
+        got = asof_join_bucketed(
+            left_on, right, on=["k"], left_ts="ts", right_ts="ts",
+            bucket_micros=bucket, direction=direction,
+        ).collect()
+        assert got[0].r_rid == 2, direction
+
+
+def test_bucketed_tolerance_voids_seed(spark):
+    """The seed row carries the TRUE right timestamp inside its payload, so
+    tolerance must void a stale seed exactly as the plain sweep does —
+    even though the seed row itself sits at the (recent) bucket boundary."""
+    bucket = 10_000_000
+    right = _mk(spark, [("a", 1, _us(5))], ["k", "rid", "ts"])
+    # left sits 30 buckets later; seed is carried to its bucket boundary
+    left = _mk(spark, [(1, "a", _us(30 * bucket + 17))], ["lid", "k", "ts"])
+    kw = dict(on=["k"], left_ts="ts", right_ts="ts", tolerance_micros=bucket)
+    plain = asof_join(left, right, **kw).collect()
+    bucketed = asof_join_bucketed(left, right, bucket_micros=bucket, **kw).collect()
+    assert plain[0].r_rid is None
+    assert bucketed[0].r_rid is None
+    # sanity: without tolerance both DO match through the seed
+    kw.pop("tolerance_micros")
+    assert asof_join_bucketed(left, right, bucket_micros=bucket, **kw).collect()[0].r_rid == 1
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    bucket=st.integers(min_value=1, max_value=40),
+    right_ts=st.lists(st.integers(min_value=0, max_value=120), min_size=0,
+                      max_size=10, unique=True),
+    left_ts=st.lists(st.integers(min_value=0, max_value=120), min_size=1,
+                     max_size=10, unique=True),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 7, 25]),
+)
+def test_bucketed_equals_plain_property(spark, bucket, right_ts, left_ts,
+                                        direction, tolerance):
+    """Random bucket sizes (1..40 µs) against µs-granularity timestamps in
+    [0, 120]: boundary collisions, empty buckets, seed chains and
+    tolerance voiding all occur by construction; bucketed must equal plain
+    on every draw."""
+    right = _mk(spark, [("a", 1000 + i, _us(m)) for i, m in enumerate(right_ts)]
+                or [("zzz", 0, _us(0))], ["k", "rid", "ts"])
+    left = _mk(spark, [(i, "a", _us(m)) for i, m in enumerate(left_ts)],
+               ["lid", "k", "ts"])
+    kw = dict(on=["k"], left_ts="ts", right_ts="ts", direction=direction)
+    if tolerance is not None:
+        kw["tolerance_micros"] = tolerance
+    plain = {r.lid: r.r_rid for r in asof_join(left, right, **kw).collect()}
+    bucketed = {
+        r.lid: r.r_rid
+        for r in asof_join_bucketed(left, right, bucket_micros=bucket, **kw).collect()
+    }
+    assert bucketed == plain, (bucket, direction, tolerance)
