@@ -58,11 +58,18 @@ def _sweep_priority(names: list[str]) -> list[str]:
         for name, row in rows.items():
             if rnd >= last_round.get(name, 0):
                 last_round[name] = rnd
-                ok = isinstance(row, dict) and bool(
-                    row.get("rows_match")
-                    and row.get("schema_match")
-                    and (row.get("hash_match") is not False)
-                    and row.get("err") is None
+                # 'no_oracle' is the rows-only check working as designed
+                # (hash-dependent operators) — it counts as a pass, or
+                # those 4 rows would permanently squat the re-earn tier
+                # and push genuinely stale queries out of the sweep prefix
+                ok = isinstance(row, dict) and (
+                    row.get("err") == "no_oracle"
+                    or bool(
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and (row.get("hash_match") is not False)
+                        and row.get("err") is None
+                    )
                 )
                 last_pass[name] = ok
     order = {name: i for i, name in enumerate(names)}
