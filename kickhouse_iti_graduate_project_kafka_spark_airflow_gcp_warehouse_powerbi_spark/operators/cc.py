@@ -118,7 +118,12 @@ def connected_components(
     # _small_star's distinct (a shuffle), and adaptive coalescing
     # right-sizes its output as edge sets shrink — an explicit repartition
     # here would be a second full shuffle doing the same work
-    prev_fp = _edge_fingerprint(cur)
+    #
+    # No fingerprint of the INPUT: comparing round k to k-1 starts paying
+    # off after round 1, and an input that is already a star forest still
+    # converges in one extra (cheap) round — the init fingerprint job was
+    # pure overhead on every real call.
+    prev_fp: tuple[int, int] | None = None
     converged = False
     for _ in range(max_iter):
         cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)

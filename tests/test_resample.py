@@ -1,54 +1,30 @@
-"""Grouped-map resample operator: agreement with the engine's own native
-composition (hour-sequence explode + asof_join), grid boundary semantics,
-and the no-boundary-crossing edge."""
+"""Resample operator: the native (grid-explode + as-of sweep) primary and
+its grouped-map (`applyInPandas`) twin must agree exactly; grid boundary
+semantics and the no-boundary-crossing edge."""
 
 import datetime as dt
 
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
-from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.asof import (
-    asof_join,
-)
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.resample import (
     HOUR_US,
     hourly_ffill_resample,
+    hourly_ffill_resample_arrow,
 )
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
     load_table,
 )
 
 
-def _native_composition(ev):
-    """Hour grid via sequence explode, fill via the engine's asof_join."""
-    base = ev.select("user_id", F.unix_micros("ts").alias("us"))
-    grid = (
-        base.groupBy("user_id")
-        .agg(
-            F.floor((F.min("us") + (HOUR_US - 1)) / HOUR_US).alias("h0"),
-            F.floor(F.max("us") / HOUR_US).alias("h1"),
-        )
-        .filter(F.col("h1") >= F.col("h0"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("h0", "h1")).alias("hour_idx"),
-        )
-        .withColumn("gts", F.timestamp_micros(F.col("hour_idx") * HOUR_US))
-    )
-    right = ev.select("user_id", "ts", F.col("value").cast("double").alias("value"))
-    out = asof_join(grid, right, on=["user_id"], left_ts="gts", right_ts="ts")
-    return out.select("user_id", "hour_idx", F.col("r_value").alias("value"))
-
-
 def test_grouped_map_equals_native_composition(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     got = sorted(
         (r.user_id, r.hour_idx, r.value)
-        for r in hourly_ffill_resample(ev).collect()
+        for r in hourly_ffill_resample_arrow(ev).collect()
     )
     expect = sorted(
         (r.user_id, r.hour_idx, r.value)
-        for r in _native_composition(ev).collect()
+        for r in hourly_ffill_resample(ev).collect()
     )
     assert len(got) > 100
     assert got == expect
