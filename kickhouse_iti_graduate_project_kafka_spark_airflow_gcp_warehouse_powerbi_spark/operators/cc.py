@@ -94,6 +94,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 25,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Component labels for an undirected graph given as an edge list.
 
@@ -107,13 +108,20 @@ def connected_components(
     round count is O(log n). A supernode (one doc near-duping millions) is
     a *group* with many rows, handled by map-side partial min — never an
     in-memory neighbor array.
+
+    ``assume_distinct=True`` skips the initial edge dedup (one full
+    shuffle of the edge set) — pass it when the producer guarantees
+    unique edges, e.g. pair generators ending in a groupBy on
+    (src, dst). Duplicate edges would not break correctness anyway
+    (min-aggregations are duplicate-insensitive); the dedup only bounds
+    per-round volume, which a unique-by-construction input already does.
     """
-    cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
+    if not assume_distinct:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint(eager=True)
     # partition sizing per round is AQE's job: every round ends in
     # _small_star's distinct (a shuffle), and adaptive coalescing
     # right-sizes its output as edge sets shrink — an explicit repartition

@@ -60,7 +60,13 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize=False,
     )
     comps = connected_components(
-        pairs, src="a_id", dst="b_id", nodes=docs.select(F.col("doc_id").alias("id"))
+        pairs,
+        src="a_id",
+        dst="b_id",
+        nodes=docs.select(F.col("doc_id").alias("id")),
+        # jaccard pairs end in a groupBy(a_id, b_id): unique by
+        # construction — skip the initial edge-dedup shuffle
+        assume_distinct=True,
     ).persist()
     comps.count()
     release_persisted()  # shingle-index intermediates; pairs/comps stay pinned
