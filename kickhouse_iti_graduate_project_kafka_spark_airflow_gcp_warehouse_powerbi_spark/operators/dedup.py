@@ -609,20 +609,8 @@ def incremental_dedup(
     dropped (any corpus where no shingle exceeds the cap).
     """
     corpus_fp = corpus.select(fingerprint64(text_col).alias("_fp")).distinct()
-    batch_fp = batch.select(
-        F.col(id_col).alias("_id"), fingerprint64(text_col).alias("_fp")
-    )
-    exact = batch_fp.join(
-        corpus_fp.withColumn("_hit", F.lit(True)), "_fp", "left"
-    ).select("_id", F.coalesce("_hit", F.lit(False)).alias("is_exact_dup"))
-
     c_sh = shingle_rows(corpus, text_col, id_col, n).select(
         F.col("_id").alias("_cid"), F.xxhash64("_sh").alias("_h")
-    )
-    b_sh = _persist(
-        shingle_rows(batch, text_col, id_col, n).select(
-            F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h")
-        )
     )
     if max_shingle_freq is not None:
         # hot-key guard on the CORPUS posting lists (the big side)
@@ -634,6 +622,37 @@ def incremental_dedup(
         )
     c_sh = _persist(c_sh)
     c_sizes = c_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs"))
+    return _classify_batch(
+        batch, corpus_fp, c_sh, c_sizes, text_col, id_col, n, threshold
+    )
+
+
+def _classify_batch(
+    batch: DataFrame,
+    corpus_fp: DataFrame,
+    c_sh: DataFrame,
+    c_sizes: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Shared classification tail of incremental dedup: batch fingerprints
+    vs corpus fingerprint set, batch shingles vs corpus inverted index
+    (``c_sh``: (_cid, _h) guard-filtered; ``c_sizes``: (_cid, _cs) sizes
+    over the SAME filtered universe)."""
+    batch_fp = batch.select(
+        F.col(id_col).alias("_id"), fingerprint64(text_col).alias("_fp")
+    )
+    exact = batch_fp.join(
+        corpus_fp.withColumn("_hit", F.lit(True)), "_fp", "left"
+    ).select("_id", F.coalesce("_hit", F.lit(False)).alias("is_exact_dup"))
+
+    b_sh = _persist(
+        shingle_rows(batch, text_col, id_col, n).select(
+            F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h")
+        )
+    )
     b_sizes = b_sh.groupBy("_bid").agg(F.count(F.lit(1)).alias("_bs"))
     inter = (
         b_sh.join(c_sh, "_h")
@@ -666,6 +685,88 @@ def incremental_dedup(
             F.round(F.coalesce("best_jaccard", F.lit(0.0)), 4).alias("best_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted dedup index: build once at ingest, classify batches forever —
+# the steady state of a production corpus (mirrors the IVF index lifecycle
+# in operators/ivf.py: fit/assign at ingest, query many times).
+# --------------------------------------------------------------------------
+def build_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_shingle_freq: int | None = 1000,
+) -> dict:
+    """Materialize the corpus-side state of :func:`incremental_dedup`:
+
+    - ``{path}/fingerprints`` — distinct exact-dup fingerprints (8 B/doc);
+    - ``{path}/shingles``    — the guard-filtered inverted index
+      (doc id, 64-bit shingle hash), the ONE full-text scan the corpus
+      ever pays;
+    - ``{path}/sizes``       — per-doc shingle counts over the SAME
+      filtered universe (so scores match the direct operator exactly);
+    - ``{path}/meta``        — (n, max_shingle_freq, n_docs) so classify
+      can refuse a parameter mismatch instead of silently mis-scoring.
+
+    Every arriving batch then classifies against parquet — no re-scan,
+    no re-shingle of corpus text. Returns {n_docs, n_shingles}."""
+    spark = corpus.sparkSession
+    corpus_fp = corpus.select(fingerprint64(text_col).alias("_fp")).distinct()
+    corpus_fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
+
+    c_sh = shingle_rows(corpus, text_col, id_col, n).select(
+        F.col("_id").alias("_cid"), F.xxhash64("_sh").alias("_h")
+    )
+    if max_shingle_freq is not None:
+        wf = Window.partitionBy("_h")
+        c_sh = (
+            c_sh.withColumn("_freq", F.count(F.lit(1)).over(wf))
+            .filter(F.col("_freq") <= max_shingle_freq)
+            .drop("_freq")
+        )
+    c_sh = _persist(c_sh)
+    c_sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    c_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sizes")
+    n_docs = corpus.count()
+    n_shingles = c_sh.count()
+    release_persisted()
+    spark.createDataFrame(
+        [(int(n), -1 if max_shingle_freq is None else int(max_shingle_freq), n_docs)],
+        "n int, max_shingle_freq int, n_docs long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    return {"n_docs": n_docs, "n_shingles": n_shingles}
+
+
+def incremental_dedup_indexed(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Classify a batch against a :func:`build_dedup_index` corpus index.
+    Output and scores are identical to :func:`incremental_dedup` on the
+    original corpus (equivalence-tested); cost is |batch| work plus a
+    hash-join against the parquet inverted index — corpus text is never
+    touched again."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    out = _classify_batch(
+        batch,
+        spark.read.parquet(f"{path}/fingerprints"),
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/sizes"),
+        text_col,
+        id_col,
+        int(meta["n"]),
+        threshold,
+    )
+    return out
 
 
 def duplicate_span_stats(

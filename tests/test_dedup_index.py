@@ -1,0 +1,106 @@
+"""Persisted dedup index: indexed classification must equal the direct
+batch-vs-corpus operator exactly; parameters round-trip through meta;
+the job entrypoint drives build + classify."""
+
+import json
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+    build_dedup_index,
+    incremental_dedup,
+    incremental_dedup_indexed,
+    release_persisted,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="kickhouse-dedupidx-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_indexed_equals_direct(spark, sf_small, tmpdir):
+    docs = load_table(spark, sf_small, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    stats = build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    assert stats["n_docs"] == corpus.count()
+    assert stats["n_shingles"] > 0
+
+    direct = incremental_dedup(corpus, batch, "text", "doc_id")
+    indexed = incremental_dedup_indexed(
+        spark, f"{tmpdir}/idx", batch, "text", "doc_id"
+    )
+    assert _canon(indexed) == _canon(direct)
+    release_persisted()
+
+
+def test_indexed_flags_exact_and_near_dups(spark, tmpdir):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different sentence about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact
+            (11, "the quick brown fox jumps over the lazy cat"),  # near
+            (12, "completely unrelated text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_dedup_indexed(
+            spark, f"{tmpdir}/idx", batch, "text", "doc_id"
+        ).collect()
+    }
+    assert rows[10]["is_exact_dup"] and rows[10]["best_jaccard"] == 1.0
+    assert not rows[11]["is_exact_dup"] and rows[11]["n_near_matches"] == 1
+    assert rows[11]["best_jaccard"] >= 0.5
+    assert not rows[12]["is_exact_dup"] and rows[12]["n_near_matches"] == 0
+    release_persisted()
+
+
+def test_job_build_then_classify(sf_small, tmpdir):
+    env = {"SPARK_GRAFT_SF_DIR": sf_small}
+    import os
+
+    env = {**os.environ, **env}
+    b = subprocess.run(
+        [sys.executable, "jobs/dedup_index.py", "build", "--path", f"{tmpdir}/idx"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert b.returncode == 0, b.stderr[-2000:]
+    doc = json.loads(b.stdout.strip().splitlines()[-1])
+    assert doc["mode"] == "build" and doc["n_docs"] > 0
+
+    c = subprocess.run(
+        [sys.executable, "jobs/dedup_index.py", "classify", "--path", f"{tmpdir}/idx"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert c.returncode == 0, c.stderr[-2000:]
+    doc = json.loads(c.stdout.strip().splitlines()[-1])
+    assert doc["mode"] == "classify" and doc["batch_docs"] > 0
+    # the demo batch is drawn FROM the indexed corpus: every doc is an
+    # exact dup of itself
+    assert doc["exact_dups"] == doc["batch_docs"]
