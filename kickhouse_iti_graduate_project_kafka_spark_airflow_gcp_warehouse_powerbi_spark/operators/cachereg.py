@@ -1,0 +1,36 @@
+"""Session-scoped persist registry shared by operators.
+
+Operators persist intermediates their returned LAZY DataFrame consumes
+(shingle indexes, tagged as-of legs), so they cannot unpersist before the
+caller's action runs. Every such persist registers here; a long-lived
+session (the driver's 100+-query sweep, a BI server) calls
+:func:`release_tracked` once consuming actions finish. Unpersist is
+correctness-safe at any time — lineage recomputes — so an early release
+costs at most a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for bulk release."""
+    df = df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked DataFrame; returns how many were released."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n

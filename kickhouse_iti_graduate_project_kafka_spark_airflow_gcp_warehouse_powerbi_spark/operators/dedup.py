@@ -30,36 +30,13 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint64, shingles_from_tokens, tokens
 
 # ---------------------------------------------------------------------------
-# Persist lifecycle. Operators persist intermediates (shingle indexes) that
-# the returned lazy DataFrame consumes, so they cannot unpersist before the
-# caller's action runs. Every persist goes through _persist() so a session
-# running many queries (the driver's 100+-query sweep, a long-lived BI
-# driver) can release accumulated cache with release_persisted() once the
-# consuming action finishes — unpersist is correctness-safe at any time
-# (lineage recomputes), so an early release costs at most a recompute.
+# Persist lifecycle: delegated to the shared operators/cachereg.py registry
+# (the as-of operators track persists there too). release_persisted() keeps
+# its historical name/behavior: it releases EVERY tracked intermediate.
 # ---------------------------------------------------------------------------
 
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def release_persisted() -> int:
-    """Unpersist every intermediate this module has persisted; returns how
-    many were released. Call after the consuming action (collect/write)."""
-    n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:  # session already stopped — nothing to release
-            pass
-    return n
+from .cachereg import release_tracked as release_persisted  # noqa: F401
+from .cachereg import track as _persist
 
 
 #: (cache_key, text_col, id_col, n, threshold, guard) -> persisted pair DF.

@@ -387,12 +387,16 @@ def test_persist_lifecycle_and_pair_cache(spark, sf_small):
     dedup.release_persisted()
     docs = load_table(spark, sf_small, "documents")
 
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
+        cachereg,
+    )
+
     p1 = dedup.jaccard_pairs_cached(docs, "text", "doc_id", cache_key=sf_small)
     # intermediates were released inside the cached call
-    assert not dedup._PERSISTED
+    assert not cachereg._TRACKED
     # second call is a cache hit: same object, no new persists
     p2 = dedup.jaccard_pairs_cached(docs, "text", "doc_id", cache_key=sf_small)
-    assert p2 is p1 and not dedup._PERSISTED
+    assert p2 is p1 and not cachereg._TRACKED
     # cached pairs equal a fresh computation
     fresh = sorted(
         (r.a_id, r.b_id) for r in
@@ -402,10 +406,10 @@ def test_persist_lifecycle_and_pair_cache(spark, sf_small):
     assert sorted((r.a_id, r.b_id) for r in p1.collect()) == fresh
 
     # plain operator tracks its persists and releases them all
-    before = len(dedup._PERSISTED)
+    before = len(cachereg._TRACKED)
     df = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
     df.count()
-    assert len(dedup._PERSISTED) > before
+    assert len(cachereg._TRACKED) > before
     released = dedup.release_persisted()
-    assert released >= 1 and not dedup._PERSISTED
+    assert released >= 1 and not cachereg._TRACKED
     dedup.clear_pair_cache()
