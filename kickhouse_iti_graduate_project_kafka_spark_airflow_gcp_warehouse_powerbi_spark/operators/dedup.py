@@ -175,7 +175,13 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     faster than interpreted higher-order array functions). Documents
     shorter than ``n`` tokens yield no rows. At 100 TB this is the narrow
     stage every dedup operator pays; it now costs one regex scan of the
-    text, no exchange, no sort."""
+    text, no exchange, no sort.
+
+    Per-row memory is O(document tokens) — the match list and its
+    distinct copy live in one row before the explode (as the token array
+    did on the old path). Normal corpus documents (<= a few MB) are fine;
+    pre-chunk pathological multi-GB rows before shingling, as any per-row
+    text operator here requires."""
     pat = r"(?:^| )(?=((?:\S+ ){" + str(n - 1) + r"}\S+))"
     norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return df.select(

@@ -338,6 +338,7 @@ def docs_percentiles_approx_invariant(spark: SparkSession, sf_dir: str) -> DataF
 
 @register(
     "docs_token_shards",
+    bench=True,
     tags=("shards", "WF1"),
     oracle=r"""
     WITH w AS (

@@ -39,6 +39,7 @@ def events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- query_2 shape: hourly time-bucketed counts (A2) ----------------------
 @register(
     "events_hourly_counts",
+    bench=True,
     tags=("A2",),
     oracle="""
     SELECT DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n
@@ -240,6 +241,7 @@ def json_payload_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- sessionization (gap-based) — ST10 extension --------------------------
 @register(
     "user_sessions_30min",
+    bench=True,
     tags=("ST10", "WF2", "extension"),
     oracle="""
     WITH flagged AS (

@@ -54,6 +54,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf_label_cell",
+    bench=True,
     tags=("similarity", "ANN"),
     oracle="""
     WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 5)
