@@ -23,8 +23,8 @@ idempotent but not atomic-with-readers: a reader concurrent with an
 in-flight batch write could glimpse a partial ``_batch_id`` partition.
 So each batch is COMMITTED only after its data write finishes: the
 committed set lives in ONE swap-atomic manifest file
-(``<table>/_commits/manifest.json``) updated by write-temp + fsync +
-rename, and ``read_silver`` filters to committed batch ids (a
+(``<table>/_commits/manifest.json``) updated by write-temp + sync +
+atomic rename, and ``read_silver`` filters to committed batch ids (a
 partition-pruning ``isin`` on the 8-byte batch column — the driver holds
 one int per batch, nothing else). The ``_``-prefixed directory is
 invisible to parquet discovery, like ``_spark_metadata``. Readers see
@@ -41,18 +41,46 @@ entry landed; the retry only needs the checkpoint to advance). This is
 the same txn-id dedup Delta's idempotent writes use. No snapshot
 isolation is required because committed partitions are never rewritten.
 
-The manifest I/O is driver-local ``os`` file I/O, correct for
-``file:``-scheme tables (this container). For object-store/HDFS paths it
-FAILS CLOSED (raises) instead of silently dropping the visibility
-guarantee — at cluster scale, route these helpers through the Hadoop
-FileSystem API (same write-temp + rename protocol; see SCALING.md).
+**Stream identity (txn app id).** Skipping by bare batch id alone would
+be unsafe across stream *restarts with a reset checkpoint*: batch ids
+restart at 0, so every early batch of the new stream would be silently
+dropped while its checkpoint advanced — permanent data loss. The manifest
+therefore records a ``run_id`` (Delta's ``txnAppId`` analogue): the
+streaming query id persisted in the checkpoint's ``metadata`` file, which
+is stable across restarts of the same stream and REGENERATED when the
+checkpoint is reset. A committed batch id is skipped only when the
+manifest's run_id matches the writer's; a mismatch FAILS LOUDLY with
+instructions (drop/backfill the table, or pass a matching
+``txn_app_id``) instead of dropping data. Manifests written before this
+field existed (run_id null) keep the old skip behavior, as does a writer
+that supplies no id — documented legacy compatibility.
+
+**Storage routing.** Manifest I/O goes through one of two equivalent
+backends picked by path scheme:
+
+- schemeless local paths → driver ``os`` I/O: write-temp + ``fsync`` +
+  ``os.replace`` + directory fsync (rename survives power loss);
+- any URI (``file:``, ``hdfs://``, ``s3a://``, ``gs://``, ...) → the
+  Hadoop ``FileSystem`` API via ``spark._jvm``: write-temp + ``hsync``
+  (``hflush`` fallback) + ``FileContext.rename(..., Rename.OVERWRITE)``,
+  the same atomic-swap protocol HDFS guarantees and Delta's HDFSLogStore
+  relies on. ``file:`` URIs exercise this path in tests through Hadoop's
+  LocalFileSystem. On stores without atomic rename (raw S3A without a
+  consistent-rename layer) the single-small-object PUT that the rename
+  degrades into is still a whole-object swap on today's strongly
+  consistent S3; for anything weaker, front the path with a rename-atomic
+  layer as Delta requires. A ``file:`` URI with no active SparkSession
+  falls back to the (identical-FS) local backend so driver-side tools can
+  read manifests without a JVM.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import posixpath
 import tempfile
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,88 +98,233 @@ COMMITS_DIR = "_commits"
 MANIFEST = "manifest.json"
 
 
-def _commits_path(target_path: str) -> str:
-    return os.path.join(target_path, COMMITS_DIR)
+# ---------------------------------------------------------------------------
+# storage backends — one protocol, two implementations
+# ---------------------------------------------------------------------------
 
 
-def _require_local(target_path: str, op: str) -> str:
-    """The manifest helpers use driver-local ``os`` I/O. A remote-scheme
-    path (hdfs://, s3a://, gs://, ...) would silently bypass the
-    whole-batch visibility guarantee, so fail CLOSED with a pointer at the
-    cluster-scale fix instead of failing open. ``file:`` URIs are local —
-    strip the scheme."""
-    if target_path.startswith("file:"):
-        return target_path[len("file:"):] or "/"
-    if "://" in target_path:
-        raise NotImplementedError(
-            f"{op}: commit-manifest I/O for non-local path {target_path!r} "
-            "must go through the Hadoop FileSystem API (write-temp + rename, "
-            "same protocol); driver-local os I/O would fail open. See "
-            "SCALING.md."
-        )
-    return target_path
+class _LocalManifestIO:
+    """Driver-local ``os`` I/O for schemeless paths: the strongest local
+    durability story (fsync file + fsync directory entry)."""
 
+    def isdir(self, p: str) -> bool:
+        return os.path.isdir(p)
 
-def _read_manifest(d: str) -> set[int]:
-    """Committed ids from the manifest file, merged with any legacy
-    per-batch ``<id>.json`` markers (pre-manifest tables migrate on their
-    next commit)."""
-    ids: set[int] = set()
-    mpath = os.path.join(d, MANIFEST)
-    if os.path.isfile(mpath):
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
+    def read_text(self, p: str) -> str | None:
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return f.read()
+
+    def list_names(self, d: str) -> list[str]:
+        return os.listdir(d)
+
+    def write_swap(self, d: str, name: str, text: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         try:
-            with open(mpath) as f:
-                ids.update(int(b) for b in json.load(f).get("batch_ids", []))
-        except (json.JSONDecodeError, ValueError, OSError):
-            # a torn manifest is impossible via os.replace; treat garbage
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(d, name))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        dfd = os.open(d, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def rmtree(self, p: str) -> None:
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+
+
+class _HadoopManifestIO:
+    """Hadoop ``FileSystem`` I/O for URI paths, driven over py4j from the
+    active SparkSession's JVM. The swap uses ``FileContext.rename`` with
+    ``Options.Rename.OVERWRITE`` — the API whose atomicity HDFS
+    guarantees (plain ``FileSystem.rename`` refuses an existing
+    destination, and delete-then-rename would open a no-manifest window
+    in which readers see an empty committed set)."""
+
+    def __init__(self, spark: SparkSession):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._gw = spark.sparkContext._gateway
+
+    def _jpath(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._jpath(p).getFileSystem(self._conf)
+
+    def isdir(self, p: str) -> bool:
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        return bool(fs.exists(jp)) and bool(fs.getFileStatus(jp).isDirectory())
+
+    def mkdirs(self, p: str) -> None:
+        self._fs(p).mkdirs(self._jpath(p))
+
+    def read_text(self, p: str) -> str | None:
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if not fs.exists(jp):
+            return None
+        ins = fs.open(jp)
+        try:
+            # JDK InputStream.readAllBytes: the byte[] comes back by value
+            # as Python bytes (py4j copies byte arrays across the bridge,
+            # so filling a JVM-side buffer via readFully would not be
+            # visible here)
+            return bytes(ins.readAllBytes()).decode("utf-8")
+        finally:
+            ins.close()
+
+    def list_names(self, d: str) -> list[str]:
+        return [s.getPath().getName() for s in self._fs(d).listStatus(self._jpath(d))]
+
+    def write_swap(self, d: str, name: str, text: str) -> None:
+        tmp = f"{d.rstrip('/')}/.{name}.{uuid.uuid4().hex}.tmp"
+        fs = self._fs(d)
+        out = fs.create(self._jpath(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            try:
+                out.hsync()  # durable on HDFS; LocalFileSystem no-ops to flush
+            except Exception:
+                out.hflush()
+        finally:
+            out.close()
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._jvm.java.net.URI(d), self._conf
+        )
+        rename_cls = getattr(self._jvm, "org.apache.hadoop.fs.Options$Rename")
+        opts = self._gw.new_array(rename_cls, 1)
+        opts[0] = rename_cls.OVERWRITE
+        fc.rename(self._jpath(tmp), self._jpath(f"{d.rstrip('/')}/{name}"), opts)
+
+    def rmtree(self, p: str) -> None:
+        fs = self._fs(p)
+        jp = self._jpath(p)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+
+
+def _hadoop_io(spark: SparkSession) -> _HadoopManifestIO:
+    """Factory, separate so tests can monkeypatch a fake backend to prove
+    the routing of non-local schemes without an object store in the box."""
+    return _HadoopManifestIO(spark)
+
+
+def _io_for(target_path: str):
+    """Pick the manifest backend for ``target_path`` and normalize the
+    path the backend should use. Fails CLOSED: a remote URI with no active
+    SparkSession raises rather than silently skipping the visibility
+    protocol."""
+    if "://" not in target_path and not target_path.startswith("file:"):
+        return _LocalManifestIO(), target_path
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        return _hadoop_io(spark), target_path
+    if target_path.startswith("file:"):
+        # same filesystem, same protocol — allow driver-side tools without
+        # a JVM to read local manifests
+        local = target_path[len("file:"):] or "/"
+        return _LocalManifestIO(), local
+    raise RuntimeError(
+        f"commit-manifest I/O for remote path {target_path!r} needs an "
+        "active SparkSession (Hadoop FileSystem access); refusing to fail "
+        "open without the visibility protocol."
+    )
+
+
+def _join(io, base: str, *parts: str) -> str:
+    if isinstance(io, _LocalManifestIO):
+        return os.path.join(base, *parts)
+    return posixpath.join(base.rstrip("/"), *parts)
+
+
+# ---------------------------------------------------------------------------
+# manifest protocol
+# ---------------------------------------------------------------------------
+
+
+def _read_manifest(io, d: str) -> tuple[set[int], str | None]:
+    """(committed ids, run_id) from the manifest file, ids merged with any
+    legacy per-batch ``<id>.json`` markers (pre-manifest tables migrate on
+    their next commit)."""
+    ids: set[int] = set()
+    run_id: str | None = None
+    text = io.read_text(_join(io, d, MANIFEST))
+    if text is not None:
+        try:
+            doc = json.loads(text)
+            ids.update(int(b) for b in doc.get("batch_ids", []))
+            run_id = doc.get("run_id")
+        except (json.JSONDecodeError, ValueError, TypeError):
+            # a torn manifest is impossible via atomic rename; treat garbage
             # as corruption and fail loudly rather than un-commit batches
-            raise RuntimeError(f"corrupt commit manifest: {mpath}")
-    for name in os.listdir(d):
+            raise RuntimeError(f"corrupt commit manifest: {_join(io, d, MANIFEST)}")
+    for name in io.list_names(d):
         if name.endswith(".json") and name != MANIFEST:
             try:
                 ids.add(int(name[: -len(".json")]))
             except ValueError:
                 continue
-    return ids
+    return ids, run_id
 
 
-def record_commit(target_path: str, batch_id: int) -> None:
+def record_commit(target_path: str, batch_id: int, run_id: str | None = None) -> None:
     """Mark ``batch_id`` committed: rewrite the single manifest file with
-    the full committed set via write-temp + fsync + atomic rename (the
-    directory entry is fsynced too, so the rename survives power loss).
+    the full committed set via write-temp + sync + atomic rename-overwrite.
     Readers either see the old committed set or the new one — never a torn
     state. Single-writer per table (one streaming query owns a silver
-    table), so the read-modify-write needs no lock."""
-    target_path = _require_local(target_path, "record_commit")
-    d = _commits_path(target_path)
-    os.makedirs(d, exist_ok=True)
-    ids = _read_manifest(d)
+    table), so the read-modify-write needs no lock.
+
+    ``run_id`` stamps the stream identity that owns this batch sequence
+    (see module docstring); a non-null manifest run_id that differs from a
+    non-null ``run_id`` raises — two streams must not interleave commits
+    into one table."""
+    io, path = _io_for(target_path)
+    d = _join(io, path, COMMITS_DIR)
+    io.mkdirs(d)
+    ids, existing_run = _read_manifest(io, d)
+    if run_id is not None and existing_run is not None and run_id != existing_run:
+        raise RuntimeError(
+            f"silver table {target_path!r} is owned by stream run "
+            f"{existing_run!r} but writer {run_id!r} tried to commit; "
+            "drop/backfill the table or reuse the original checkpoint."
+        )
     ids.add(int(batch_id))
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": 1, "batch_ids": sorted(ids)}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(d, MANIFEST))
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    dfd = os.open(d, os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+    doc = {"version": 2, "batch_ids": sorted(ids), "run_id": run_id or existing_run}
+    io.write_swap(d, MANIFEST, json.dumps(doc))
 
 
 def committed_batches(target_path: str) -> list[int] | None:
     """Committed batch ids, or None when the table has no manifest (a
     batch-backfilled table without ``_batch_id`` bookkeeping)."""
-    target_path = _require_local(target_path, "committed_batches")
-    d = _commits_path(target_path)
-    if not os.path.isdir(d):
+    io, path = _io_for(target_path)
+    d = _join(io, path, COMMITS_DIR)
+    if not io.isdir(d):
         return None
-    return sorted(_read_manifest(d))
+    return sorted(_read_manifest(io, d)[0])
+
+
+def manifest_run_id(target_path: str) -> str | None:
+    """The stream identity recorded in the table's manifest (None for a
+    legacy manifest or a table with no manifest)."""
+    io, path = _io_for(target_path)
+    d = _join(io, path, COMMITS_DIR)
+    if not io.isdir(d):
+        return None
+    return _read_manifest(io, d)[1]
 
 
 def write_batch_idempotent(
@@ -159,6 +332,7 @@ def write_batch_idempotent(
     batch_id: int,
     target_path: str,
     partition_cols: tuple[str, ...] = (),
+    txn_app_id: str | None = None,
 ) -> None:
     """Write one micro-batch's output under ``_batch_id=<batch_id>`` using
     dynamic-partition overwrite: only the partitions present in this batch
@@ -167,13 +341,35 @@ def write_batch_idempotent(
     partition columns nest UNDER the batch partition, so month-pruned reads
     still prune (parquet partition discovery handles both levels).
 
-    An ALREADY-COMMITTED batch id is a completed write being retried
-    (crash landed between manifest update and checkpoint commit): the
-    data write is SKIPPED so the visible partition is never rewritten —
-    this is what closes the marker-vs-checkpoint retry window."""
-    committed = committed_batches(target_path)
-    if committed is not None and int(batch_id) in committed:
-        return
+    An ALREADY-COMMITTED batch id from the SAME stream identity is a
+    completed write being retried (crash landed between manifest update
+    and checkpoint commit): the data write is SKIPPED so the visible
+    partition is never rewritten — this closes the marker-vs-checkpoint
+    retry window. A committed batch id from a DIFFERENT stream identity
+    (checkpoint reset → batch ids restart at 0) raises instead of
+    silently dropping the new stream's data; with no identity on either
+    side (legacy manifests / ad-hoc callers) the skip keeps the historical
+    semantics — resetting a checkpoint then REQUIRES dropping the table
+    manifest (``backfill`` does)."""
+    io, path = _io_for(target_path)
+    d = _join(io, path, COMMITS_DIR)
+    if io.isdir(d):
+        committed, existing_run = _read_manifest(io, d)
+        if int(batch_id) in committed:
+            if (
+                txn_app_id is not None
+                and existing_run is not None
+                and txn_app_id != existing_run
+            ):
+                raise RuntimeError(
+                    f"batch {batch_id} of stream {txn_app_id!r} collides with "
+                    f"a batch committed by stream {existing_run!r} in "
+                    f"{target_path!r} — the checkpoint was reset against an "
+                    "existing silver table. Backfill (drops the manifest) or "
+                    "point the stream at a fresh table; skipping would "
+                    "silently lose this batch."
+                )
+            return
     (
         out.withColumn(BATCH_COL, F.lit(int(batch_id)))
         .write.mode("overwrite")
@@ -181,7 +377,7 @@ def write_batch_idempotent(
         .partitionBy(BATCH_COL, *partition_cols)
         .parquet(target_path)
     )
-    record_commit(target_path, batch_id)  # ONLY after the data write
+    record_commit(target_path, batch_id, run_id=txn_app_id)  # ONLY after the data write
 
 
 def read_silver(spark: SparkSession, target_path: str) -> DataFrame:
@@ -195,6 +391,22 @@ def read_silver(spark: SparkSession, target_path: str) -> DataFrame:
     return df.drop(BATCH_COL)
 
 
+def _checkpoint_query_id(checkpoint: str) -> str | None:
+    """The streaming query id Spark persists at ``<checkpoint>/metadata``
+    on first start — stable across restarts of the same stream, freshly
+    generated when the checkpoint is reset. This is the natural
+    ``txn_app_id``: it changes exactly when batch-id sequences restart."""
+    try:
+        io, path = _io_for(checkpoint)
+        text = io.read_text(_join(io, path, "metadata"))
+        if text is None:
+            return None
+        qid = json.loads(text).get("id")
+        return str(qid) if qid else None
+    except Exception:
+        return None
+
+
 def foreach_batch_transform(
     stream: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
@@ -203,10 +415,16 @@ def foreach_batch_transform(
     partition_cols: tuple[str, ...] = (),
     trigger: str = "5 seconds",
     static_joins: dict[str, DataFrame] | None = None,
+    txn_app_id: str | None = None,
 ) -> StreamingQuery:
     """Maintain a silver table: per micro-batch, apply ``transform`` (the
     same function the batch backfill calls) and write idempotently to
     ``target_path`` (see ``write_batch_idempotent``).
+
+    ``txn_app_id`` defaults to the checkpoint's persisted streaming query
+    id, so a reset checkpoint (new id, batch ids restart at 0) fails
+    loudly against a table committed by the previous stream instead of
+    silently dropping batches.
 
     ``static_joins`` documents the left-driven trigger semantics of the
     reference MVs (J1-J3): the joined parent is a *static snapshot* read
@@ -215,7 +433,10 @@ def foreach_batch_transform(
     """
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch_idempotent(transform(batch_df), batch_id, target_path, partition_cols)
+        app_id = txn_app_id if txn_app_id is not None else _checkpoint_query_id(checkpoint)
+        write_batch_idempotent(
+            transform(batch_df), batch_id, target_path, partition_cols, txn_app_id=app_id
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -234,18 +455,16 @@ def backfill(
     """One-time seed of a silver table from existing bronze rows — the
     INSERT...SELECT backfill path (reference: DDL 474-613), sharing the
     exact transform function with the streaming maintenance."""
-    # check BEFORE the data write: a remote path's stale manifest could not
-    # be dropped below, which would fail open — raise up front instead of
-    # leaving a half-done overwrite (matches record_commit's posture)
-    local_path = _require_local(target_path, "backfill")
+    # resolve the manifest backend BEFORE the data write: an unreachable
+    # manifest path could not be dropped below, which would fail open —
+    # raise up front instead of leaving a half-done overwrite
+    io, path = _io_for(target_path)
     writer = transform(source).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(target_path)
     # a full overwrite invalidates any previous batch bookkeeping; drop a
     # stale manifest so read_silver doesn't filter the reseeded table away
-    d = _commits_path(local_path)
-    if os.path.isdir(d):
-        import shutil
-
-        shutil.rmtree(d, ignore_errors=True)
+    d = _join(io, path, COMMITS_DIR)
+    if io.isdir(d):
+        io.rmtree(d)

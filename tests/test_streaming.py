@@ -313,15 +313,23 @@ def test_backfill_clears_stale_manifest(spark, tmpdir):
     assert got == {("N1", 10), ("N2", 20)}
 
 
-def test_crash_between_data_write_and_manifest(spark, tmpdir):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("scheme", ["", "file:"])
+def test_crash_between_data_write_and_manifest(spark, tmpdir, scheme):
     """Crash injection leg 1: the process dies AFTER the batch's data files
     land but BEFORE the manifest records it. The batch must stay invisible,
-    and the retry must complete it exactly once."""
+    and the retry must complete it exactly once.
+
+    Parametrized over the path scheme: the bare path runs the driver-local
+    ``os`` backend, the ``file:`` URI runs the same protocol through the
+    Hadoop FileSystem backend (LocalFileSystem via spark._jvm)."""
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
         maintenance,
     )
 
-    silver = f"{tmpdir}/silver_crash1"
+    silver = f"{scheme}{tmpdir}/silver_crash1"
     b0 = spark.createDataFrame([("E1", 1)], "id string, v int")
     maintenance.write_batch_idempotent(b0, 0, silver)
 
@@ -353,22 +361,25 @@ def test_crash_between_data_write_and_manifest(spark, tmpdir):
     assert got == {("E1", 1), ("E2", 2), ("E3", 3)}
 
 
-def test_crash_between_manifest_and_checkpoint_skips_rewrite(spark, tmpdir):
+@_pytest.mark.parametrize("scheme", ["", "file:"])
+def test_crash_between_manifest_and_checkpoint_skips_rewrite(spark, tmpdir, scheme):
     """Crash injection leg 2 (the historical retry window): data AND
     manifest landed, the crash hit before the streaming checkpoint
     advanced, so Spark retries the batch. The retry must NOT rewrite the
     already-visible partition — the data files must be untouched even if
-    the retried transform would produce different bytes."""
+    the retried transform would produce different bytes.
+
+    ``file:`` variant exercises the Hadoop FileSystem manifest backend."""
     import os
 
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
         maintenance,
     )
 
-    silver = f"{tmpdir}/silver_crash2"
+    silver = f"{scheme}{tmpdir}/silver_crash2"
     b0 = spark.createDataFrame([("E1", 1), ("E2", 2)], "id string, v int")
     maintenance.write_batch_idempotent(b0, 0, silver)
-    part_dir = os.path.join(silver, "_batch_id=0")
+    part_dir = os.path.join(str(tmpdir), "silver_crash2", "_batch_id=0")
     before = {
         f: os.path.getmtime(os.path.join(part_dir, f))
         for f in os.listdir(part_dir)
@@ -423,18 +434,145 @@ def test_manifest_is_single_swap_atomic_file(spark, tmpdir):
     assert maintenance.committed_batches(silver) == [0, 1, 2, 7]
 
 
-def test_manifest_remote_path_fails_closed():
-    """Driver-local manifest I/O on an object-store path must raise (not
-    silently drop the visibility guarantee), and file: URIs must work."""
+def test_manifest_remote_scheme_routing(spark, tmpdir, monkeypatch):
+    """Non-local schemes route through the Hadoop FileSystem backend, not
+    driver-local os I/O. Mocked: the backend factory is swapped for a fake
+    that records the paths it is handed and serves them from a local dir
+    (no object store in this container); the full commit protocol must
+    work through the backend interface alone."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    base = os.path.join(str(tmpdir), "mockstore")
+    os.makedirs(base, exist_ok=True)
+    seen: list[str] = []
+
+    class _FakeRemoteIO(maintenance._LocalManifestIO):
+        def _map(self, p: str) -> str:
+            assert p.startswith("mock://bucket/"), p
+            seen.append(p)
+            return os.path.join(base, p[len("mock://bucket/"):])
+
+        def isdir(self, p):
+            return super().isdir(self._map(p))
+
+        def mkdirs(self, p):
+            super().mkdirs(self._map(p))
+
+        def read_text(self, p):
+            return super().read_text(self._map(p))
+
+        def list_names(self, d):
+            return super().list_names(self._map(d))
+
+        def write_swap(self, d, name, text):
+            super().write_swap(self._map(d), name, text)
+
+        def rmtree(self, p):
+            super().rmtree(self._map(p))
+
+    monkeypatch.setattr(maintenance, "_hadoop_io", lambda _spark: _FakeRemoteIO())
+    maintenance.record_commit("mock://bucket/table", 0, run_id="r1")
+    maintenance.record_commit("mock://bucket/table", 3, run_id="r1")
+    assert maintenance.committed_batches("mock://bucket/table") == [0, 3]
+    assert maintenance.manifest_run_id("mock://bucket/table") == "r1"
+    assert seen and all(p.startswith("mock://bucket/") for p in seen)
+
+    # with NO active SparkSession a remote URI must fail closed (no JVM →
+    # no Hadoop FileSystem → refusing beats silently skipping visibility)
+    import pytest
+
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "getActiveSession", classmethod(lambda cls: None))
+    with pytest.raises(RuntimeError, match="active SparkSession"):
+        maintenance.committed_batches("s3a://bucket/table")
+    # file: URIs fall back to the identical local backend without a JVM
+    assert maintenance.committed_batches("file:/nonexistent/table") is None
+
+
+def test_manifest_hadoop_backend_file_uri(spark, tmpdir):
+    """The real Hadoop FileSystem backend (via spark._jvm, LocalFileSystem)
+    round-trips the swap protocol on a file: URI: mkdirs, temp write,
+    hsync, FileContext rename-OVERWRITE swap, list, read, rmtree."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    uri = f"file:{tmpdir}/hadoop_backend"
+    io, path = maintenance._io_for(uri)
+    assert isinstance(io, maintenance._HadoopManifestIO)
+    assert path == uri
+
+    maintenance.record_commit(uri, 0, run_id="q1")
+    maintenance.record_commit(uri, 1, run_id="q1")  # swap over existing manifest
+    assert maintenance.committed_batches(uri) == [0, 1]
+    assert maintenance.manifest_run_id(uri) == "q1"
+    # no temp-file litter after the atomic swaps
+    names = io.list_names(f"{uri}/_commits")
+    assert [n for n in names if n.endswith(".tmp")] == []
+
+
+def test_txn_app_id_guards_checkpoint_reset(spark, tmpdir):
+    """ADVICE r4 (medium): a committed batch id is only skipped for the
+    SAME stream identity. A reset checkpoint (new query id, batch ids
+    restart at 0) against an existing table fails loudly instead of
+    silently dropping every early batch; legacy manifests (no run_id) and
+    id-less writers keep the historical skip semantics."""
     import pytest
 
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
         maintenance,
     )
 
-    with pytest.raises(NotImplementedError, match="Hadoop FileSystem"):
-        maintenance.committed_batches("s3a://bucket/table")
-    with pytest.raises(NotImplementedError, match="Hadoop FileSystem"):
-        maintenance.record_commit("gs://bucket/table", 0)
-    # file: scheme is local: no raise, no manifest -> None
-    assert maintenance.committed_batches("file:/nonexistent/table") is None
+    silver = f"{tmpdir}/silver_txn"
+    b0 = spark.createDataFrame([("E1", 1)], "id string, v int")
+    maintenance.write_batch_idempotent(b0, 0, silver, txn_app_id="streamA")
+    assert maintenance.manifest_run_id(silver) == "streamA"
+
+    # same-stream retry: skipped, no rewrite
+    maintenance.write_batch_idempotent(b0, 0, silver, txn_app_id="streamA")
+    assert maintenance.committed_batches(silver) == [0]
+
+    # different stream, colliding batch id → loud failure, data intact
+    b0_new = spark.createDataFrame([("X9", 99)], "id string, v int")
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        maintenance.write_batch_idempotent(b0_new, 0, silver, txn_app_id="streamB")
+    got = {(r["id"], r["v"]) for r in maintenance.read_silver(spark, silver).collect()}
+    assert got == {("E1", 1)}
+
+    # record_commit itself refuses cross-stream commits
+    with pytest.raises(RuntimeError, match="owned by stream run"):
+        maintenance.record_commit(silver, 5, run_id="streamB")
+
+    # id-less writer against a stamped manifest: legacy skip semantics
+    maintenance.write_batch_idempotent(b0_new, 0, silver)
+    assert got == {(r["id"], r["v"]) for r in maintenance.read_silver(spark, silver).collect()}
+
+    # backfill drops the manifest: the new stream then owns the table
+    maintenance.backfill(b0_new, lambda df: df, silver)
+    maintenance.write_batch_idempotent(b0_new, 0, silver, txn_app_id="streamB")
+    assert maintenance.manifest_run_id(silver) == "streamB"
+
+
+def test_checkpoint_query_id_derivation(tmpdir):
+    """foreach_batch_transform's default txn_app_id is the streaming query
+    id Spark persists at <checkpoint>/metadata — stable across restarts,
+    regenerated exactly when the checkpoint is reset."""
+    import json
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    ckpt = os.path.join(str(tmpdir), "ckpt_meta")
+    os.makedirs(ckpt, exist_ok=True)
+    assert maintenance._checkpoint_query_id(ckpt) is None  # not started yet
+    with open(os.path.join(ckpt, "metadata"), "w") as f:
+        json.dump({"id": "3f1d9c2a-query-id"}, f)
+    assert maintenance._checkpoint_query_id(ckpt) == "3f1d9c2a-query-id"
+    assert maintenance._checkpoint_query_id(f"{tmpdir}/never_existed") is None
