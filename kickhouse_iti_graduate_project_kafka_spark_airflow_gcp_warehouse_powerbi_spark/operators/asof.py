@@ -192,14 +192,14 @@ def asof_join_bucketed(
     def _bucket(ts_col: Column) -> Column:
         return F.floor(F.unix_micros(ts_col) / F.lit(bucket_micros)).cast("long")
 
-    # The right leg feeds three consumers (per-bucket bests, the bucket
-    # domain, the final union) and the left leg two. Deliberately NOT
-    # persisted: the legs are a scan + codegen projection, and an A/B at
-    # sf0.1 showed memory-store materialization costs MORE than the two
-    # recomputes it saves (warm ratio vs plain sweep 2.0x persisted,
-    # 1.6x recomputed). At 100 TB the same holds — recomputing a
-    # projected scan beats caching it unless the source is remote and
-    # cold; callers with expensive inputs can persist those themselves.
+    # The right leg feeds two consumers (per-bucket bests, the final
+    # union) and the left leg two (bucket ids, the final union).
+    # Deliberately NOT persisted: the legs are a scan + codegen
+    # projection, and an A/B at sf0.1 showed memory-store materialization
+    # costs MORE than the recompute it saves. With seeds derived from the
+    # aggregated extrema (no domain join), the skew-free overhead vs the
+    # plain sweep is ~1.15x warm best-of at sf0.1 — the price of the two
+    # small bucket-level shuffles that buy hot-key parallelism.
     r_tagged = (right.select(
         *[F.col(k) for k in on],
         F.col(right_ts).alias(_TS),
@@ -229,24 +229,34 @@ def asof_join_bucketed(
     )
     per_bucket = r_tagged.groupBy(*on, _BKT).agg(best.alias("__bucket_best"))
 
-    # (3) seed per (key, bucket) over the union of bucket ids present on
-    # either side, so a left-only bucket still inherits.
-    domain = (
-        r_tagged.select(*on, _BKT).union(l_tagged.select(*on, _BKT)).distinct()
+    # (3) seed per LEFT bucket, derived from the aggregated extrema alone:
+    # union the per-bucket bests (side 0) with the distinct left bucket
+    # ids (side 1) and run ONE bucket-level carry window per key — no
+    # domain relation, no join. Ordering (bucket, side DESC) puts a left
+    # bucket's marker BEFORE the same bucket's best, so the carry at the
+    # marker holds exactly the strictly-earlier buckets' last best. Only
+    # left buckets need seeds: a right-only bucket contributes through
+    # per_bucket but never emits output rows.
+    l_dom = l_tagged.select(*on, _BKT).distinct()
+    pay_t = r_tagged.schema[_PAY].dataType
+    bucket_level = per_bucket.select(
+        *on, _BKT, F.lit(0).alias(_SIDE), F.col("__bucket_best")
+    ).unionByName(
+        l_dom.select(
+            *on, _BKT, F.lit(1).alias(_SIDE),
+            F.lit(None).cast(pay_t).alias("__bucket_best"),
+        )
     )
     seq = Window.partitionBy(*on).orderBy(
-        F.col(_BKT).asc() if backward else F.col(_BKT).desc()
+        F.col(_BKT).asc() if backward else F.col(_BKT).desc(),
+        F.col(_SIDE).desc(),
     )
-    seeds = (
-        domain.join(per_bucket, on + [_BKT], "left")
-        .withColumn(
-            _SEED,
-            F.last("__bucket_best", ignorenulls=True).over(
-                seq.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-        )
-        .filter(F.col(_SEED).isNotNull())
-    )
+    seeds = bucket_level.withColumn(
+        _SEED,
+        F.last("__bucket_best", ignorenulls=True).over(
+            seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).filter((F.col(_SIDE) == 1) & F.col(_SEED).isNotNull())
     # Seed sits at the bucket boundary (open edge for the sweep direction)
     # with side -1: ordered before every real row of the bucket, so any
     # in-bucket right row overwrites it.
