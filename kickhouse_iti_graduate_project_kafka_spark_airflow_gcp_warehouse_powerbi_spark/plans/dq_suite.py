@@ -260,7 +260,10 @@ def json_payload_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + cumulative
     flag — the batch analogue of Structured Streaming's session_window
-    (SURVEY.md §2.9 ST10). One window shuffle on user_id."""
+    (SURVEY.md §2.9 ST10). One window shuffle on user_id. The streaming
+    ``F.session_window`` twin is driven under a real watermarked query
+    (cross-batch merge + watermark close) and asserted equal to this
+    shape in tests/test_streaming_windows.py."""
     w = Window.partitionBy("user_id").orderBy("ts")
     lag_ts = F.lag("ts").over(w)
     new_session = F.when(
