@@ -43,7 +43,7 @@ def main() -> None:
     )
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "classify"])
+    ap.add_argument("mode", choices=["build", "classify", "clusters"])
     ap.add_argument("--path", required=True)
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -52,6 +52,13 @@ def main() -> None:
     ap.add_argument("--max-shingle-freq", type=int, default=1000)
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--batch-mod", type=int, default=20)
+    ap.add_argument(
+        "--edges-threshold",
+        type=float,
+        default=None,
+        help="also materialize within-corpus near-dup pairs at this "
+        "jaccard cutoff (enables the 'clusters' mode)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name=f"dedup-index-{args.mode}")
@@ -62,8 +69,37 @@ def main() -> None:
         stats = build_dedup_index(
             docs, args.path, "text", "doc_id",
             n=args.n, max_shingle_freq=args.max_shingle_freq,
+            edge_threshold=args.edges_threshold,
         )
         print(json.dumps({"mode": "build", "path": args.path, **stats}))
+        return
+
+    if args.mode == "clusters":
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.cc import (
+            cluster_sizes,
+        )
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+            dup_clusters_indexed,
+        )
+
+        comps = dup_clusters_indexed(spark, args.path)
+        sizes = cluster_sizes(comps)
+        agg = sizes.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum((F.col("cluster_size") > 1).cast("int")).alias("multi_doc_clusters"),
+            F.max("cluster_size").alias("max_cluster"),
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "mode": "clusters",
+                    "path": args.path,
+                    "n_clusters": int(agg["n_clusters"]),
+                    "multi_doc_clusters": int(agg["multi_doc_clusters"] or 0),
+                    "max_cluster": int(agg["max_cluster"]),
+                }
+            )
+        )
         return
 
     batch = docs.filter(F.col("doc_id") % args.batch_mod == 0)

@@ -87,6 +87,47 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"] or 0)
 
 
+def _driver_union_find(spark, cur: DataFrame, id_col: str) -> DataFrame:
+    """Finish a small edge set on the driver: union-find with the larger
+    root attached under the smaller, so every final root is its
+    component's minimum id — byte-identical labels to the distributed
+    star-forest extraction. Arrow transfer (two int64 columns), pure-dict
+    union-find, Arrow back."""
+    import pandas as pd
+
+    pdf = cur.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], f"{id_col} long, component long")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+        else:
+            parent.setdefault(ru, ru)
+    node_ids = set(map(int, pdf["u"].to_numpy())) | set(map(int, pdf["v"].to_numpy()))
+    out = pd.DataFrame(
+        {
+            id_col: pd.Series(sorted(node_ids), dtype="int64"),
+        }
+    )
+    out["component"] = [find(n) for n in out[id_col]]
+    out["component"] = out["component"].astype("int64")
+    return spark.createDataFrame(out)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a_id",
@@ -95,6 +136,7 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 25,
     assume_distinct: bool = False,
+    driver_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Component labels for an undirected graph given as an edge list.
 
@@ -115,13 +157,35 @@ def connected_components(
     (src, dst). Duplicate edges would not break correctness anyway
     (min-aggregations are duplicate-insensitive); the dedup only bounds
     per-round volume, which a unique-by-construction input already does.
+
+    ``driver_finish_edges``: once the (current) edge set is at or under
+    this many rows, the remaining closure is finished on the driver with
+    union-find instead of more distributed rounds — a BOUNDED driver read
+    (two int64 columns over Arrow, ≤16 MB raw at the default cap),
+    the same posture as the loop's per-round scalar fingerprint. Rounds
+    preserve components and node coverage (Kiveris et al. invariant), so
+    finishing early is result-identical; labels stay min-id deterministic
+    because union always attaches the larger root under the smaller. At
+    100 TB the first rounds run distributed until the surviving edge set
+    fits the cap; a dup-pair graph whose edges already fit goes straight
+    to the driver — near-dup pair sets are tiny next to the corpus.
+    Set 0 to force the fully distributed path.
     """
+    spark = edges.sparkSession
     cur = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
     if not assume_distinct:
         cur = cur.distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # eager=False everywhere in the loop: the round's ONE action (the
+    # convergence fingerprint) both materializes the checkpoint and reads
+    # the two scalars — one job per round instead of two. Lineage is still
+    # truncated at every round boundary once that action runs.
+    cur = cur.localCheckpoint(eager=False)
+    finished_on_driver = False
+    if driver_finish_edges and cur.count() <= driver_finish_edges:
+        out = _driver_union_find(spark, cur, id_col)
+        finished_on_driver = True
     # partition sizing per round is AQE's job: every round ends in
     # _small_star's distinct (a shuffle), and adaptive coalescing
     # right-sizes its output as edge sets shrink — an explicit repartition
@@ -131,32 +195,42 @@ def connected_components(
     # off after round 1, and an input that is already a star forest still
     # converges in one extra (cheap) round — the init fingerprint job was
     # pure overhead on every real call.
-    prev_fp: tuple[int, int] | None = None
-    converged = False
-    for _ in range(max_iter):
-        cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(eager=True)
-        fp = _edge_fingerprint(cur)
-        if fp == prev_fp:
-            converged = True
-            break
-        prev_fp = fp
-    if not converged:
-        # Treating an unconverged edge set as a star forest would return
-        # silently wrong labels, and downstream keep/drop dedup decisions
-        # depend on them — fail loudly instead. Kiveris et al. prove
-        # convergence in O(log² n) rounds; hitting this with max_iter=25
-        # means a graph far outside the design envelope (or a bug).
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            f"alternating large-star/small-star rounds "
-            f"(last fingerprint {prev_fp}); raise max_iter"
+    if not finished_on_driver:
+        prev_fp: tuple[int, int] | None = None
+        converged = False
+        for _ in range(max_iter):
+            cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(
+                eager=False
+            )
+            fp = _edge_fingerprint(cur)
+            if fp == prev_fp:
+                converged = True
+                break
+            prev_fp = fp
+            if driver_finish_edges and fp[0] <= driver_finish_edges:
+                # surviving edge set fits the bounded driver read — finish
+                # the closure with union-find instead of more rounds
+                out = _driver_union_find(spark, cur, id_col)
+                finished_on_driver = True
+                break
+        if not converged and not finished_on_driver:
+            # Treating an unconverged edge set as a star forest would return
+            # silently wrong labels, and downstream keep/drop dedup decisions
+            # depend on them — fail loudly instead. Kiveris et al. prove
+            # convergence in O(log² n) rounds; hitting this with max_iter=25
+            # means a graph far outside the design envelope (or a bug).
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                f"alternating large-star/small-star rounds "
+                f"(last fingerprint {prev_fp}); raise max_iter"
+            )
+    if not finished_on_driver:
+        # post-convergence the edge set is a star forest: (member, root)
+        labels = cur.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+        roots = cur.select(F.col("v").alias(id_col)).distinct().withColumn(
+            "component", F.col(id_col)
         )
-    # post-convergence the edge set is a star forest: (member, root)
-    labels = cur.select(F.col("u").alias(id_col), F.col("v").alias("component"))
-    roots = cur.select(F.col("v").alias(id_col)).distinct().withColumn(
-        "component", F.col(id_col)
-    )
-    out = labels.union(roots)
+        out = labels.union(roots)
     if nodes is not None:
         isolated = (
             nodes.select(F.col(id_col).cast("long"))

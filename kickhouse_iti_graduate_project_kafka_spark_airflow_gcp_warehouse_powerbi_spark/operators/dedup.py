@@ -240,9 +240,13 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         # posting-list length via a window on _h (not groupBy+join: the
         # window's hash partitioning on _h is exactly what the inverted-
-        # index self-join below needs, so the exchange is reused)
+        # index self-join below needs, so the exchange is reused). The
+        # POST-guard index feeds three consumers (both self-join legs and
+        # the size aggregate) — persist it so the guard window's shuffle
+        # runs once, not three times, and the cached plan's hash
+        # partitioning on _h lets the self-join skip its exchanges.
         wf = Window.partitionBy("_h")
-        exploded = (
+        exploded = _persist(
             exploded.withColumn("_freq", F.count(F.lit(1)).over(wf))
             .filter(F.col("_freq") <= max_shingle_freq)
             .drop("_freq")
@@ -682,6 +686,7 @@ def build_dedup_index(
     id_col: str,
     n: int = 3,
     max_shingle_freq: int | None = 1000,
+    edge_threshold: float | None = None,
 ) -> dict:
     """Materialize the corpus-side state of :func:`incremental_dedup`:
 
@@ -691,11 +696,18 @@ def build_dedup_index(
       ever pays;
     - ``{path}/sizes``       — per-doc shingle counts over the SAME
       filtered universe (so scores match the direct operator exactly);
-    - ``{path}/meta``        — (n, max_shingle_freq, n_docs) so classify
-      can refuse a parameter mismatch instead of silently mis-scoring.
+    - ``{path}/doc_ids``     — every corpus doc id (cluster node set);
+    - ``{path}/edges``       — only when ``edge_threshold`` is given: the
+      within-corpus near-dup candidate pairs (a_id, b_id, jaccard >=
+      edge_threshold), computed off the SAME persisted inverted index in
+      the same pass — so cluster builds on an indexed corpus
+      (:func:`dup_clusters_indexed`) skip pair generation entirely;
+    - ``{path}/meta``        — (n, max_shingle_freq, n_docs,
+      edge_threshold) so consumers can refuse a parameter mismatch
+      instead of silently mis-scoring.
 
     Every arriving batch then classifies against parquet — no re-scan,
-    no re-shingle of corpus text. Returns {n_docs, n_shingles}."""
+    no re-shingle of corpus text. Returns {n_docs, n_shingles[, n_edges]}."""
     spark = corpus.sparkSession
     corpus_fp = corpus.select(fingerprint64(text_col).alias("_fp")).distinct()
     corpus_fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
@@ -715,14 +727,40 @@ def build_dedup_index(
     c_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs")).write.mode(
         "overwrite"
     ).parquet(f"{path}/sizes")
+    corpus.select(F.col(id_col).cast("long").alias("_cid")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{path}/doc_ids")
     n_docs = corpus.count()
     n_shingles = c_sh.count()
+    stats = {"n_docs": n_docs, "n_shingles": n_shingles}
+    if edge_threshold is not None:
+        # pairs straight off the persisted post-guard index (guard already
+        # applied, so max_shingle_freq=None here), renamed to the stored
+        # column contract
+        edges = ngram_jaccard_pairs(
+            corpus,
+            text_col,
+            id_col,
+            n=n,
+            threshold=edge_threshold,
+            max_shingle_freq=None,
+            _hashes=c_sh.select(F.col("_cid").alias("_id"), "_h"),
+        )
+        edges.write.mode("overwrite").parquet(f"{path}/edges")
+        stats["n_edges"] = spark.read.parquet(f"{path}/edges").count()
     release_persisted()
     spark.createDataFrame(
-        [(int(n), -1 if max_shingle_freq is None else int(max_shingle_freq), n_docs)],
-        "n int, max_shingle_freq int, n_docs long",
+        [
+            (
+                int(n),
+                -1 if max_shingle_freq is None else int(max_shingle_freq),
+                n_docs,
+                -1.0 if edge_threshold is None else float(edge_threshold),
+            )
+        ],
+        "n int, max_shingle_freq int, n_docs long, edge_threshold double",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    return {"n_docs": n_docs, "n_shingles": n_shingles}
+    return stats
 
 
 def incremental_dedup_indexed(
@@ -750,6 +788,47 @@ def incremental_dedup_indexed(
         threshold,
     )
     return out
+
+
+def dup_clusters_indexed(
+    spark,
+    path: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Connected-component labels (id, component) for the corpus behind a
+    :func:`build_dedup_index` index built with ``edge_threshold`` — the
+    cluster build that never re-touches corpus text OR re-generates
+    pairs: edges and the node set come straight from parquet, so the cost
+    is the CC closure alone (driver union-find for pair sets under the
+    bounded-read cap, distributed rounds above it).
+
+    ``threshold`` (optional) re-filters the stored edges to a HIGHER
+    jaccard cutoff; asking for a lower one than the index stored raises
+    (those pairs were never materialized). Labels are identical to
+    running :func:`~..operators.cc.connected_components` over
+    ``ngram_jaccard_pairs`` on the raw corpus (equivalence-tested)."""
+    from .cc import connected_components
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    stored = float(meta["edge_threshold"]) if "edge_threshold" in meta.__fields__ else -1.0
+    if stored < 0:
+        raise ValueError(
+            f"dedup index at {path!r} was built without edge_threshold; "
+            "rebuild with build_dedup_index(..., edge_threshold=...) to "
+            "enable indexed cluster builds"
+        )
+    edges = spark.read.parquet(f"{path}/edges")
+    if threshold is not None:
+        if threshold < stored:
+            raise ValueError(
+                f"index stores edges at jaccard >= {stored}; cannot "
+                f"cluster at the lower threshold {threshold}"
+            )
+        edges = edges.filter(F.col("jaccard") >= threshold)
+    nodes = spark.read.parquet(f"{path}/doc_ids").select(F.col("_cid").alias("id"))
+    return connected_components(
+        edges, src="a_id", dst="b_id", nodes=nodes, assume_distinct=True
+    )
 
 
 def duplicate_span_stats(

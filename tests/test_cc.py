@@ -25,34 +25,56 @@ def _uf(n_nodes, edges):
     return {i: find(i) for i in range(n_nodes)}
 
 
-def _run(spark, n, edges):
+def _run(spark, n, edges, driver_finish_edges=1_000_000):
     edf = spark.createDataFrame(edges or [(0, 0)], "a_id long, b_id long")
     ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
     got = {
         r["id"]: r["component"]
-        for r in connected_components(edf, nodes=ndf).collect()
+        for r in connected_components(
+            edf, nodes=ndf, driver_finish_edges=driver_finish_edges
+        ).collect()
     }
     assert got == _uf(n, edges)
     return got
 
 
-def test_random_graph(spark):
+import pytest
+
+# 1_000_000 -> bounded driver union-find finish (the small-graph path);
+# 0 -> fully distributed large-star/small-star rounds. Labels must be
+# identical (min node id per component) on both.
+_PATHS = [1_000_000, 0]
+
+
+@pytest.mark.parametrize("cap", _PATHS)
+def test_random_graph(spark, cap):
     random.seed(11)
     edges = [(random.randrange(120), random.randrange(120)) for _ in range(90)]
-    _run(spark, 120, edges)
+    _run(spark, 120, edges, driver_finish_edges=cap)
 
 
-def test_long_chain_converges_in_log_rounds(spark):
+@pytest.mark.parametrize("cap", _PATHS)
+def test_long_chain_converges_in_log_rounds(spark, cap):
     # diameter 199: min-label propagation would need ~200 rounds; the
     # star algorithm must finish well inside max_iter=25
     edges = [(i, i + 1) for i in range(199)]
-    got = _run(spark, 200, edges)
+    got = _run(spark, 200, edges, driver_finish_edges=cap)
     assert set(got.values()) == {0}
 
 
-def test_no_edges_all_isolated(spark):
-    got = _run(spark, 30, [])
+@pytest.mark.parametrize("cap", _PATHS)
+def test_no_edges_all_isolated(spark, cap):
+    got = _run(spark, 30, [], driver_finish_edges=cap)
     assert got == {i: i for i in range(30)}
+
+
+def test_mid_loop_driver_handoff(spark):
+    # cap between the initial edge count and 0: distributed rounds run
+    # until the shrinking edge set fits, then union-find finishes — the
+    # 100 TB shape (rounds first, bounded driver read last)
+    edges = [(i, i + 1) for i in range(199)]
+    got = _run(spark, 200, edges, driver_finish_edges=150)
+    assert set(got.values()) == {0}
 
 
 def test_cluster_sizes_sum_to_node_count(spark):

@@ -104,3 +104,71 @@ def test_job_build_then_classify(sf_small, tmpdir):
     # the demo batch is drawn FROM the indexed corpus: every doc is an
     # exact dup of itself
     assert doc["exact_dups"] == doc["batch_docs"]
+
+
+def test_clusters_from_index_equal_direct(spark, sf_small, tmpdir):
+    """Cluster labels from a pre-built edge index (dup_clusters_indexed —
+    pair generation skipped entirely) must equal CC over freshly
+    generated jaccard pairs on the raw corpus."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.cc import (
+        connected_components,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        dup_clusters_indexed,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    stats = build_dedup_index(
+        docs, f"{tmpdir}/idx_e", "text", "doc_id", edge_threshold=0.5
+    )
+    assert "n_edges" in stats
+
+    indexed = dup_clusters_indexed(spark, f"{tmpdir}/idx_e")
+    direct = connected_components(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5),
+        nodes=docs.select(F.col("doc_id").alias("id")),
+    )
+    assert _canon(indexed) == _canon(direct)
+    release_persisted()
+
+    # a HIGHER threshold re-filters the stored edges; a lower one raises
+    tighter = dup_clusters_indexed(spark, f"{tmpdir}/idx_e", threshold=0.9)
+    assert tighter.count() == docs.count()
+    with pytest.raises(ValueError, match="lower threshold"):
+        dup_clusters_indexed(spark, f"{tmpdir}/idx_e", threshold=0.1)
+
+
+def test_clusters_refused_without_edges(spark, tmpdir):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        dup_clusters_indexed,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "one document worth of text right here")], "doc_id long, text string"
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx_noe", "text", "doc_id")
+    with pytest.raises(ValueError, match="edge_threshold"):
+        dup_clusters_indexed(spark, f"{tmpdir}/idx_noe")
+
+
+def test_job_clusters_mode(sf_small, tmpdir):
+    import os as _os
+
+    env = {**_os.environ, "SPARK_GRAFT_SF_DIR": sf_small}
+    build = subprocess.run(
+        [sys.executable, "jobs/dedup_index.py", "build", "--path", f"{tmpdir}/jidx",
+         "--sf-dir", sf_small, "--edges-threshold", "0.5"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert build.returncode == 0, build.stderr[-800:]
+    doc = json.loads(build.stdout.strip().splitlines()[-1])
+    assert "n_edges" in doc
+    clusters = subprocess.run(
+        [sys.executable, "jobs/dedup_index.py", "clusters", "--path", f"{tmpdir}/jidx",
+         "--sf-dir", sf_small],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert clusters.returncode == 0, clusters.stderr[-800:]
+    cdoc = json.loads(clusters.stdout.strip().splitlines()[-1])
+    assert cdoc["n_clusters"] > 0 and cdoc["max_cluster"] >= 1
