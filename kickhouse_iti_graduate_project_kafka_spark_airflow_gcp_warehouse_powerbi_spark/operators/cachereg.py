@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+_TRACKED_BROADCASTS: list = []
+
 
 def track(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for bulk release."""
@@ -23,8 +25,19 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_broadcast(bc):
+    """Register a SparkContext broadcast for bulk release. Release uses
+    ``unpersist`` (not ``destroy``): executors drop their copy and free
+    memory, while a later re-execution of a plan closing over the
+    broadcast transparently re-fetches from the driver — so releasing is
+    always safe, like unpersisting a DataFrame."""
+    _TRACKED_BROADCASTS.append(bc)
+    return bc
+
+
 def release_tracked() -> int:
-    """Unpersist every tracked DataFrame; returns how many were released."""
+    """Unpersist every tracked DataFrame and broadcast; returns how many
+    were released."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()
@@ -32,5 +45,12 @@ def release_tracked() -> int:
             df.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to release
+            pass
+    while _TRACKED_BROADCASTS:
+        bc = _TRACKED_BROADCASTS.pop()
+        try:
+            bc.unpersist(blocking=False)
+            n += 1
+        except Exception:
             pass
     return n

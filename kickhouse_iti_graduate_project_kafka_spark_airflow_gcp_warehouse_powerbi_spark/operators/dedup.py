@@ -50,13 +50,22 @@ _PAIR_CACHE: dict[tuple, DataFrame] = {}
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+#: how many distinct corpora (cache_keys) may hold pinned shingle indexes
+#: at once — 2, not 1, so a sweep that interleaves two corpora (e.g. a
+#: batch-vs-corpus contamination check next to same-corpus near-dup
+#: queries) does not thrash persist/unpersist on every call (ADVICE r4)
+SHINGLE_CACHE_CORPORA = 2
+
+
 def shingle_hashes_cached(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, *, cache_key: str
 ) -> DataFrame:
     """Persisted distinct (_id, _h=xxhash64(shingle)) rows for a corpus,
     shared across the dedup family. ``cache_key`` identifies the corpus —
-    callers MUST change it when the underlying data changes. Entries for
-    other cache_keys are evicted so at most one corpus stays pinned.
+    callers MUST change it when the underlying data changes (reusing a
+    key after the data changed silently serves stale rows; key by path +
+    snapshot/ingest version in production). A small LRU keeps the last
+    ``SHINGLE_CACHE_CORPORA`` corpora pinned; older ones are evicted.
 
     The DataFrame is returned lazily: the first consumer's action
     materializes the persist, so a caller chaining straight into its own
@@ -64,15 +73,21 @@ def shingle_hashes_cached(
     key = (cache_key, text_col, id_col, n)
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
+        _SHINGLE_CACHE[key] = _SHINGLE_CACHE.pop(key)  # refresh LRU order
         return hit
     sh = (
         shingle_rows(df, text_col, id_col, n)
         .select("_id", F.xxhash64("_sh").alias("_h"))
         .persist()
     )
-    for k in [k for k in _SHINGLE_CACHE if k[0] != cache_key]:
-        _SHINGLE_CACHE.pop(k).unpersist()
     _SHINGLE_CACHE[key] = sh
+    corpora: list[str] = []
+    for k in reversed(list(_SHINGLE_CACHE)):  # most recent first
+        if k[0] not in corpora:
+            corpora.append(k[0])
+    stale = set(corpora[SHINGLE_CACHE_CORPORA:])
+    for k in [k for k in _SHINGLE_CACHE if k[0] in stale]:
+        _SHINGLE_CACHE.pop(k).unpersist()
     return sh
 
 

@@ -79,6 +79,18 @@ def assign_cells(vec_col: str | Column, centroids: list[np.ndarray]) -> Column:
 #: as a broadcast variable instead.
 ARROW_CELL_THRESHOLD = 64
 
+#: ...and independent of k, the LITERAL COUNT k x dim is what whole-stage
+#: codegen actually compiles: 64 cells x dim 64 = 4096 doubles measurably
+#: stalls codegen (~6 s vs ~2.5 s Arrow at sf0.1), so the literal path
+#: also requires k x dim under this budget.
+LITERAL_SCORE_BUDGET = 2048
+
+
+def _use_literal_path(centroids: list[np.ndarray]) -> bool:
+    k = len(centroids)
+    dim = int(np.asarray(centroids[0]).shape[0]) if centroids else 0
+    return k <= ARROW_CELL_THRESHOLD and k * dim <= LITERAL_SCORE_BUDGET
+
 
 def _centroid_matrix(centroids: list[np.ndarray]) -> np.ndarray:
     return np.stack([np.asarray(c, dtype="float64") for c in centroids])
@@ -90,13 +102,15 @@ def assign_cells_df(
     vec_col: str = "embedding",
     out_col: str = "cell",
     normalize: bool = True,
+    _bc_holder: list | None = None,
 ) -> DataFrame:
     """Append the nearest-centroid cell id, choosing the physical strategy
-    by centroid count:
+    by PLAN SIZE, not centroid count alone:
 
-    - ``k <= ARROW_CELL_THRESHOLD``: plan-literal argmin (whole-stage
-      codegen, zero Python in the row path) — fastest at small k.
-    - larger k: ``mapInPandas`` consuming the k x dim centroid matrix from
+    - ``k <= ARROW_CELL_THRESHOLD`` AND ``k x dim <= LITERAL_SCORE_BUDGET``:
+      plan-literal argmin (whole-stage codegen, zero Python in the row
+      path) — fastest at small k x dim.
+    - otherwise: ``mapInPandas`` consuming the k x dim centroid matrix from
       a **broadcast variable** — the plan stays O(1) in k, the matrix
       crosses the wire once per executor, and the batch scoring is one
       BLAS GEMM per Arrow batch. This is the path that lets production
@@ -110,15 +124,27 @@ def assign_cells_df(
 
     ``normalize=False`` skips unit normalization when ``vec_col`` is
     already unit-length (the k-means inner loop).
+
+    The Arrow path's broadcast is registered with the shared cache
+    registry (released by ``release_tracked``/``clear_all_caches`` via
+    ``unpersist`` — executors drop their copy, a later re-execution
+    re-fetches from the driver). ``_bc_holder`` (internal) additionally
+    hands the broadcast to callers that manage a tighter lifecycle, e.g.
+    the k-means loop releasing each iteration's matrix as soon as its
+    means are collected.
     """
-    if len(centroids) <= ARROW_CELL_THRESHOLD:
+    if _use_literal_path(centroids):
         vec = _unit(vec_col) if normalize else F.col(vec_col)
         return df.withColumn(out_col, assign_cells(vec, centroids))
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    from .cachereg import track_broadcast
+
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+    bc = track_broadcast(spark.sparkContext.broadcast(_centroid_matrix(centroids)))
+    if _bc_holder is not None:
+        _bc_holder.append(bc)
     cols = df.columns
     # a fresh StructType — StructType.add would MUTATE the DataFrame's
     # cached schema object and corrupt df.columns
@@ -159,10 +185,10 @@ def probe_cells_df(
     """Per-query probe list: (q_id, q_vec, q_nrm, cell) rows for the
     ``nprobe`` nearest cells, ordered ties-to-lowest-cell. Same dual
     strategy as :func:`assign_cells_df` — plan-literal score array +
-    window at small k, broadcast matrix + ``mapInPandas`` beyond
-    ARROW_CELL_THRESHOLD (argsort is stable, so equal distances keep
+    window at small k x dim, broadcast matrix + ``mapInPandas`` beyond
+    the literal-plan budget (argsort is stable, so equal distances keep
     ascending cell order, matching the window's (dist, cell) sort)."""
-    if len(centroids) <= ARROW_CELL_THRESHOLD:
+    if _use_literal_path(centroids):
         q_scored = queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
@@ -187,8 +213,10 @@ def probe_cells_df(
         StructType,
     )
 
+    from .cachereg import track_broadcast
+
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
+    bc = track_broadcast(spark.sparkContext.broadcast(_centroid_matrix(centroids)))
     src = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -259,8 +287,14 @@ def kmeans_centroids(
 
     vecs = corpus.select(_unit(vec_col).alias("_v"))
     for _ in range(iters):
+        # each Lloyd iteration assigns against NEW centroids, so the Arrow
+        # path necessarily builds a fresh broadcast matrix; the holder lets
+        # this loop release it the moment the iteration's means are
+        # collected instead of accumulating one per iteration (ADVICE r4)
+        bc_holder: list = []
         assigned = assign_cells_df(
-            vecs, centroids, vec_col="_v", out_col="_cell", normalize=False
+            vecs, centroids, vec_col="_v", out_col="_cell", normalize=False,
+            _bc_holder=bc_holder,
         )
         means = (
             assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
@@ -268,6 +302,8 @@ def kmeans_centroids(
             .agg(F.avg("_x").alias("_m"))
             .collect()
         )
+        for bc in bc_holder:
+            bc.unpersist(blocking=False)
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
             by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]

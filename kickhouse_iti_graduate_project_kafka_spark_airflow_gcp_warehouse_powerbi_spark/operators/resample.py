@@ -84,7 +84,10 @@ def hourly_ffill_resample(
     shuffle: the only exchange is the event-sized window, and output rows
     are born in their final form (measured 2x faster than grid + as-of
     sweep at sf0.1, where the grid is 10x the event count). All hour
-    arithmetic is exact long ``div`` — no doubles."""
+    arithmetic is exact long FLOOR/CEIL division via ``pmod`` (``div``
+    alone truncates toward zero, which is wrong for pre-1970 negative
+    epoch micros — ADVICE r4); results match the numpy ``//`` twin on
+    either side of the epoch."""
     base = df.select(
         F.col(key).alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("us"),
@@ -94,15 +97,21 @@ def hourly_ffill_resample(
 
     w = Window.partitionBy("user_id").orderBy("us")
     h = HOUR_US
+    # exact integer floor/ceil division, valid for NEGATIVE micros too:
+    # pmod is always non-negative, so (x - pmod(x, h)) div h == floor(x/h)
+    # and (x + pmod(-x, h)) div h == ceil(x/h) for any long x
+    ceil_us = f"(us + pmod(-us, {h})) div {h}"
+    floor_us = f"(us - pmod(us, {h})) div {h}"
+    ceil_next = f"(_next + pmod(-_next, {h})) div {h}"
     covered = (
         base.withColumn("_next", F.lead("us").over(w))
         .select(
             "user_id",
             "value",
-            F.expr(f"(us + {h - 1}) div {h}").alias("_h0"),
+            F.expr(ceil_us).alias("_h0"),
             F.when(
-                F.col("_next").isNull(), F.expr(f"us div {h}")
-            ).otherwise(F.expr(f"(_next + {h - 1}) div {h} - 1")).alias("_h1"),
+                F.col("_next").isNull(), F.expr(floor_us)
+            ).otherwise(F.expr(f"{ceil_next} - 1")).alias("_h1"),
         )
         .filter(F.col("_h1") >= F.col("_h0"))
     )

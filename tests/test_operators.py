@@ -413,3 +413,29 @@ def test_persist_lifecycle_and_pair_cache(spark, sf_small):
     released = dedup.release_persisted()
     assert released >= 1 and not cachereg._TRACKED
     dedup.clear_pair_cache()
+
+
+def test_shingle_cache_lru_keeps_two_corpora(spark):
+    """ADVICE r4: interleaving two corpora must not thrash the shingle
+    cache — both stay pinned; a third corpus evicts the least recently
+    used one."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
+        dedup as D,
+    )
+
+    D.clear_all_caches()
+    mk = lambda tag: spark.createDataFrame(
+        [(1, f"{tag} one two three four five")], "doc_id long, text string"
+    )
+    a = D.shingle_hashes_cached(mk("aa"), "text", "doc_id", cache_key="corpA")
+    b = D.shingle_hashes_cached(mk("bb"), "text", "doc_id", cache_key="corpB")
+    # interleave: both hits return the SAME cached objects (no re-persist)
+    assert D.shingle_hashes_cached(mk("aa"), "text", "doc_id", cache_key="corpA") is a
+    assert D.shingle_hashes_cached(mk("bb"), "text", "doc_id", cache_key="corpB") is b
+    assert len(D._SHINGLE_CACHE) == 2
+    # third corpus evicts the LRU one (corpA was refreshed last -> corpB.. )
+    # order of refresh above: A then B, so A is LRU
+    D.shingle_hashes_cached(mk("cc"), "text", "doc_id", cache_key="corpC")
+    keys = {k[0] for k in D._SHINGLE_CACHE}
+    assert keys == {"corpB", "corpC"}
+    D.clear_all_caches()
