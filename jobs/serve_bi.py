@@ -31,7 +31,14 @@ Endpoints:
 - ``GET  /tables``   → registered view names
 - ``POST /sql``      → body ``{"sql": "SELECT ...", "limit": 100}``;
   returns ``{"columns": [...], "rows": [[...]], "n_rows": N,
-  "truncated": bool}``. Read-only means: a single SELECT / WITH / VALUES /
+  "truncated": bool}``.
+- ``POST /sql.arrow`` → same request body; returns the result as an
+  **Arrow IPC stream** (``application/vnd.apache.arrow.stream``) with
+  ``n_rows``/``truncated`` in the schema metadata — the columnar wire
+  format ADBC / Arrow Flight SQL / Spark Connect clients consume, and
+  the throughput path for wide numeric dashboards (no per-value JSON
+  encoding; ``df.toArrow`` keeps the collect Arrow end to end). Same
+  read-only enforcement and row-cap semantics as ``/sql``. Read-only means: a single SELECT / WITH / VALUES /
   TABLE query — **parser-verified** (the statement is parsed with Spark's
   own SQL parser and rejected if any node of the logical plan is a
   command, DDL, or DML node, which closes the ``WITH ... INSERT`` hole a
@@ -191,6 +198,36 @@ def run_sql(spark: SparkSession, sql: str, limit: int, max_rows: int) -> dict:
     }
 
 
+def run_sql_arrow(spark: SparkSession, sql: str, limit: int, max_rows: int) -> bytes:
+    """Execute read-only SQL and serialize the result as an **Arrow IPC
+    stream** — the columnar wire format Spark Connect / ADBC / Flight
+    clients speak, and the honest high-throughput twin of the JSON
+    endpoint: the collect path is Arrow end to end (``df.toArrow``), so
+    wide numeric dashboards never pay per-value JSON encoding. Row cap
+    semantics match :func:`run_sql`; ``n_rows``/``truncated`` travel in
+    the stream's schema metadata."""
+    import io
+
+    import pyarrow as pa
+
+    _assert_read_only(spark, sql)
+    n = max(1, min(limit or max_rows, max_rows))
+    table = spark.sql(sql).limit(n + 1).toArrow()
+    truncated = table.num_rows > n
+    table = table.slice(0, n)
+    table = table.replace_schema_metadata(
+        {
+            **(table.schema.metadata or {}),
+            b"n_rows": str(table.num_rows).encode(),
+            b"truncated": b"true" if truncated else b"false",
+        }
+    )
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue()
+
+
 def make_server(
     spark: SparkSession, host: str = "127.0.0.1", port: int = 0, max_rows: int = 10_000
 ) -> ThreadingHTTPServer:
@@ -216,16 +253,25 @@ def make_server(
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/sql":
+            if self.path not in ("/sql", "/sql.arrow"):
                 self._send(404, {"error": "not found"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                out = run_sql(
-                    spark, req.get("sql", ""), int(req.get("limit") or 0), max_rows
-                )
-                self._send(200, out)
+                sql = req.get("sql", "")
+                limit = int(req.get("limit") or 0)
+                if self.path == "/sql.arrow":
+                    body = run_sql_arrow(spark, sql, limit, max_rows)
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "application/vnd.apache.arrow.stream"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._send(200, run_sql(spark, sql, limit, max_rows))
             except ValueError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # analysis errors etc. -> client, not stderr

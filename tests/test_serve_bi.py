@@ -124,3 +124,53 @@ def test_http_rejects_with_insert_bypass(spark, sf_oracle, tmp_path):
         assert not target.exists()
     finally:
         srv.shutdown()
+
+
+def test_arrow_ipc_endpoint(spark, sf_oracle):
+    """POST /sql.arrow returns an Arrow IPC stream whose values match the
+    JSON endpoint, with n_rows/truncated in the schema metadata and the
+    same read-only enforcement."""
+    import pyarrow as pa
+
+    register_views(spark, sf_oracle)
+    srv, _ = serve_background(spark, port=0, max_rows=50)
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        body = json.dumps(
+            {"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+             "limit": 3}
+        ).encode()
+        req = urllib.request.Request(
+            base + "/sql.arrow", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "application/vnd.apache.arrow.stream"
+            raw = r.read()
+        table = pa.ipc.open_stream(raw).read_all()
+        assert table.column_names == ["r_regionkey", "r_name"]
+        assert table.num_rows == 3
+        meta = table.schema.metadata
+        assert meta[b"n_rows"] == b"3" and meta[b"truncated"] == b"true"
+
+        json_out = _post(
+            base + "/sql",
+            {"sql": "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+             "limit": 3},
+        )
+        assert table.to_pydict()["r_regionkey"] == [r[0] for r in json_out["rows"]]
+        assert table.to_pydict()["r_name"] == [r[1] for r in json_out["rows"]]
+
+        # read-only enforcement applies to the arrow route too
+        import pytest as _pt
+
+        with _pt.raises(urllib.error.HTTPError) as ei:
+            _req = urllib.request.Request(
+                base + "/sql.arrow",
+                data=json.dumps({"sql": "DROP VIEW region"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            urllib.request.urlopen(_req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
