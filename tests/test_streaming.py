@@ -576,3 +576,58 @@ def test_checkpoint_query_id_derivation(tmpdir):
         json.dump({"id": "3f1d9c2a-query-id"}, f)
     assert maintenance._checkpoint_query_id(ckpt) == "3f1d9c2a-query-id"
     assert maintenance._checkpoint_query_id(f"{tmpdir}/never_existed") is None
+
+
+def test_foreach_batch_stamps_stream_identity(spark, tmpdir):
+    """End-to-end over the Hadoop (file:) manifest backend: a real
+    foreachBatch stream derives its txn app id from the checkpoint's
+    persisted query id and stamps it into the manifest; a SECOND stream
+    with a fresh checkpoint (new query id, batch ids restart at 0)
+    against the same table fails loudly instead of silently dropping
+    its first batch."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming import (
+        maintenance,
+    )
+
+    src_dir = f"{tmpdir}/src_ident"
+    silver = f"file:{tmpdir}/silver_ident"
+    os.makedirs(src_dir)
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    with open(f"{src_dir}/a.json", "w") as f:
+        f.write(json.dumps({"id": "E1", "v": 1}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(src_dir)
+    q = maintenance.foreach_batch_transform(
+        stream, lambda df: df, silver, f"{tmpdir}/chk_ident", trigger="1 seconds"
+    )
+    try:
+        q.processAllAvailable()
+        expected_id = str(q.id)
+    finally:
+        q.stop()
+    assert maintenance.manifest_run_id(silver) == expected_id
+    assert maintenance.read_silver(spark, silver).count() == 1
+
+    # new stream, RESET checkpoint, same table: its batch 0 collides with
+    # the committed batch 0 of the first stream -> loud failure via the
+    # foreachBatch error path (query terminates with our RuntimeError)
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    stream2 = spark.readStream.schema(schema).json(src_dir)
+    q2 = maintenance.foreach_batch_transform(
+        stream2, lambda df: df, silver, f"{tmpdir}/chk_ident_RESET", trigger="1 seconds"
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="checkpoint was reset"):
+            q2.processAllAvailable()
+            q2.awaitTermination(30)
+    finally:
+        q2.stop()
+    # the table still holds exactly the first stream's data
+    assert maintenance.read_silver(spark, silver).count() == 1
+    assert maintenance.manifest_run_id(silver) == expected_id
