@@ -96,7 +96,8 @@ def main() -> None:
                     "path": args.path,
                     "n_clusters": int(agg["n_clusters"]),
                     "multi_doc_clusters": int(agg["multi_doc_clusters"] or 0),
-                    "max_cluster": int(agg["max_cluster"]),
+                    # max over zero rows is NULL — an empty corpus reports 0
+                    "max_cluster": int(agg["max_cluster"] or 0),
                 }
             )
         )

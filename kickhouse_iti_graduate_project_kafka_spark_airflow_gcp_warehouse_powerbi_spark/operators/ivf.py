@@ -139,12 +139,17 @@ def assign_cells_df(
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    from .cachereg import track_broadcast
-
     spark = df.sparkSession
-    bc = track_broadcast(spark.sparkContext.broadcast(_centroid_matrix(centroids)))
+    bc = spark.sparkContext.broadcast(_centroid_matrix(centroids))
     if _bc_holder is not None:
+        # caller owns the lifecycle (the k-means loop releases each
+        # iteration's matrix right after its means collect) — registering
+        # in the shared registry too would accumulate dead handles
         _bc_holder.append(bc)
+    else:
+        from .cachereg import track_broadcast
+
+        track_broadcast(bc)
     cols = df.columns
     # a fresh StructType — StructType.add would MUTATE the DataFrame's
     # cached schema object and corrupt df.columns

@@ -133,6 +133,14 @@ class _LocalManifestIO:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        # a Hadoop LocalFileSystem writer may have left a checksum sibling
+        # (.<name>.crc); replacing the data file without it would make the
+        # next Hadoop-backend read fail ChecksumException on a healthy
+        # manifest. A MISSING crc is fine (verification is skipped), a
+        # stale one is not — drop it.
+        crc = os.path.join(d, f".{name}.crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
         dfd = os.open(d, os.O_RDONLY)
         try:
             os.fsync(dfd)
@@ -193,22 +201,31 @@ class _HadoopManifestIO:
     def write_swap(self, d: str, name: str, text: str) -> None:
         tmp = f"{d.rstrip('/')}/.{name}.{uuid.uuid4().hex}.tmp"
         fs = self._fs(d)
-        out = fs.create(self._jpath(tmp), True)
         try:
-            out.write(bytearray(text.encode("utf-8")))
+            out = fs.create(self._jpath(tmp), True)
             try:
-                out.hsync()  # durable on HDFS; LocalFileSystem no-ops to flush
+                out.write(bytearray(text.encode("utf-8")))
+                try:
+                    out.hsync()  # durable on HDFS; LocalFileSystem flushes
+                except Exception:
+                    out.hflush()
+            finally:
+                out.close()
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._jvm.java.net.URI(d), self._conf
+            )
+            rename_cls = getattr(self._jvm, "org.apache.hadoop.fs.Options$Rename")
+            opts = self._gw.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            fc.rename(self._jpath(tmp), self._jpath(f"{d.rstrip('/')}/{name}"), opts)
+        except Exception:
+            # mirror the local backend: never leave temp litter behind a
+            # failed swap (retrying streams would accumulate it forever)
+            try:
+                fs.delete(self._jpath(tmp), False)
             except Exception:
-                out.hflush()
-        finally:
-            out.close()
-        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            self._jvm.java.net.URI(d), self._conf
-        )
-        rename_cls = getattr(self._jvm, "org.apache.hadoop.fs.Options$Rename")
-        opts = self._gw.new_array(rename_cls, 1)
-        opts[0] = rename_cls.OVERWRITE
-        fc.rename(self._jpath(tmp), self._jpath(f"{d.rstrip('/')}/{name}"), opts)
+                pass
+            raise
 
     def rmtree(self, p: str) -> None:
         fs = self._fs(p)
@@ -266,6 +283,8 @@ def _read_manifest(io, d: str) -> tuple[set[int], str | None]:
     if text is not None:
         try:
             doc = json.loads(text)
+            if not isinstance(doc, dict):
+                raise ValueError("manifest JSON is not an object")
             ids.update(int(b) for b in doc.get("batch_ids", []))
             run_id = doc.get("run_id")
         except (json.JSONDecodeError, ValueError, TypeError):
@@ -395,16 +414,23 @@ def _checkpoint_query_id(checkpoint: str) -> str | None:
     """The streaming query id Spark persists at ``<checkpoint>/metadata``
     on first start — stable across restarts of the same stream, freshly
     generated when the checkpoint is reset. This is the natural
-    ``txn_app_id``: it changes exactly when batch-id sequences restart."""
-    try:
-        io, path = _io_for(checkpoint)
-        text = io.read_text(_join(io, path, "metadata"))
-        if text is None:
-            return None
-        qid = json.loads(text).get("id")
-        return str(qid) if qid else None
-    except Exception:
+    ``txn_app_id``: it changes exactly when batch-id sequences restart.
+
+    Returns None ONLY when the metadata file does not exist (query not
+    started / ad-hoc caller). Read or parse failures PROPAGATE: swallowing
+    them would silently downgrade the collision guard to legacy skip
+    semantics — the exact data-loss mode the run_id exists to prevent."""
+    io, path = _io_for(checkpoint)
+    text = io.read_text(_join(io, path, "metadata"))
+    if text is None:
         return None
+    try:
+        qid = json.loads(text).get("id")
+    except (json.JSONDecodeError, AttributeError) as e:
+        raise RuntimeError(
+            f"unreadable streaming checkpoint metadata at {checkpoint!r}: {e}"
+        ) from None
+    return str(qid) if qid else None
 
 
 def foreach_batch_transform(
