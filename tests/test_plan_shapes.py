@@ -67,3 +67,14 @@ def test_token_shards_never_single_partition_window(plans):
     assert "Exchange SinglePartition" in p  # the O(n_buckets) offset window
     # ...but the per-doc window is partitioned by bucket:
     assert "PartitionBy: [_bucket" in p.replace("partitionBy", "PartitionBy") or "_bucket" in p
+
+
+def test_bucketed_asof_is_join_free(plans):
+    """r5 seed rewrite: the bucketed as-of derives boundary seeds from the
+    aggregated per-(key,bucket) extrema via a bucket-level carry window —
+    no domain relation, no join anywhere in the plan. Regression guard:
+    a reintroduced join would bring back the r4 constant-overhead tax."""
+    p = plans("purchase_attribution_asof_bucketed")
+    assert "Join" not in p, "bucketed as-of plan regained a join"
+    # the plain sweep is join-free too (union + window)
+    assert "Join" not in plans("purchase_attribution_asof")
