@@ -174,31 +174,7 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     ).filter(F.size("_shingles") > 0)
 
 
-#: inputs at or below this estimated size are eligible for CPU-spreading
-#: before the shingle regex (the shuffle then moves at most this many
-#: bytes — broadcast-scale, never corpus-scale)
-SPREAD_MAX_BYTES = 64 * 1024 * 1024
-
-
-def _spread_for_cpu(df: DataFrame) -> DataFrame:
-    """Re-spread a BROADCAST-SMALL input across cores before a CPU-bound
-    narrow stage. Parquet scan parallelism is bounded by row groups; a
-    small fixture/table often arrives as ONE split, serializing the
-    shingle regex on one core while the rest idle. When the optimizer's
-    size estimate is ≤ SPREAD_MAX_BYTES and the scan has fewer partitions
-    than ``defaultParallelism``, a round-robin repartition (moving at most
-    those few MB) buys cores× regex throughput. Large inputs pass through
-    untouched: at real scale the scan itself fans out, and repartitioning
-    raw corpus text would be the bottleneck, not the fix."""
-    try:
-        spark = df.sparkSession
-        par = spark.sparkContext.defaultParallelism
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        if size <= SPREAD_MAX_BYTES and df.rdd.getNumPartitions() < par:
-            return df.repartition(par)
-    except Exception:
-        pass  # estimation unavailable (e.g. Connect) — keep the plan as is
-    return df
+from .spread import spread_for_cpu as _spread_for_cpu  # noqa: E402
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:

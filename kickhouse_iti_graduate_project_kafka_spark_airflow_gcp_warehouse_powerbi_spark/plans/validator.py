@@ -43,7 +43,12 @@ TYPE_PATTERN = "(?i)^(click|view|signup|purchase)$"
 def validated_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full validate-and-route pipeline, returning one row per message with
     its route topic, pk, payload hash, and repaired ingest time."""
-    ev = load_table(spark, sf_dir, "events")
+    from ..operators.spread import spread_for_cpu
+
+    # the parse-and-hash chain (from_json + 2x sha2 per row) is CPU-bound
+    # and narrow; a one-row-group events table would serialize it on one
+    # core — spread broadcast-small inputs first (no-op at real scale)
+    ev = spread_for_cpu(load_table(spark, sf_dir, "events"))
     # deterministic corruption of every 13th message (P5/P12 coverage)
     json_str = F.when(
         F.col("event_id") % 13 == 0, F.expr("substring(props, 1, length(props) - 1)")
