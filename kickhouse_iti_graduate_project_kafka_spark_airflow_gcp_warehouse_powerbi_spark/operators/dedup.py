@@ -883,7 +883,7 @@ def duplicate_span_stats(
     """
     from ..functions.text import token_count
 
-    toks = df.select(
+    toks = _spread_for_cpu(df).select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(text_col)).alias("_pos", "_t0"),
     )

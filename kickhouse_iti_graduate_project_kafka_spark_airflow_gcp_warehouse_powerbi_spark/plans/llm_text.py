@@ -55,7 +55,13 @@ _DUCKDB_JACCARD_PAIRS = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # every consumer in this module runs regex/tokenization per document —
+    # CPU-bound narrow stages that a one-row-group table would serialize
+    # on one core; broadcast-small inputs are re-spread first (no-op at
+    # real scale — see operators/spread.py)
+    from ..operators.spread import spread_for_cpu
+
+    return spread_for_cpu(load_table(spark, sf_dir, "documents"))
 
 
 @register(
