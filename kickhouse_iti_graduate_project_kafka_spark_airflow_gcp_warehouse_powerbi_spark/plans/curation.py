@@ -693,3 +693,27 @@ def events_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         (F.col("week_idx") - F.col("cohort_idx")).alias("week_offset"),
     ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+@register(
+    "events_heavy_users",
+    tags=("A1", "sketch", "skew"),
+    bench=True,
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 80
+    """,
+)
+def events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (users with >= 80 events) via the count-min
+    candidate filter + exact verify (operators/heavy.py): the sketch pass
+    shuffles at most depth x width bucket rows per task however many
+    distinct users exist, and only candidate rows reach the by-key
+    shuffle — the 100 TB shape for frequency thresholds over billions of
+    keys. The answer is provably identical to the plain GROUP BY ...
+    HAVING oracle (count-min never under-counts, and survivors are
+    re-counted exactly)."""
+    from ..operators.heavy import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return heavy_hitters(ev, ["user_id"], min_count=80)
