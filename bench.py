@@ -194,6 +194,14 @@ def main() -> None:
             t0 = time.perf_counter()
             build_ivf_index(emb, f"{idx_root}/ivf", n_cells=64, iters=2)
             index_secs["build_ivf_index"] = round(time.perf_counter() - t0, 3)
+
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+                build_pq_index,
+            )
+
+            t0 = time.perf_counter()
+            build_pq_index(emb, f"{idx_root}/pq", m=16, ks=64, iters=4)
+            index_secs["build_pq_index"] = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()

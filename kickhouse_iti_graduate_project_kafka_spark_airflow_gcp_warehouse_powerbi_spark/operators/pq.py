@@ -1,0 +1,365 @@
+"""Product quantization (PQ) ANN: compressed codes + asymmetric distance.
+
+IVF (operators/ivf.py) prunes WHERE to look; PQ shrinks WHAT is scanned.
+A D-dim float vector is split into ``m`` subvectors, each quantized to its
+nearest of ``ks`` per-subspace centroids (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — public method):
+the vector becomes ``m`` bytes (ks <= 256). At dim 64 float32 that is
+256 B -> 8 B, a 32x compression — the difference between an embedding
+corpus that fits in executor memory and one that does not.
+
+Search is **ADC** (asymmetric distance computation): the query stays
+exact; per query a lookup table of ``m x ks`` partial dot products is
+precomputed, and each corpus vector's approximate similarity is ``m``
+table gathers — no float vector is ever decoded. The plan shape:
+
+- **pq_train** — per-subspace Lloyd k-means on a deterministic,
+  hash-ordered SAMPLE (bounded driver read, ``sample_cap`` rows): at
+  100 TB codebooks are always trained on a sample; the full corpus only
+  ever streams through the encoder.
+- **pq_encode** — ``mapInPandas`` with the (m, ks, sub) codebook tensor
+  as a broadcast variable (same plan-O(1) posture as ivf.py's Arrow
+  path): one GEMM per subspace per Arrow batch, codes emitted as
+  ``binary`` (the actual compressed layout).
+- **pq_adc_topk** — the query set is collected (bounded, same contract
+  as similarity.brute_force_topk's broadcast) and shipped as one
+  broadcast LUT tensor; each Arrow batch of codes emits its per-query
+  top-R partial candidates, and a window rank merges them globally. The
+  corpus is never shuffled and never leaves its 1-byte-per-subspace
+  representation.
+- **pq_search_rerank** — ADC selects ``rerank`` candidates per query,
+  then ONLY those rows are re-scored with exact cosine (broadcast
+  candidate semi-join; the standard two-stage recall fix). With
+  ``rerank >= corpus size`` the result provably equals brute force —
+  the driver-checkable invariant registered in plans/llm_vectors.py.
+
+Determinism: sample order and k-means init are xxhash64-ordered (the
+ivf.py convention), centroids round to 1e-6 per iteration, and every
+candidate selection tie-breaks (score desc, id asc) both in the Arrow
+partial top-R and the global window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.vectors import dot, norm
+from .cachereg import track_broadcast
+
+#: training-sample ceiling — the only driver-side read of vector data;
+#: 16k x dim 64 float64 = 8 MB
+DEFAULT_SAMPLE_CAP = 16384
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 8,
+    sample_cap: int = DEFAULT_SAMPLE_CAP,
+) -> np.ndarray:
+    """Fit the (m, ks, dim/m) codebook tensor on a deterministic sample.
+
+    Plain L2 k-means per subspace (NOT spherical — subvector magnitudes
+    carry signal; normalizing them would corrupt the reconstruction).
+    Init per subspace = first ``ks`` sample rows in xxhash64 order;
+    empty cells keep their previous centroid; centroids round to 1e-6 so
+    the tensor is bit-stable run to run."""
+    if ks > 256:
+        raise ValueError("ks must be <= 256 (codes are 1 byte per subspace)")
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    if len(sample_rows) < ks:
+        raise ValueError(f"corpus has fewer than ks={ks} vectors")
+    sample = np.asarray(
+        [np.asarray(r["_v"], dtype="float64") for r in sample_rows]
+    )
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    parts = sample.reshape(len(sample), m, sub)
+    books = np.empty((m, ks, sub), dtype="float64")
+    for j in range(m):
+        x = parts[:, j, :]
+        cents = x[:ks].copy()
+        for _ in range(iters):
+            # assign: argmin squared L2 (first-minimum tie-break)
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(d, axis=1)
+            for c in range(ks):
+                mask = cell == c
+                if mask.any():
+                    cents[c] = np.round(x[mask].mean(axis=0), 6)
+        books[j] = cents
+    return books
+
+
+def _codes_to_matrix(code_series) -> np.ndarray:
+    """(n, m) uint8 matrix from a pandas Series of m-byte code blobs."""
+    return np.frombuffer(b"".join(code_series), dtype=np.uint8).reshape(
+        len(code_series), -1
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(n_id, code) — each vector compressed to ``m`` bytes (nearest
+    per-subspace centroid ids). Arrow-batched; the codebook tensor crosses
+    the wire once per executor as a broadcast (registered with the shared
+    cache registry). NULL vectors are dropped (they cannot be searched)."""
+    m, ks, sub = codebooks.shape
+    spark = corpus.sparkSession
+    bc = track_broadcast(spark.sparkContext.broadcast(codebooks))
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("n_id"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    schema = StructType(
+        [StructField("n_id", LongType()), StructField("code", BinaryType())]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        cb = bc.value  # (m, ks, sub)
+        cb_sq = (cb * cb).sum(axis=2)  # (m, ks)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype="float64") for x in pdf["_v"]]
+            ).reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for j in range(m):
+                # argmin ||x-c||^2 == argmin -2 x.c + ||c||^2
+                s = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
+                codes[:, j] = np.argmin(s, axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {"n_id": pdf["n_id"], "code": [c.tobytes() for c in codes]}
+            )
+
+    return src.mapInPandas(gen, schema)
+
+
+def _query_luts(queries, codebooks, id_col, vec_col):
+    """Driver-side LUT tensors for the (bounded) query set: dot LUT
+    (nq, m, ks) and the per-code reconstruction norms (m, ks)."""
+    m, ks, sub = codebooks.shape
+    rows = (
+        queries.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .orderBy("_id")
+        .collect()
+    )
+    q_ids = np.asarray([r["_id"] for r in rows], dtype="int64")
+    q = np.asarray([np.asarray(r["_v"], dtype="float64") for r in rows])
+    q_parts = q.reshape(len(rows), m, sub) if len(rows) else q.reshape(0, m, sub)
+    # lut[qi, j, c] = q_sub_j . codebook[j, c]
+    lut = np.einsum("qjs,jcs->qjc", q_parts, codebooks)
+    q_nrm = np.sqrt((q * q).sum(axis=1)) if len(rows) else np.zeros(0)
+    code_sq = (codebooks * codebooks).sum(axis=2)  # (m, ks)
+    return q_ids, lut, q_nrm, code_sq
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k from codes alone: (q_id, n_id, adc_cos,
+    rank). ``adc_cos`` uses the reconstruction's dot product and norm —
+    vectors whose reconstruction has zero norm are skipped (mirrors the
+    exact tier's NULL-cos filter). Each Arrow batch emits only its
+    per-query top-k; the global window merges the partial winners, so
+    driver/shuffle volume is O(batches x nq x k), never corpus-sized."""
+    m = codebooks.shape[0]
+    spark = codes.sparkSession
+    q_ids, lut, q_nrm, code_sq = _query_luts(queries, codebooks, id_col, vec_col)
+    bc = track_broadcast(
+        spark.sparkContext.broadcast((q_ids, lut, q_nrm, code_sq))
+    )
+    schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("n_id", LongType()),
+            StructField("adc_cos", DoubleType()),
+        ]
+    )
+    kk = int(k)
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, lt, qn, csq = bc.value
+        nq = len(ids)
+        if nq == 0:
+            return
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cm = _codes_to_matrix(pdf["code"])  # (n, m)
+            n_ids = pdf["n_id"].to_numpy()
+            dots = np.zeros((nq, n))
+            rec_sq = np.zeros(n)
+            for j in range(m):
+                cj = cm[:, j]
+                dots += lt[:, j, :][:, cj]
+                rec_sq += csq[j, cj]
+            rec_nrm = np.sqrt(rec_sq)
+            denom = qn[:, None] * rec_nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, np.nan)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                row = cos[qi]
+                valid = ~np.isnan(row)
+                valid &= n_ids != ids[qi]  # exclude self
+                idx = np.nonzero(valid)[0]
+                if len(idx) == 0:
+                    continue
+                # deterministic partial top-k: (score desc, n_id asc)
+                order = idx[np.lexsort((n_ids[idx], -row[idx]))][:kk]
+                out_q.extend([ids[qi]] * len(order))
+                out_n.extend(n_ids[order])
+                out_s.extend(row[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {"q_id": out_q, "n_id": out_n, "adc_cos": out_s}
+                )
+
+    partial = codes.mapInPandas(gen, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_cos").desc(), F.col("n_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", F.round("adc_cos", 6).alias("adc_cos"), "rank")
+    )
+
+
+def pq_search_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank: int = 50,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage search: ADC shortlists ``rerank`` candidates per query
+    from the compressed codes, then exact cosine re-scores ONLY those
+    rows. Returns (q_id, n_id, cos, rank) — the same shape/semantics as
+    similarity.brute_force_topk, which it equals whenever the true top-k
+    survive the shortlist (guaranteed at rerank >= corpus size).
+
+    ``codes`` may be a pre-encoded/persisted frame (build_pq_index);
+    otherwise vectors are encoded on the fly."""
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    cand = pq_adc_topk(codes, queries, codebooks, rerank, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_nrm"),
+    )
+    # candidate list is nq x rerank rows — broadcast it into the corpus
+    # scan (a semi-join that keeps only shortlisted vectors)
+    shortlist = c.join(
+        F.broadcast(cand.select("q_id", "n_id")), "n_id", "inner"
+    )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_nrm"),
+    )
+    scored = (
+        shortlist.join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "n_id",
+            F.try_divide(
+                dot("q_vec", "n_vec"), F.col("q_nrm") * F.col("n_nrm")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Index lifecycle: train/encode once at ingest, persist, query many times
+# (parity with build_ivf_index).
+# --------------------------------------------------------------------------
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 8,
+) -> np.ndarray:
+    """Materialize a PQ index: ``{path}/codes`` (n_id, code binary) and
+    ``{path}/codebooks`` ((j, c, centroid) rows). The codes table is the
+    searchable corpus at 1/32 the footprint; re-encoding an ingest batch
+    appends without touching history."""
+    spark = corpus.sparkSession
+    books = pq_train(corpus, vec_col, id_col, m, ks, iters)
+    pq_encode(corpus, books, vec_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(ks)
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return books
+
+
+def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(codes frame, codebook tensor) from a build_pq_index directory.
+    Codebook read is bounded: m x ks rows."""
+    codes = spark.read.parquet(f"{path}/codes")
+    rows = spark.read.parquet(f"{path}/codebooks").orderBy("j", "c").collect()
+    m = max(r["j"] for r in rows) + 1
+    ks = max(r["c"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    books = np.zeros((m, ks, sub), dtype="float64")
+    for r in rows:
+        books[r["j"], r["c"]] = np.asarray(r["centroid"], dtype="float64")
+    return codes, books

@@ -688,3 +688,62 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return d.mapInPandas(_decode_video_batches, schema=_VIDEO_SCHEMA)
+
+
+@register("knn_pq_rerank", bench=True, tags=("similarity", "ANN", "PQ"), oracle=None)
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ANN (operators/pq.py): vectors quantized to
+    16-byte PQ codes (16x smaller than raw float32), searched by ADC
+    lookup tables, exact-cosine re-rank of the top-50 shortlist.
+    Rows-only check (codes depend on the k-means codebooks); the oracled
+    invariant companion is pq_rerank_equals_bruteforce, and the recall
+    floor (>= 0.85 @10 on this fixture, measured 0.98) is pinned in
+    tests/test_pq.py. This is the 100 TB memory-footprint tier: the
+    searchable corpus is 1/16 the bytes and never decodes."""
+    from ..operators.pq import pq_search_rerank, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=16, ks=64, iters=4)
+    out = pq_search_rerank(
+        emb, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=50
+    )
+    return out.select(
+        "q_id",
+        "n_id",
+        F.round(F.col("cos") + 1e-9, 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "pq_rerank_equals_bruteforce",
+    tags=("similarity", "ANN", "PQ", "invariant"),
+    oracle="SELECT TRUE AS has_hits, CAST(0 AS BIGINT) AS n_diff",
+)
+def pq_rerank_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the PQ tier: with a shortlist
+    covering the whole corpus (rerank >= N), the exact re-rank stage must
+    reproduce brute-force top-5 bit-for-bit — compression prunes the
+    shortlist, it never changes exact scores. Constant oracle = expected
+    invariant (same shape as ivf_full_probe_equals_bruteforce)."""
+    from ..operators.pq import pq_search_rerank, pq_train
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=16, ks=64, iters=4)
+    pq = pq_search_rerank(emb, queries, books, k=5, rerank=10**9).select(
+        "q_id", "n_id", "rank"
+    )
+    brute = brute_force_topk(emb, queries, k=5).select("q_id", "n_id", "rank")
+    keys = ["q_id", "n_id", "rank"]
+    diff_a = pq.join(brute, keys, "left_anti")
+    diff_b = brute.join(pq, keys, "left_anti")
+    return (
+        pq.agg(F.count(F.lit(1)).alias("_nh"))
+        .crossJoin(diff_a.agg(F.count(F.lit(1)).alias("_da")))
+        .crossJoin(diff_b.agg(F.count(F.lit(1)).alias("_db")))
+        .select(
+            (F.col("_nh") >= 1).alias("has_hits"),
+            (F.col("_da") + F.col("_db")).alias("n_diff"),
+        )
+    )
