@@ -301,3 +301,44 @@ def asof_join_bucketed(
         matched.getField(c).alias(f"{right_prefix}{c}") for c in pay_cols
     ]
     return swept.filter(F.col(_SIDE) == 1).select(*out_left, *out_right)
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    bucket_micros: int,
+    share_threshold: float = 0.05,
+    direction: str = "backward",
+    tolerance_micros: int | None = None,
+    right_prefix: str = "r_",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-gated as-of join: probe the right side's key distribution with
+    the count-min sketch (operators/heavy.estimated_top_share — one narrow
+    pass, ``depth`` scalar rows to the driver) and pick the variant the
+    data actually needs: the plain per-key sweep when keys are spread, the
+    (key, time-bucket) sweep when any key's share bound exceeds
+    ``share_threshold``.
+
+    Both variants are result-identical (shared oracle + hypothesis suite),
+    so the gate is purely physical — this is the "observed key-frequency
+    sketch" planner step the bucketed variant's constant overhead asks
+    for: uniform inputs skip it, genuinely skewed inputs pay it and win
+    back wall-clock on the hot key."""
+    from .heavy import should_salt
+
+    kwargs = dict(
+        direction=direction,
+        tolerance_micros=tolerance_micros,
+        right_prefix=right_prefix,
+        tiebreak=tiebreak,
+    )
+    if should_salt(right, list(on), share_threshold=share_threshold):
+        return asof_join_bucketed(
+            left, right, on, left_ts, right_ts, bucket_micros=bucket_micros, **kwargs
+        )
+    return asof_join(left, right, on, left_ts, right_ts, **kwargs)

@@ -319,3 +319,48 @@ def test_bucketed_equals_plain_property(spark, bucket, right_ts, left_ts,
         for r in asof_join_bucketed(left, right, bucket_micros=bucket, **kw).collect()
     }
     assert bucketed == plain, (bucket, direction, tolerance)
+
+
+def test_asof_join_auto_gates_on_observed_skew(spark):
+    """Uniform right side -> plain sweep (join-free plan); hot-key right
+    side -> bucketed sweep. Results equal the plain variant either way."""
+    from pyspark.sql import functions as F
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.asof import (
+        asof_join,
+        asof_join_auto,
+    )
+
+    left = spark.range(200).select(
+        (F.col("id") % 20).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    uniform_right = spark.range(400).select(
+        (F.col("id") % 20).alias("k"),
+        F.timestamp_micros(F.col("id") * 500_000).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    hot_right = spark.range(400).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 20).alias("k"),
+        F.timestamp_micros(F.col("id") * 500_000).alias("ts"),
+        F.col("id").alias("payload"),
+    )
+    for right in (uniform_right, hot_right):
+        auto = asof_join_auto(
+            left, right, ["k"], "ts", "ts", bucket_micros=50_000_000
+        )
+        plain = asof_join(left, right, ["k"], "ts", "ts")
+        assert (
+            auto.exceptAll(plain).count() == 0
+            and plain.exceptAll(auto).count() == 0
+        )
+    # gate decision is observable in the plan: bucketed path has a bucket
+    # column in its sweep, plain does not
+    hot_plan = asof_join_auto(
+        left, hot_right, ["k"], "ts", "ts", bucket_micros=50_000_000
+    )._jdf.queryExecution().optimizedPlan().toString()
+    uni_plan = asof_join_auto(
+        left, uniform_right, ["k"], "ts", "ts", bucket_micros=50_000_000
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bkt" in hot_plan or "bucket" in hot_plan.lower()
+    assert ("_bkt" in uni_plan or "bucket" in uni_plan.lower()) is False
