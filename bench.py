@@ -202,6 +202,16 @@ def main() -> None:
             t0 = time.perf_counter()
             build_pq_index(emb, f"{idx_root}/pq", m=16, ks=64, iters=4)
             index_secs["build_pq_index"] = round(time.perf_counter() - t0, 3)
+
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+                build_ivfpq_index,
+            )
+
+            t0 = time.perf_counter()
+            build_ivfpq_index(
+                emb, f"{idx_root}/ivfpq", n_cells=16, cell_iters=2, m=16, ks=64, pq_iters=4
+            )
+            index_secs["build_ivfpq_index"] = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()

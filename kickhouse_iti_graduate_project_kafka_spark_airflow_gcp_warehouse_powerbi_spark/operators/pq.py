@@ -124,20 +124,27 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(n_id, code) — each vector compressed to ``m`` bytes (nearest
-    per-subspace centroid ids). Arrow-batched; the codebook tensor crosses
-    the wire once per executor as a broadcast (registered with the shared
-    cache registry). NULL vectors are dropped (they cannot be searched)."""
+    """(n_id, code[, extra_cols...]) — each vector compressed to ``m``
+    bytes (nearest per-subspace centroid ids). Arrow-batched; the codebook
+    tensor crosses the wire once per executor as a broadcast (registered
+    with the shared cache registry). NULL vectors are dropped (they cannot
+    be searched). ``extra_cols`` pass through untouched — the IVF-PQ
+    layout threads the coarse cell id alongside the code this way."""
     m, ks, sub = codebooks.shape
     spark = corpus.sparkSession
     bc = track_broadcast(spark.sparkContext.broadcast(codebooks))
     src = corpus.select(
-        F.col(id_col).cast("long").alias("n_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).cast("long").alias("n_id"),
+        F.col(vec_col).alias("_v"),
+        *[F.col(c) for c in extra_cols],
     ).filter(F.col("_v").isNotNull())
     schema = StructType(
         [StructField("n_id", LongType()), StructField("code", BinaryType())]
+        + [src.schema[c] for c in extra_cols]
     )
+    extras = list(extra_cols)
 
     def gen(batches):
         import pandas as pd
@@ -155,9 +162,10 @@ def pq_encode(
                 # argmin ||x-c||^2 == argmin -2 x.c + ||c||^2
                 s = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
                 codes[:, j] = np.argmin(s, axis=1).astype(np.uint8)
-            yield pd.DataFrame(
-                {"n_id": pdf["n_id"], "code": [c.tobytes() for c in codes]}
-            )
+            out = {"n_id": pdf["n_id"], "code": [c.tobytes() for c in codes]}
+            for c in extras:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema)
 
@@ -284,13 +292,25 @@ def pq_search_rerank(
     if codes is None:
         codes = pq_encode(corpus, codebooks, vec_col, id_col)
     cand = pq_adc_topk(codes, queries, codebooks, rerank, id_col, vec_col)
+    return _exact_rerank(corpus, queries, cand, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine top-k over an ADC shortlist: the (q_id, n_id)
+    candidate list is broadcast into the corpus scan (a semi-join keeps
+    only shortlisted vectors), queries broadcast as in brute force."""
     c = corpus.select(
         F.col(id_col).cast("long").alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         norm(vec_col).alias("n_nrm"),
     )
-    # candidate list is nq x rerank rows — broadcast it into the corpus
-    # scan (a semi-join that keeps only shortlisted vectors)
     shortlist = c.join(
         F.broadcast(cand.select("q_id", "n_id")), "n_id", "inner"
     )
@@ -316,6 +336,146 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[np.ndarray],
+    codebooks: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN layout — the coarse quantizer prunes
+    WHERE to look (queries probe ``nprobe`` of the k-means cells,
+    operators/ivf.py), PQ codes shrink WHAT is scanned there (ADC over
+    m-byte codes), and exact cosine re-ranks the ``rerank`` survivors.
+    Returns (q_id, n_id, cos, rank) — same shape as brute_force_topk,
+    which it provably equals at nprobe = n_cells and rerank >= corpus
+    size (tested).
+
+    ``codes`` may be a persisted (n_id, cell, code) frame (see
+    build_ivfpq_index); otherwise cells + codes are derived on the fly.
+    The probed-candidate join is on the cell id only — the corpus is
+    never shuffled by query, and at scale the cell column is the
+    partition directory, so probing 2 of 256 cells reads 2/256 of the
+    files AND scans them at 1/16 the bytes."""
+    from .ivf import assign_cells_df, probe_cells_df
+
+    m = codebooks.shape[0]
+    if codes is None:
+        with_cells = assign_cells_df(corpus, centroids, vec_col=vec_col)
+        codes = pq_encode(
+            with_cells, codebooks, vec_col, id_col, extra_cols=("cell",)
+        )
+    probes = probe_cells_df(queries, centroids, nprobe, id_col, vec_col)
+    cand_codes = (
+        codes.join(
+            F.broadcast(probes.select(F.col("q_id").cast("long").alias("q_id"), "cell")),
+            "cell",
+        )
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "code")
+    )
+    spark = codes.sparkSession
+    q_ids, lut, q_nrm, code_sq = _query_luts(queries, codebooks, id_col, vec_col)
+    bc = track_broadcast(
+        spark.sparkContext.broadcast((q_ids, lut, q_nrm, code_sq))
+    )
+    schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("n_id", LongType()),
+            StructField("adc_cos", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, lt, qn, csq = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(ids) == 0:
+                continue
+            cm = _codes_to_matrix(pdf["code"])  # (n, m)
+            qpos = np.searchsorted(ids, pdf["q_id"].to_numpy())
+            dots = np.zeros(n)
+            rec_sq = np.zeros(n)
+            for j in range(m):
+                cj = cm[:, j]
+                dots += lt[qpos, j, cj]
+                rec_sq += csq[j, cj]
+            denom = qn[qpos] * np.sqrt(rec_sq)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, dots / denom, np.nan)
+            keep = ~np.isnan(cos)
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "q_id": pdf["q_id"].to_numpy()[keep],
+                        "n_id": pdf["n_id"].to_numpy()[keep],
+                        "adc_cos": cos[keep],
+                    }
+                )
+
+    scored = cand_codes.mapInPandas(gen, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_cos").desc(), F.col("n_id").asc()
+    )
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("q_id", "n_id")
+    )
+    return _exact_rerank(corpus, queries, cand, k, id_col, vec_col)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    cell_iters: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    pq_iters: int = 8,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Materialize the IVF-PQ layout: ``{path}/codes`` holds (n_id, code)
+    partitioned by cell directory (probe pruning = partition pruning at
+    1/16 the bytes), ``{path}/centroids`` and ``{path}/codebooks`` hold
+    the two quantizers. Returns (centroids, codebooks)."""
+    from .ivf import assign_cells_df, kmeans_centroids
+
+    spark = corpus.sparkSession
+    centroids = kmeans_centroids(corpus, vec_col, id_col, n_cells, cell_iters)
+    books = pq_train(corpus, vec_col, id_col, m, ks, pq_iters)
+    with_cells = assign_cells_df(corpus, centroids, vec_col=vec_col)
+    (
+        pq_encode(with_cells, books, vec_col, id_col, extra_cols=("cell",))
+        .sortWithinPartitions("cell", "n_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j, c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ],
+        "j int, c int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return centroids, books
 
 
 # --------------------------------------------------------------------------
@@ -349,6 +509,18 @@ def build_pq_index(
         rows, "j int, c int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
     return books
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[np.ndarray], np.ndarray]:
+    """(codes frame incl. cell partition column, centroid list, codebook
+    tensor) from a build_ivfpq_index directory. Bounded reads: n_cells
+    centroid rows + m x ks codebook rows."""
+    codes, books = load_pq_index(spark, path)
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = [np.asarray(r["centroid"], dtype="float64") for r in rows]
+    return codes, centroids, books
 
 
 def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:

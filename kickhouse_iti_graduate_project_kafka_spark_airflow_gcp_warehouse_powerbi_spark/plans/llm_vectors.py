@@ -735,11 +735,17 @@ def pq_rerank_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "n_id", "rank"
     )
     brute = brute_force_topk(emb, queries, k=5).select("q_id", "n_id", "rank")
+    return _invariant_diff(pq, brute)
+
+
+def _invariant_diff(got: DataFrame, expect: DataFrame) -> DataFrame:
+    """(has_hits, n_diff) symmetric-difference scalar for the constant
+    TRUE/0 invariant oracles — each crossJoin side is a 1-row aggregate."""
     keys = ["q_id", "n_id", "rank"]
-    diff_a = pq.join(brute, keys, "left_anti")
-    diff_b = brute.join(pq, keys, "left_anti")
+    diff_a = got.join(expect, keys, "left_anti")
+    diff_b = expect.join(got, keys, "left_anti")
     return (
-        pq.agg(F.count(F.lit(1)).alias("_nh"))
+        got.agg(F.count(F.lit(1)).alias("_nh"))
         .crossJoin(diff_a.agg(F.count(F.lit(1)).alias("_da")))
         .crossJoin(diff_b.agg(F.count(F.lit(1)).alias("_db")))
         .select(
@@ -747,3 +753,59 @@ def pq_rerank_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_da") + F.col("_db")).alias("n_diff"),
         )
     )
+
+
+@register(
+    "knn_ivfpq_rerank", bench=True, tags=("similarity", "ANN", "PQ", "IVF"), oracle=None
+)
+def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/pq.py:ivfpq_topk): the coarse
+    quantizer prunes WHERE to look (probe 4 of 16 k-means cells =
+    partition pruning on a persisted index), PQ codes shrink WHAT is
+    scanned there (ADC over 16-byte codes), exact cosine re-ranks the
+    top-50 shortlist. Rows-only check (codes and cells depend on k-means
+    init); the oracled invariant companion is
+    ivfpq_full_equals_bruteforce, and the practical recall floor is
+    pinned in tests/test_pq.py. This is the production 100 TB layout:
+    1/nprobe of the files read, at 1/16 the bytes each."""
+    from ..operators.ivf import kmeans_centroids
+    from ..operators.pq import ivfpq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    cents = kmeans_centroids(emb, n_cells=16, iters=3)
+    books = pq_train(emb, m=16, ks=64, iters=4)
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), cents, books,
+        k=5, nprobe=4, rerank=50,
+    )
+    return out.select(
+        "q_id",
+        "n_id",
+        F.round(F.col("cos") + 1e-9, 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "ivfpq_full_equals_bruteforce",
+    tags=("similarity", "ANN", "PQ", "IVF", "invariant"),
+    oracle="SELECT TRUE AS has_hits, CAST(0 AS BIGINT) AS n_diff",
+)
+def ivfpq_full_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for the composed IVF-PQ tier: with
+    nprobe = n_cells (coarse prune total) and rerank >= N (ADC prune
+    total), the exact re-rank must reproduce brute-force top-5
+    bit-for-bit — both prune stages only shrink the shortlist, never the
+    exact scores. Constant oracle = expected invariant."""
+    from ..operators.ivf import kmeans_centroids
+    from ..operators.pq import ivfpq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = kmeans_centroids(emb, n_cells=8, iters=2)
+    books = pq_train(emb, m=16, ks=64, iters=4)
+    got = ivfpq_topk(
+        emb, queries, cents, books, k=5, nprobe=8, rerank=10**9
+    ).select("q_id", "n_id", "rank")
+    brute = brute_force_topk(emb, queries, k=5).select("q_id", "n_id", "rank")
+    return _invariant_diff(got, brute)

@@ -139,3 +139,73 @@ def test_null_and_self_excluded(spark, books):
     )
     got = out.select("q_id", "n_id").collect()
     assert all(r["n_id"] != 0 for r in got) and len(got) == 1
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+
+    return kmeans_centroids(emb, n_cells=8, iters=2)
+
+
+def test_ivfpq_full_probe_full_rerank_equals_bruteforce(emb, books, cents):
+    """nprobe = n_cells and rerank >= N: both prune stages are total, so
+    IVF-PQ must reproduce brute force exactly."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        ivfpq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got = ivfpq_topk(
+        emb, q, cents, books, k=5, nprobe=8, rerank=10**6
+    ).select("q_id", "n_id", "rank")
+    brute = brute_force_topk(emb, q, k=5).select("q_id", "n_id", "rank")
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_ivfpq_practical_recall(emb, books, cents):
+    """nprobe=4 of 8 cells, rerank=50: the recall floor for the composed
+    layout (each stage loses a little; the product must stay useful)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        ivfpq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    got = ivfpq_topk(emb, q, cents, books, k=10, nprobe=4, rerank=50)
+    brute = brute_force_topk(emb, q, k=10)
+    nb = brute.count()
+    hits = got.join(brute, ["q_id", "n_id"], "inner").count()
+    assert hits / nb >= 0.6
+
+
+def test_ivfpq_index_roundtrip(emb, tmp_path, spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    cents_b, books_b = build_ivfpq_index(
+        emb, path, n_cells=8, cell_iters=2, m=16, ks=64, pq_iters=4
+    )
+    codes, cents_l, books_l = load_ivfpq_index(spark, path)
+    assert np.array_equal(books_b, books_l)
+    assert all(np.array_equal(a, b) for a, b in zip(cents_b, cents_l))
+    assert "cell" in codes.columns
+    q = emb.filter(F.col("vec_id") < 3)
+    a = ivfpq_topk(
+        emb, q, cents_l, books_l, k=5, nprobe=8, rerank=100, codes=codes
+    ).select("q_id", "n_id", "rank")
+    b = ivfpq_topk(
+        emb, q, cents_b, books_b, k=5, nprobe=8, rerank=100
+    ).select("q_id", "n_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # probe pruning is physical: the codes scan carries a cell partition
+    # filter when probes are restricted
+    import glob
+
+    assert len(glob.glob(f"{path}/codes/cell=*")) == 8
