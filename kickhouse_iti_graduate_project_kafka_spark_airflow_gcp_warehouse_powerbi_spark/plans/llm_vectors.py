@@ -809,3 +809,62 @@ def ivfpq_full_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "n_id", "rank")
     brute = brute_force_topk(emb, queries, k=5).select("q_id", "n_id", "rank")
     return _invariant_diff(got, brute)
+
+
+@register(
+    "embedding_semdedup_stats",
+    bench=True,
+    tags=("dedup", "similarity", "semantic"),
+    oracle=None,
+)
+def embedding_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-style (operators/semdedup.py): k-means
+    cells bound the pairwise space, within-cell dominance pruning at
+    cosine > 0.4 (the fixture's near-dup band), survivors keep the
+    low-centroid-similarity representative. Per-label prune stats.
+    Rows-only check (cell assignment depends on the k-means fit); the
+    oracled invariant companion is semdedup_tau_max_keeps_all, and the
+    clique/monotonicity semantics are pinned in tests/test_semdedup.py.
+    At 100 TB this replaces the O(N²) pairwise sweep: comparisons are
+    O(Σ|cell|²) with k grown alongside N so cells stay
+    shuffle-partition-sized."""
+    from ..operators.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    marks = semdedup(emb, tau=0.4, n_cells=16, iters=3)
+    return (
+        marks.join(
+            emb.select(F.col("vec_id").alias("id"), "label"), "id"
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "semdedup_tau_max_keeps_all",
+    tags=("dedup", "similarity", "semantic", "invariant"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(0 AS BIGINT) AS n_pruned
+    FROM embeddings WHERE embedding IS NOT NULL
+    """,
+)
+def semdedup_tau_max_keeps_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for semantic dedup: cosine is bounded by
+    1, so at tau > 1 NOTHING can dominate — every non-null vector must
+    survive, whatever the k-means fit did. A real SQL oracle (corpus
+    count) rather than a constant: the survivor count is checked against
+    DuckDB's count of non-null embeddings."""
+    from ..operators.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    marks = semdedup(emb, tau=1.0001, n_cells=8, iters=2)
+    return marks.agg(
+        F.sum((~F.col("is_pruned")).cast("long")).alias("n_survivors"),
+        F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
+    )

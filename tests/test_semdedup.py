@@ -1,0 +1,101 @@
+"""Semantic dedup (operators/semdedup.py): clique collapse to one
+survivor, orthogonal-vector no-op, tau monotonicity, partition/run
+determinism, and the survivors semi-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.semdedup import (
+    semdedup,
+    semdedup_survivors,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_identical_clique_keeps_exactly_one(spark):
+    # three identical vectors (mutual cos == 1) + one orthogonal
+    df = _mk(
+        spark,
+        [(1, [1, 0, 0, 0]), (2, [1, 0, 0, 0]), (3, [1, 0, 0, 0]), (9, [0, 1, 0, 0])],
+    )
+    marks = semdedup(df, tau=0.9, n_cells=1, iters=1)
+    got = {r["id"]: r["is_pruned"] for r in marks.collect()}
+    assert got[9] is False
+    kept = [i for i in (1, 2, 3) if not got[i]]
+    assert len(kept) == 1  # exactly one survivor per identical clique
+
+
+def test_orthogonal_all_survive(spark):
+    df = _mk(
+        spark,
+        [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)],
+    )
+    marks = semdedup(df, tau=0.5, n_cells=1, iters=1)
+    assert all(not r["is_pruned"] for r in marks.collect())
+
+
+def test_scaled_copies_are_duplicates(spark):
+    # cosine ignores magnitude: 2x a vector is a perfect duplicate
+    df = _mk(spark, [(1, [3, 4, 0, 0]), (2, [6, 8, 0, 0]), (3, [0, 0, 1, 0])])
+    marks = semdedup(df, tau=0.99, n_cells=1, iters=1)
+    got = {r["id"]: r["is_pruned"] for r in marks.collect()}
+    assert got[3] is False and sorted([got[1], got[2]]) == [False, True]
+
+
+def test_null_vectors_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    marks = semdedup(df, tau=0.9, n_cells=1, iters=1)
+    assert [r["id"] for r in marks.collect()] == [1]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_oracle):
+    df = load_table(spark, sf_oracle, "embeddings").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_tau_monotonic_and_partition_exact(emb):
+    """Lower tau prunes a superset; marks partition the corpus exactly."""
+    n = emb.filter(F.col("embedding").isNotNull()).count()
+    pruned = {}
+    for tau in (0.3, 0.6, 1.0001):
+        marks = semdedup(emb, tau=tau, n_cells=8, iters=2)
+        rows = marks.collect()
+        assert len(rows) == n and len({r["id"] for r in rows}) == n
+        pruned[tau] = {r["id"] for r in rows if r["is_pruned"]}
+    assert pruned[1.0001] == set()
+    assert pruned[0.6] <= pruned[0.3]
+
+
+def test_deterministic_across_runs_and_partitioning(emb):
+    a = sorted(map(tuple, semdedup(emb, tau=0.4, n_cells=8, iters=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            semdedup(
+                emb.repartition(13), tau=0.4, n_cells=8, iters=2
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_survivors_semi_join(emb):
+    marks = semdedup(emb, tau=0.4, n_cells=8, iters=2)
+    n_keep = marks.filter(~F.col("is_pruned")).count()
+    surv = semdedup_survivors(emb, tau=0.4, n_cells=8, iters=2)
+    assert surv.count() == n_keep
+    assert surv.columns == emb.columns
