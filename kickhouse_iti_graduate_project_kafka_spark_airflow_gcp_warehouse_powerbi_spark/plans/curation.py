@@ -265,6 +265,83 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_temperature_mixture_sample",
+    tags=("sampling", "mixture", "A1"),
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               CAST(SUM(LEN(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS toks
+        FROM documents GROUP BY source
+    ), w AS (
+        SELECT source, toks,
+               CAST(FLOOR(SQRT(CAST(toks AS DOUBLE))) AS BIGINT) AS wgt
+        FROM t
+    ), g AS (
+        SELECT CAST(SUM(toks) AS HUGEINT) AS total,
+               CAST(SUM(wgt) AS HUGEINT) AS wsum
+        FROM w
+    ), r AS (
+        SELECT source, toks, wgt,
+               LEAST(CAST(10000 AS HUGEINT),
+                     (CAST(10000 AS HUGEINT) * (total // 5) * wgt)
+                         // (wsum * toks)) AS rate_bp
+        FROM w, g
+    )
+    SELECT d.doc_id, d.source,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000 AS bucket,
+           CAST(r.rate_bp AS BIGINT) AS rate_bp
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < r.rate_bp
+    """,
+)
+def docs_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the data-mixture op used when
+    balancing corpora for training (multinomial sampling with temperature,
+    XLM-R style): per-source sampling weight ∝ share^0.5, realized as a
+    deterministic subsample hitting a 20%-of-total token budget.
+
+    Every rate is INTEGER-exact so the sample is bitwise reproducible
+    cross-engine (the oracle recomputes it in DuckDB HUGEINT): α = 0.5 via
+    integer sqrt of the per-source token sum (floor(sqrt) of an exact
+    BIGINT is engine-identical for any realistic count), the basis-point
+    threshold via exact decimal/int128 floor division — no double ever
+    feeds the membership filter; membership itself is the md5 bucket of
+    doc_id (repartition-stable, no rand()). At 100 TB: one map-side-
+    combined per-source aggregate (|sources| rows), rates broadcast back,
+    then a narrow filter — no corpus shuffle at all."""
+    from ..functions.text import token_count
+
+    docs = _docs(spark, sf_dir).withColumn("n_tok", token_count("text"))
+    per_src = docs.groupBy("source").agg(F.sum("n_tok").alias("toks"))
+    per_src = per_src.withColumn(
+        "wgt", F.floor(F.sqrt(F.col("toks").cast("double"))).cast("long")
+    )
+    totals = per_src.agg(
+        F.sum("toks").alias("total"), F.sum("wgt").alias("wsum")
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr(
+                "(CAST(10000 AS DECIMAL(5,0)) * CAST(total div 5 AS DECIMAL(20,0))"
+                " * CAST(wgt AS DECIMAL(12,0)))"
+                " div (CAST(wsum AS DECIMAL(14,0)) * CAST(toks AS DECIMAL(20,0)))"
+            ),
+        ).alias("rate_bp"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("bucket", sample_bucket(F.col("doc_id"), 10000))
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select("doc_id", "source", "bucket", "rate_bp")
+    )
+
+
+@register(
     "docs_length_percentiles",
     tags=("stats", "A4"),
     oracle=r"""
