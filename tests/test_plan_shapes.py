@@ -78,3 +78,22 @@ def test_bucketed_asof_is_join_free(plans):
     assert "Join" not in p, "bucketed as-of plan regained a join"
     # the plain sweep is join-free too (union + window)
     assert "Join" not in plans("purchase_attribution_asof")
+
+
+def test_temperature_mixture_broadcasts_rates(plans):
+    """The mixture sample is: tiny per-source aggregate -> broadcast rates
+    back onto the corpus -> narrow filter. The corpus-side join must be a
+    broadcast (never a shuffle of the full table on source), and no
+    cartesian shape may appear (the scalar totals crossJoin is 1-row)."""
+    p = plans("docs_temperature_mixture_sample")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_pairs_shuffle_on_cell_only(plans):
+    """Within-cell pairs: the self-join must be keyed (hash/sort-merge on
+    the cell id or broadcast at toy scale) — a cartesian or nested-loop
+    product would mean the O(N^2) shape the operator exists to avoid."""
+    p = plans("embedding_semdedup_stats")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
