@@ -126,6 +126,115 @@ def semdedup(
     )
 
 
+def semdedup_incremental(
+    batch: DataFrame,
+    survivors: DataFrame,
+    tau: float = 0.95,
+    centroids: list[np.ndarray] | None = None,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, is_pruned, pruned_by) for each non-null batch vector —
+    incremental-ingest semantic dedup with **first-seen-wins** policy: a
+    batch vector is pruned if a corpus survivor in its cell is a near-dup
+    (``pruned_by = 'corpus'`` — survivors always outrank arrivals,
+    whatever their centroid-cosine), else if an earlier-ranked batch
+    vector dominates it (``pruned_by = 'batch'``, same dominance rule as
+    :func:`semdedup`).
+
+    Cost ∝ batch, never corpus²: the corpus side contributes only the
+    cells the batch actually touches (cell-key join after a semi-join
+    prune), and within-batch pairs are batch-sized. Pass ``centroids``
+    from the fitted corpus (or a persisted IVF index) — fitting on the
+    batch alone would drift cell boundaries between ingests. With an
+    empty corpus this reduces exactly to :func:`semdedup` on the batch
+    (tested)."""
+    from .ivf import assign_cells_df, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            survivors if survivors.limit(1).count() else batch,
+            vec_col, id_col, n_cells=n_cells, iters=iters,
+        )
+    spark = batch.sparkSession
+    cent_tbl = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "cell int, _cent array<double>",
+    )
+
+    def _prep(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
+        ).filter(F.col("_v").isNotNull())
+        return (
+            assign_cells_df(base, centroids, vec_col="_v")
+            .join(F.broadcast(cent_tbl), "cell")
+            .select(
+                "id",
+                "cell",
+                "_v",
+                norm("_v").alias("_nrm"),
+                F.coalesce(
+                    F.try_divide(
+                        dot("_v", "_cent"), norm("_v") * norm("_cent")
+                    ),
+                    F.lit(0.0),
+                ).alias("cent_cos"),
+            )
+        )
+
+    b = _prep(batch)
+    touched = b.select("cell").distinct()
+    c = _prep(survivors).join(touched, "cell", "left_semi")
+
+    def _cos(l_v, l_n, r_v, r_n):
+        return F.try_divide(dot(l_v, r_v), F.col(l_n) * F.col(r_n))
+
+    by_corpus = (
+        b.select("cell", F.col("id").alias("b_id"), F.col("_v").alias("b_v"),
+                 F.col("_nrm").alias("b_nrm"))
+        .join(
+            c.select("cell", F.col("_v").alias("c_v"),
+                     F.col("_nrm").alias("c_nrm")),
+            "cell",
+        )
+        .filter(_cos("b_v", "b_nrm", "c_v", "c_nrm") > F.lit(float(tau)))
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    ba = b.select(
+        "cell", F.struct("cent_cos", "id").alias("a_rank"),
+        F.col("_v").alias("a_v"), F.col("_nrm").alias("a_nrm"),
+    )
+    bb = b.select(
+        "cell", F.struct("cent_cos", "id").alias("b_rank"),
+        F.col("id").alias("b_id"), F.col("_v").alias("b_v"),
+        F.col("_nrm").alias("b_nrm"),
+    )
+    by_batch = (
+        ba.join(bb, "cell")
+        .filter(F.col("a_rank") < F.col("b_rank"))
+        .filter(_cos("a_v", "a_nrm", "b_v", "b_nrm") > F.lit(float(tau)))
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return (
+        b.join(by_corpus.withColumn("_pc", F.lit(True)), "id", "left")
+        .join(by_batch.withColumn("_pb", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cell",
+            (F.coalesce(F.col("_pc"), F.lit(False))
+             | F.coalesce(F.col("_pb"), F.lit(False))).alias("is_pruned"),
+            F.when(F.coalesce(F.col("_pc"), F.lit(False)), F.lit("corpus"))
+            .when(F.coalesce(F.col("_pb"), F.lit(False)), F.lit("batch"))
+            .alias("pruned_by"),
+        )
+    )
+
+
 def semdedup_survivors(
     corpus: DataFrame,
     tau: float = 0.95,

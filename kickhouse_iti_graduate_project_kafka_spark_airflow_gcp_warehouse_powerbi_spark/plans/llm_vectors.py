@@ -868,3 +868,70 @@ def semdedup_tau_max_keeps_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("is_pruned")).cast("long")).alias("n_survivors"),
         F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
     )
+
+
+@register(
+    "embedding_semdedup_incremental",
+    tags=("dedup", "similarity", "semantic", "incremental"),
+    oracle=None,
+)
+def embedding_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest semantic dedup (semdedup_incremental):
+    vec_id % 10 == 0 plays the arriving batch, the rest of the corpus the
+    prior survivor set; first-seen-wins, corpus-dup vs batch-dup
+    attributed separately. Cost ∝ batch — the corpus contributes only the
+    cells the batch touches. Rows-only (k-means-fit dependent); the
+    oracled companion is semdedup_incremental_keeps_all and the
+    empty-corpus ≡ full-operator equivalence is pinned in
+    tests/test_semdedup.py."""
+    from ..operators.ivf import kmeans_centroids
+    from ..operators.semdedup import semdedup_incremental
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_centroids(corpus, n_cells=16, iters=3)
+    marks = semdedup_incremental(batch, corpus, tau=0.4, centroids=cents)
+    return (
+        marks.join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.col("pruned_by").eqNullSafe(F.lit("corpus")).cast("long")
+            ).alias("n_pruned_corpus"),
+            F.sum(
+                F.col("pruned_by").eqNullSafe(F.lit("batch")).cast("long")
+            ).alias("n_pruned_batch"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "semdedup_incremental_keeps_all",
+    tags=("dedup", "similarity", "semantic", "incremental", "invariant"),
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_pruned
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id % 10 = 0
+    """,
+)
+def semdedup_incremental_keeps_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant with a real SQL oracle: at tau > 1 neither the corpus
+    nor a batch sibling can dominate, so every non-null batch vector
+    passes incremental ingest — count checked against DuckDB's count of
+    the batch slice."""
+    from ..operators.ivf import kmeans_centroids
+    from ..operators.semdedup import semdedup_incremental
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_centroids(corpus, n_cells=8, iters=2)
+    marks = semdedup_incremental(batch, corpus, tau=1.0001, centroids=cents)
+    return marks.agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
+    )

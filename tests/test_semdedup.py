@@ -99,3 +99,46 @@ def test_survivors_semi_join(emb):
     surv = semdedup_survivors(emb, tau=0.4, n_cells=8, iters=2)
     assert surv.count() == n_keep
     assert surv.columns == emb.columns
+
+
+def test_incremental_empty_corpus_equals_full(spark, emb):
+    """With no prior survivors and shared centroids, incremental ingest
+    must mark exactly what the full operator marks."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.semdedup import (
+        semdedup_incremental,
+    )
+
+    cents = kmeans_centroids(emb, n_cells=8, iters=2)
+    empty = emb.filter(F.lit(False))
+    inc = semdedup_incremental(emb, empty, tau=0.4, centroids=cents)
+    full = semdedup(emb, tau=0.4, centroids=cents)
+    a = sorted((r["id"], r["is_pruned"]) for r in inc.collect())
+    b = sorted((r["id"], r["is_pruned"]) for r in full.collect())
+    assert a == b
+    # and with an empty corpus nothing can be corpus-pruned
+    assert all(r["pruned_by"] != "corpus" for r in inc.collect())
+
+
+def test_incremental_corpus_wins_and_reasons(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.semdedup import (
+        semdedup_incremental,
+    )
+    import numpy as np
+
+    cents = [np.array([1.0, 0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0, 0.0])]
+    corpus = _mk(spark, [(100, [1, 0, 0, 0])])
+    # 1: dup of survivor -> corpus; 2: dup of 1 too, corpus takes priority;
+    # 5/6: batch-internal dup pair -> one pruned by batch; 9: unique
+    batch = _mk(
+        spark,
+        [(1, [1, 0, 0, 0]), (2, [1, 0, 0, 0]),
+         (5, [0, 1, 0, 0]), (6, [0, 1, 0, 0]), (9, [0, 0, 1, 0])],
+    )
+    got = {r["id"]: (r["is_pruned"], r["pruned_by"])
+           for r in semdedup_incremental(batch, corpus, tau=0.9, centroids=cents).collect()}
+    assert got[1] == (True, "corpus") and got[2] == (True, "corpus")
+    assert sorted([got[5], got[6]]) == [(False, None), (True, "batch")]
+    assert got[9] == (False, None)
