@@ -79,11 +79,15 @@ def assign_cells(vec_col: str | Column, centroids: list[np.ndarray]) -> Column:
 #: as a broadcast variable instead.
 ARROW_CELL_THRESHOLD = 64
 
-#: ...and independent of k, the LITERAL COUNT k x dim is what whole-stage
-#: codegen actually compiles: 64 cells x dim 64 = 4096 doubles measurably
-#: stalls codegen (~6 s vs ~2.5 s Arrow at sf0.1), so the literal path
-#: also requires k x dim under this budget.
-LITERAL_SCORE_BUDGET = 2048
+#: ...and independent of k, the LITERAL COUNT k x dim is what the engine
+#: actually evaluates per row — and zip_with/aggregate score expressions
+#: run on Catalyst's INTERPRETED higher-order-function path, not codegen:
+#: measured at sf0.1 (2 000 x dim 64), assignment at k=16 (k x dim = 1024)
+#: costs 12.9 s literal vs 0.47 s Arrow, and k-means(16 cells, 3 iters)
+#: 13.8 s vs 5.7 s. The literal path only pays off when the score array is
+#: small enough that skipping the Python-worker round-trip wins (tiny toy
+#: frames, k x dim in the low hundreds), hence this budget.
+LITERAL_SCORE_BUDGET = 256
 
 
 def _use_literal_path(centroids: list[np.ndarray]) -> bool:
@@ -290,41 +294,68 @@ def kmeans_centroids(
     if len(centroids) < n_cells:
         raise ValueError(f"corpus has fewer than {n_cells} vectors")
 
-    vecs = corpus.select(_unit(vec_col).alias("_v"))
+    # ONE narrow job per Lloyd iteration: an Arrow kernel normalizes,
+    # assigns, and emits per-partition partial sums (cell, count, Σvec) —
+    # at most n_partitions x k tiny rows reach the driver, no shuffle at
+    # all. (The previous posexplode → groupBy(cell, pos) shuffle plus an
+    # interpreted `_unit` re-evaluated per iteration cost ~1.9 s/iter at
+    # sf0.1 in pure overhead.) Rounding the combined means absorbs
+    # partial-sum ordering, exactly as it absorbed partition summation
+    # order before.
+    vecs = corpus.select(F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    spark = corpus.sparkSession
+    k = n_cells
+    partial_schema = "cell int, cnt long, sums array<double>"
     for _ in range(iters):
-        # each Lloyd iteration assigns against NEW centroids, so the Arrow
-        # path necessarily builds a fresh broadcast matrix; the holder lets
-        # this loop release it the moment the iteration's means are
-        # collected instead of accumulating one per iteration (ADVICE r4)
-        bc_holder: list = []
-        assigned = assign_cells_df(
-            vecs, centroids, vec_col="_v", out_col="_cell", normalize=False,
-            _bc_holder=bc_holder,
-        )
-        means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cell", "_pos")
-            .agg(F.avg("_x").alias("_m"))
-            .collect()
-        )
-        for bc in bc_holder:
-            bc.unpersist(blocking=False)
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
-        new = []
-        for j, prev in enumerate(centroids):
-            if j in by_cell:
-                vals = by_cell[j]
-                new.append(
-                    np.round(
-                        np.asarray([vals[p] for p in sorted(vals)], dtype="float64"),
-                        round_decimals,
-                    )
+        cmat = _centroid_matrix(centroids)
+        bc = spark.sparkContext.broadcast(cmat)
+
+        def partials(batches):
+            import pandas as pd
+
+            C = bc.value
+            dim = C.shape[1]
+            c_sq = (C * C).sum(axis=1)
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+                n = np.linalg.norm(V, axis=1)
+                U = np.divide(
+                    V, n[:, None], out=V.copy(), where=(n > 0)[:, None]
+                )  # zero vectors pass through, matching _unit
+                cells = np.argmin(-2.0 * (U @ C.T) + c_sq, axis=1)
+                cnt += np.bincount(cells, minlength=k)
+                np.add.at(sums, cells, U)
+            hit = np.nonzero(cnt)[0]
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "cell": hit.astype(np.int32),
+                        "cnt": cnt[hit],
+                        "sums": [sums[j] for j in hit],
+                    }
                 )
-            else:
-                new.append(prev)  # empty cell: keep previous centroid
-        centroids = new
+
+        rows = vecs.mapInPandas(partials, partial_schema).collect()
+        bc.unpersist(blocking=False)
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        tot_sum: dict[int, np.ndarray] = {}
+        for r in rows:
+            j = r["cell"]
+            tot_cnt[j] += r["cnt"]
+            s = np.asarray(r["sums"], dtype="float64")
+            tot_sum[j] = tot_sum.get(j, 0.0) + s
+        centroids = [
+            np.round(tot_sum[j] / tot_cnt[j], round_decimals)
+            if tot_cnt[j]
+            else prev  # empty cell: keep previous centroid
+            for j, prev in enumerate(centroids)
+        ]
     return centroids
 
 

@@ -13,13 +13,21 @@ Pruning policy — **dominance**, not greedy-chain: vector *v* is pruned iff
 some vector *u* in the same cell has ``cos(u, v) > tau`` and *u* ranks
 before *v* (rank = centroid-cosine ASC, id ASC — SemDeDup keeps the
 LOW-centroid-similarity "edge" examples, the paper's best-performing
-keep rule). Dominance is monotone and embarrassingly parallel (one
-within-cell join decides every vector independently); a greedy sequential
-scan would need per-cell ``applyInPandas`` state and can only differ by
-keeping MORE near-dup chains, never fewer distinct survivors per clique.
-Identical vectors are mutual duplicates at any tau < 1, so exactly the
-rank-first one survives — the exact-dedup degenerate case comes out right
-by construction.
+keep rule). Dominance is monotone and embarrassingly parallel (each cell
+decides every vector independently); a greedy sequential scan would need
+per-cell state and can only differ by keeping MORE near-dup chains, never
+fewer distinct survivors per clique. Identical vectors are mutual
+duplicates at any tau < 1, so exactly the rank-first one survives — the
+exact-dedup degenerate case comes out right by construction.
+
+Physical shape: the within-cell scoring runs as an Arrow-batched
+``applyInPandas`` gram kernel — each cell group is unit-normalized once
+and scored with a BLAS matrix product in column blocks (memory
+O(cell × block), never O(cell²) at once). A DataFrame self-join with
+per-pair ``zip_with`` dots expresses the same thing but runs on
+Catalyst's interpreted higher-order-function path: measured 41 s vs ~4 s
+for the full stats query at sf0.1 (see operators/ivf.py's
+LITERAL_SCORE_BUDGET note for the same effect on cell assignment).
 
 Reference parity: the reference's dedup story is key-level
 (ReplacingMergeTree latest-per-key, README.md:475-477) — semantic dedup is
@@ -33,8 +41,50 @@ import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..functions.vectors import dot, norm
+from .cachereg import track_broadcast
+
+#: column-block width for the per-cell gram product — bounds kernel memory
+#: at O(cell_size x block) doubles
+_GRAM_BLOCK = 2048
+
+
+def _unit_rows(vecs) -> tuple[np.ndarray, np.ndarray]:
+    """(unit-normalized matrix, valid-row mask). Zero/invalid-norm rows
+    come back as zero rows with valid=False — they can neither dominate
+    nor be dominated (cosine with a zero vector is undefined/NULL)."""
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    nrm = np.linalg.norm(V, axis=1)
+    valid = nrm > 0
+    U = np.divide(V, nrm[:, None], out=np.zeros_like(V), where=valid[:, None])
+    return U, valid
+
+
+def _dominated_in_rank_order(Us: np.ndarray, valid_s: np.ndarray, tau: float) -> np.ndarray:
+    """Boolean mask over rank-sorted unit rows: row j is dominated iff some
+    earlier row i (i < j, both valid) has ``Us[i] . Us[j] > tau``.
+    Blocked over columns so memory stays O(m x block)."""
+    m = Us.shape[0]
+    out = np.zeros(m, dtype=bool)
+    for s in range(1, m, _GRAM_BLOCK):
+        e = min(s + _GRAM_BLOCK, m)
+        G = Us[:e] @ Us[s:e].T  # (e, e-s)
+        rows = np.arange(e)[:, None]
+        cols = np.arange(s, e)[None, :]
+        mask = (G > tau) & (rows < cols) & valid_s[:e, None] & valid_s[None, s:e]
+        out[s:e] = mask.any(axis=0)
+    return out
+
+
+_MARK_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cent_cos", T.DoubleType()),
+        T.StructField("is_pruned", T.BooleanType()),
+    ]
+)
 
 
 def semdedup(
@@ -52,12 +102,11 @@ def semdedup(
     (cosine > ``tau``) in the same k-means cell. Survivors are the
     ``~is_pruned`` rows; join back on ``id_col`` for full columns.
 
-    Physical shape: one cell-key shuffle for the within-cell self-join
-    (both sides ARE the same cell-partitioned frame), candidate pairs
-    bounded by cell sizes, then a cell-local aggregation — never a
-    corpus-wide pairwise product. ``centroids`` may come from a persisted
-    index (operators/ivf.build_ivf_index) so re-runs at a new ``tau``
-    skip the k-means fit entirely.
+    One cell-key shuffle feeds the per-cell gram kernel; candidate pairs
+    are bounded by cell sizes — never a corpus-wide pairwise product.
+    ``centroids`` may come from a persisted index
+    (operators/ivf.build_ivf_index) so re-runs at a new ``tau`` skip the
+    k-means fit entirely.
     """
     from .ivf import assign_cells_df, kmeans_centroids
 
@@ -69,61 +118,49 @@ def semdedup(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
     ).filter(F.col("_v").isNotNull())
     cells = assign_cells_df(base, centroids, vec_col="_v")
-
-    # centroid-cosine rank key: join the k-row centroid table (broadcast)
-    # rather than inlining k x dim literals into the plan
     spark = corpus.sparkSession
-    cent_tbl = spark.createDataFrame(
-        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
-        "cell int, _cent array<double>",
-    )
-    ranked = (
-        cells.join(F.broadcast(cent_tbl), "cell")
-        .select(
-            "id",
-            "cell",
-            "_v",
-            norm("_v").alias("_nrm"),
-            F.try_divide(dot("_v", "_cent"), norm("_v") * norm("_cent")).alias(
-                "cent_cos"
-            ),
-        )
-        .withColumn("cent_cos", F.coalesce(F.col("cent_cos"), F.lit(0.0)))
-    )
+    cmat = np.stack([np.asarray(c, dtype=np.float64) for c in centroids])
+    bc = track_broadcast(spark.sparkContext.broadcast(cmat))
+    tau_f = float(tau)
 
-    a = ranked.select(
-        F.col("cell"),
-        F.struct("cent_cos", "id").alias("a_rank"),
-        F.col("id").alias("a_id"),
-        F.col("_v").alias("a_v"),
-        F.col("_nrm").alias("a_nrm"),
-    )
-    b = ranked.select(
-        F.col("cell"),
-        F.struct("cent_cos", "id").alias("b_rank"),
-        F.col("id").alias("b_id"),
-        F.col("_v").alias("b_v"),
-        F.col("_nrm").alias("b_nrm"),
-    )
-    dominated = (
-        a.join(b, "cell")
-        .filter(F.col("a_rank") < F.col("b_rank"))
-        .filter(
-            F.try_divide(dot("a_v", "b_v"), F.col("a_nrm") * F.col("b_nrm"))
-            > F.lit(float(tau))
+    def prune(key, pdf):
+        import pandas as pd
+
+        cell = int(key[0])
+        # canonical row order: group rows arrive in shuffle order, and BLAS
+        # accumulation is only bitwise-stable for a FIXED operand layout —
+        # sort by id so every partitioning computes the identical kernel
+        pdf = pdf.sort_values("id", ignore_index=True)
+        U, valid = _unit_rows(pdf["_v"])
+        c = bc.value[cell]
+        cn = np.linalg.norm(c)
+        cent_cos = (U @ (c / cn)) if cn > 0 else np.zeros(len(U))
+        cent_cos = np.where(valid, cent_cos, 0.0)
+        ids = pdf["id"].to_numpy()
+        order = np.lexsort((ids, cent_cos))
+        pruned_sorted = _dominated_in_rank_order(U[order], valid[order], tau_f)
+        pruned = np.empty(len(order), dtype=bool)
+        pruned[order] = pruned_sorted
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": np.full(len(ids), cell, dtype=np.int32),
+                "cent_cos": cent_cos,
+                "is_pruned": pruned,
+            }
         )
-        .select(F.col("b_id").alias("id"))
-        .distinct()
-    )
-    return (
-        ranked.join(dominated.withColumn("_pr", F.lit(True)), "id", "left")
-        .select(
-            "id",
-            "cell",
-            "cent_cos",
-            F.coalesce(F.col("_pr"), F.lit(False)).alias("is_pruned"),
-        )
-    )
+
+    return cells.groupBy("cell").applyInPandas(prune, _MARK_SCHEMA)
+
+
+_INC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("is_pruned", T.BooleanType()),
+        T.StructField("pruned_by", T.StringType()),
+    ]
+)
 
 
 def semdedup_incremental(
@@ -145,8 +182,8 @@ def semdedup_incremental(
     :func:`semdedup`).
 
     Cost ∝ batch, never corpus²: the corpus side contributes only the
-    cells the batch actually touches (cell-key join after a semi-join
-    prune), and within-batch pairs are batch-sized. Pass ``centroids``
+    cells the batch actually touches (cell-semi-join prune before the
+    shuffle), and within-batch pairs are batch-sized. Pass ``centroids``
     from the fitted corpus (or a persisted IVF index) — fitting on the
     batch alone would drift cell boundaries between ingests. With an
     empty corpus this reduces exactly to :func:`semdedup` on the batch
@@ -159,80 +196,67 @@ def semdedup_incremental(
             vec_col, id_col, n_cells=n_cells, iters=iters,
         )
     spark = batch.sparkSession
-    cent_tbl = spark.createDataFrame(
-        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
-        "cell int, _cent array<double>",
-    )
 
-    def _prep(df: DataFrame) -> DataFrame:
+    def _prep(df: DataFrame, side: int) -> DataFrame:
         base = df.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
         ).filter(F.col("_v").isNotNull())
-        return (
-            assign_cells_df(base, centroids, vec_col="_v")
-            .join(F.broadcast(cent_tbl), "cell")
-            .select(
-                "id",
-                "cell",
-                "_v",
-                norm("_v").alias("_nrm"),
-                F.coalesce(
-                    F.try_divide(
-                        dot("_v", "_cent"), norm("_v") * norm("_cent")
-                    ),
-                    F.lit(0.0),
-                ).alias("cent_cos"),
-            )
+        return assign_cells_df(base, centroids, vec_col="_v").withColumn(
+            "_side", F.lit(side)
         )
 
-    b = _prep(batch)
+    b = _prep(batch, 1)
     touched = b.select("cell").distinct()
-    c = _prep(survivors).join(touched, "cell", "left_semi")
+    c = _prep(survivors, 0).join(touched, "cell", "left_semi")
+    both = b.unionByName(c)
+    cmat = np.stack([np.asarray(x, dtype=np.float64) for x in centroids])
+    bc = track_broadcast(spark.sparkContext.broadcast(cmat))
+    tau_f = float(tau)
 
-    def _cos(l_v, l_n, r_v, r_n):
-        return F.try_divide(dot(l_v, r_v), F.col(l_n) * F.col(r_n))
+    def prune(key, pdf):
+        import pandas as pd
 
-    by_corpus = (
-        b.select("cell", F.col("id").alias("b_id"), F.col("_v").alias("b_v"),
-                 F.col("_nrm").alias("b_nrm"))
-        .join(
-            c.select("cell", F.col("_v").alias("c_v"),
-                     F.col("_nrm").alias("c_nrm")),
-            "cell",
+        cell = int(key[0])
+        # canonical row order (see semdedup.prune): corpus first, then id
+        pdf = pdf.sort_values(["_side", "id"], ignore_index=True)
+        is_b = (pdf["_side"] == 1).to_numpy()
+        U, valid = _unit_rows(pdf["_v"])
+        ids = pdf["id"].to_numpy()
+        Ub, vb, idb = U[is_b], valid[is_b], ids[is_b]
+        Uc, vc = U[~is_b], valid[~is_b]
+        nb = len(idb)
+        if nb == 0:
+            return pd.DataFrame(
+                {"id": ids[:0], "cell": np.array([], dtype=np.int32),
+                 "is_pruned": np.array([], dtype=bool),
+                 "pruned_by": np.array([], dtype=object)}
+            )
+        # corpus domination: any valid survivor with cos > tau (blocked)
+        by_corpus = np.zeros(nb, dtype=bool)
+        for s in range(0, len(Uc), _GRAM_BLOCK):
+            e = min(s + _GRAM_BLOCK, len(Uc))
+            G = Uc[s:e] @ Ub.T  # (e-s, nb)
+            by_corpus |= ((G > tau_f) & vc[s:e, None] & vb[None, :]).any(axis=0)
+        # within-batch dominance, same rank rule as semdedup
+        cen = bc.value[cell]
+        cn = np.linalg.norm(cen)
+        cent_cos = (Ub @ (cen / cn)) if cn > 0 else np.zeros(nb)
+        cent_cos = np.where(vb, cent_cos, 0.0)
+        order = np.lexsort((idb, cent_cos))
+        dom_sorted = _dominated_in_rank_order(Ub[order], vb[order], tau_f)
+        by_batch = np.empty(nb, dtype=bool)
+        by_batch[order] = dom_sorted
+        reason = np.where(by_corpus, "corpus", np.where(by_batch, "batch", None))
+        return pd.DataFrame(
+            {
+                "id": idb,
+                "cell": np.full(nb, cell, dtype=np.int32),
+                "is_pruned": by_corpus | by_batch,
+                "pruned_by": reason,
+            }
         )
-        .filter(_cos("b_v", "b_nrm", "c_v", "c_nrm") > F.lit(float(tau)))
-        .select(F.col("b_id").alias("id"))
-        .distinct()
-    )
-    ba = b.select(
-        "cell", F.struct("cent_cos", "id").alias("a_rank"),
-        F.col("_v").alias("a_v"), F.col("_nrm").alias("a_nrm"),
-    )
-    bb = b.select(
-        "cell", F.struct("cent_cos", "id").alias("b_rank"),
-        F.col("id").alias("b_id"), F.col("_v").alias("b_v"),
-        F.col("_nrm").alias("b_nrm"),
-    )
-    by_batch = (
-        ba.join(bb, "cell")
-        .filter(F.col("a_rank") < F.col("b_rank"))
-        .filter(_cos("a_v", "a_nrm", "b_v", "b_nrm") > F.lit(float(tau)))
-        .select(F.col("b_id").alias("id"))
-        .distinct()
-    )
-    return (
-        b.join(by_corpus.withColumn("_pc", F.lit(True)), "id", "left")
-        .join(by_batch.withColumn("_pb", F.lit(True)), "id", "left")
-        .select(
-            "id",
-            "cell",
-            (F.coalesce(F.col("_pc"), F.lit(False))
-             | F.coalesce(F.col("_pb"), F.lit(False))).alias("is_pruned"),
-            F.when(F.coalesce(F.col("_pc"), F.lit(False)), F.lit("corpus"))
-            .when(F.coalesce(F.col("_pb"), F.lit(False)), F.lit("batch"))
-            .alias("pruned_by"),
-        )
-    )
+
+    return both.groupBy("cell").applyInPandas(prune, _INC_SCHEMA)
 
 
 def semdedup_survivors(
