@@ -32,20 +32,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
-def token_balanced_shards(
+def global_prefix(
     df: DataFrame,
     weight_col: str,
     order_col: str,
-    target_per_shard: int,
     bucket_width: int = 10_000,
 ) -> DataFrame:
-    """Adds ``shard_id`` such that consecutive documents (by ``order_col``)
-    accumulate into shards of ~``target_per_shard`` total ``weight_col``.
-
-    A document lands in the shard its *starting* offset falls into, so every
-    shard's total is < target + max_doc_weight and the assignment is a pure
-    function of the input — reproducible across retries and engines.
-    """
+    """Adds ``_prefix`` — the exclusive running sum of ``weight_col`` in
+    canonical ``order_col`` order — via the two-phase parallel scan
+    described in the module docstring. Exact long arithmetic throughout.
+    Callers must drop ``_prefix`` (and may drop ``_bucket``) when done."""
     w = F.col(weight_col).cast("long")
     bucketed = df.withColumn(
         "_bucket", F.expr(f"{order_col} div {bucket_width}").cast("long")
@@ -66,9 +62,71 @@ def token_balanced_shards(
         .withColumn(
             "_prefix", F.col("_offset") + F.coalesce(F.sum(w).over(iw), F.lit(0))
         )
-        .withColumn("shard_id", F.expr(f"_prefix div {target_per_shard}").cast("long"))
-        .drop("_bucket", "_offset", "_prefix")
+        .drop("_offset")
     )
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    target_per_shard: int,
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Adds ``shard_id`` such that consecutive documents (by ``order_col``)
+    accumulate into shards of ~``target_per_shard`` total ``weight_col``.
+
+    A document lands in the shard its *starting* offset falls into, so every
+    shard's total is < target + max_doc_weight and the assignment is a pure
+    function of the input — reproducible across retries and engines.
+    """
+    return (
+        global_prefix(df, weight_col, order_col, bucket_width)
+        .withColumn("shard_id", F.expr(f"_prefix div {target_per_shard}").cast("long"))
+        .drop("_bucket", "_prefix")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    seq_len: int,
+    bucket_width: int = 10_000,
+) -> DataFrame:
+    """Sequence-packing layout: concatenate documents in ``order_col``
+    order and cut the token stream into fixed-length training sequences of
+    ``seq_len`` tokens. Returns one row per (document, sequence) slice —
+    ``seq_id`` plus ``begin_tok``/``end_tok`` offsets WITHIN the document
+    (a long document spans several sequences; several short ones share
+    one). Every sequence except the last covers exactly ``seq_len`` tokens
+    by construction.
+
+    This is the packing step a GPT-style data loader runs before
+    tokenizer-side concat: computing it in the engine makes the layout a
+    pure function of the corpus (retry/engine reproducible) instead of
+    loader state. All arithmetic is exact long prefix sums (two-phase
+    scan — never a single-partition window over the corpus); the explode
+    emits ceil(w/seq_len)+1 rows per doc at most, so output ∝ corpus
+    tokens / seq_len + docs."""
+    w = F.col(weight_col).cast("long")
+    pref = global_prefix(df, weight_col, order_col, bucket_width).filter(w > 0)
+    out = (
+        pref.withColumn("_first", F.expr(f"_prefix div {int(seq_len)}"))
+        .withColumn("_last", F.expr(f"(_prefix + {weight_col} - 1) div {int(seq_len)}"))
+        .withColumn("seq_id", F.explode(F.sequence(F.col("_first"), F.col("_last"))))
+        .withColumn(
+            "begin_tok",
+            F.greatest(F.col("seq_id") * seq_len, F.col("_prefix")) - F.col("_prefix"),
+        )
+        .withColumn(
+            "end_tok",
+            F.least((F.col("seq_id") + 1) * seq_len, F.col("_prefix") + w)
+            - F.col("_prefix"),
+        )
+        .drop("_bucket", "_prefix", "_first", "_last")
+    )
+    return out
 
 
 def write_token_shards(

@@ -459,6 +459,53 @@ def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_pack_sequences",
+    tags=("shards", "packing", "WF1"),
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS prefix
+        FROM w WHERE n_tok > 0
+    )
+    , s AS (
+        SELECT doc_id, prefix, n_tok,
+               unnest(generate_series(CAST(prefix // 256 AS BIGINT),
+                                      CAST((prefix + n_tok - 1) // 256
+                                           AS BIGINT))) AS seq_id
+        FROM c
+    )
+    SELECT doc_id, seq_id,
+           GREATEST(seq_id * 256, prefix) - prefix AS begin_tok,
+           LEAST((seq_id + 1) * 256, prefix + n_tok) - prefix AS end_tok
+    FROM s
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout (operators/shards.pack_sequences): the
+    corpus token stream, in doc_id order, cut into 256-token training
+    sequences — one row per (doc, sequence) slice with in-doc
+    begin/end offsets. The engine-side layout replaces data-loader
+    packing state: pure long prefix-sum arithmetic (two-phase scan, no
+    global window), so retries and other engines reproduce the exact
+    same training batches. The oracle recomputes the slice set with a
+    window cumsum + generate_series in DuckDB."""
+    from ..functions.text import token_count
+    from ..operators.shards import pack_sequences
+
+    d = _docs(spark, sf_dir).select("doc_id", token_count("text").alias("n_tok"))
+    return pack_sequences(
+        d, "n_tok", "doc_id", seq_len=256, bucket_width=100
+    ).select("doc_id", "seq_id", "begin_tok", "end_tok")
+
+
+@register(
     "docs_per_source_sample",
     tags=("sampling", "WF2"),
     oracle="""

@@ -69,3 +69,57 @@ def test_writer_partition_layout(spark, tmp_path):
         .filter(F.col("shard_id") == 0)
         .collect()
     )
+
+
+def test_pack_sequences_matches_sequential_packing(spark):
+    """Slices must equal what a sequential packer produces: walk docs in
+    order, cut at every seq_len boundary."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        pack_sequences,
+    )
+
+    L = 128
+    df, rows = _fixture(spark)
+    got = {
+        (r["doc_id"], r["seq_id"]): (r["begin_tok"], r["end_tok"])
+        for r in pack_sequences(df, "n_tok", "doc_id", L, bucket_width=64).collect()
+    }
+    expect = {}
+    prefix = 0
+    for doc_id, w in sorted(rows):
+        for seq in range(prefix // L, (prefix + w - 1) // L + 1):
+            b = max(seq * L, prefix) - prefix
+            e = min((seq + 1) * L, prefix + w) - prefix
+            expect[(doc_id, seq)] = (b, e)
+        prefix += w
+    assert got == expect
+
+
+def test_pack_sequences_invariants(spark):
+    """(a) per-doc slices concatenate to exactly [0, n_tok); (b) every
+    sequence except the last carries exactly seq_len tokens; (c) zero-
+    weight docs emit nothing."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        pack_sequences,
+    )
+
+    L = 128
+    df, rows = _fixture(spark)
+    df = df.union(df.sparkSession.createDataFrame([(99999, 0)], df.schema))
+    out = pack_sequences(df, "n_tok", "doc_id", L, bucket_width=64).collect()
+    assert all(r["doc_id"] != 99999 for r in out)
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append((r["begin_tok"], r["end_tok"]))
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + (r["end_tok"] - r["begin_tok"])
+    weights = dict(rows)
+    for doc_id, slices in per_doc.items():
+        slices.sort()
+        assert slices[0][0] == 0 and slices[-1][1] == weights[doc_id]
+        for (b1, e1), (b2, e2) in zip(slices, slices[1:]):
+            assert e1 == b2  # contiguous, non-overlapping
+    last = max(per_seq)
+    for seq, tok in per_seq.items():
+        if seq != last:
+            assert tok == L, (seq, tok)
