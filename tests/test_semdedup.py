@@ -142,3 +142,33 @@ def test_incremental_corpus_wins_and_reasons(spark):
     assert got[1] == (True, "corpus") and got[2] == (True, "corpus")
     assert sorted([got[5], got[6]]) == [(False, None), (True, "batch")]
     assert got[9] == (False, None)
+
+
+def test_semdedup_job_modes(spark, sf_oracle, tmp_path):
+    """Job drive: survivors layout + incremental stats, reusing a
+    persisted IVF quantizer so no mode refits k-means."""
+    import sys
+    sys.path.insert(0, "/root/repo/jobs")
+    from semdedup_corpus import run
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        build_ivf_index,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(emb, ivf, n_cells=8, iters=2)
+
+    out = str(tmp_path / "sem")
+    s = run(spark, sf_oracle, out, "survivors", tau=0.4, ivf_path=ivf)
+    assert s["n_vectors"] == s["n_pruned"] + s["n_survivors"]
+    surv = spark.read.parquet(f"{out}/survivors")
+    assert surv.count() == s["n_survivors"]
+    assert surv.columns == emb.columns
+
+    inc = run(spark, sf_oracle, str(tmp_path / "inc"), "incremental",
+              tau=0.4, ivf_path=ivf)
+    assert inc["n_batch"] == emb.filter(F.col("vec_id") % 10 == 0).count()
+    assert inc["pruned_by_corpus"] >= 0 and inc["pruned_by_batch"] >= 0
