@@ -49,10 +49,11 @@ def run(
 
     centroids = None
     if ivf_path is not None:
-        import numpy as np
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+            load_centroids,
+        )
 
-        rows = spark.read.parquet(f"{ivf_path}/centroids").orderBy("cell").collect()
-        centroids = [np.asarray(r["centroid"], dtype="float64") for r in rows]
+        centroids = load_centroids(spark, ivf_path)
 
     emb = load_table(spark, sf_dir, "embeddings")
     if mode == "incremental":
@@ -66,8 +67,14 @@ def run(
         back = spark.read.parquet(f"{out}/marks")
         agg = back.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("pruned_by").eqNullSafe("corpus").cast("long")).alias("c"),
-            F.sum(F.col("pruned_by").eqNullSafe("batch").cast("long")).alias("b"),
+            F.coalesce(
+                F.sum(F.col("pruned_by").eqNullSafe("corpus").cast("long")),
+                F.lit(0),
+            ).alias("c"),
+            F.coalesce(
+                F.sum(F.col("pruned_by").eqNullSafe("batch").cast("long")),
+                F.lit(0),
+            ).alias("b"),
         ).collect()[0]
         return {
             "mode": mode, "out": out, "tau": tau,
@@ -82,7 +89,7 @@ def run(
     back = spark.read.parquet(f"{out}/marks")
     stats = back.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("is_pruned").cast("long")).alias("p"),
+        F.coalesce(F.sum(F.col("is_pruned").cast("long")), F.lit(0)).alias("p"),
     ).collect()[0]
     result = {
         "mode": mode, "out": out, "tau": tau,

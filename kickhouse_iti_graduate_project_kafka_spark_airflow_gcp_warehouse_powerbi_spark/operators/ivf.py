@@ -129,6 +129,12 @@ def assign_cells_df(
     ``normalize=False`` skips unit normalization when ``vec_col`` is
     already unit-length (the k-means inner loop).
 
+    NULL vectors are dropped on BOTH paths — a row without a vector has
+    no cell (previously the literal path kept it with a NULL cell that
+    every downstream cell join/group silently discarded, while the Arrow
+    kernel crashed on the ragged batch; explicit and identical is
+    better).
+
     The Arrow path's broadcast is registered with the shared cache
     registry (released by ``release_tracked``/``clear_all_caches`` via
     ``unpersist`` — executors drop their copy, a later re-execution
@@ -137,6 +143,7 @@ def assign_cells_df(
     the k-means loop releasing each iteration's matrix as soon as its
     means are collected.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     if _use_literal_path(centroids):
         vec = _unit(vec_col) if normalize else F.col(vec_col)
         return df.withColumn(out_col, assign_cells(vec, centroids))
@@ -196,7 +203,11 @@ def probe_cells_df(
     strategy as :func:`assign_cells_df` — plan-literal score array +
     window at small k x dim, broadcast matrix + ``mapInPandas`` beyond
     the literal-plan budget (argsort is stable, so equal distances keep
-    ascending cell order, matching the window's (dist, cell) sort)."""
+    ascending cell order, matching the window's (dist, cell) sort).
+    NULL-vector queries probe nothing (dropped, as in assign_cells_df —
+    the literal path previously emitted arbitrary NULLS-FIRST probe rows
+    for them, the Arrow kernel crashed)."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if _use_literal_path(centroids):
         q_scored = queries.select(
             F.col(id_col).alias("q_id"),
@@ -285,7 +296,8 @@ def kmeans_centroids(
     previous centroid.
     """
     init_rows = (
-        corpus.select(F.col(id_col).alias("_id"), _unit(vec_col).alias("_v"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), _unit(vec_col).alias("_v"))
         .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
         .limit(n_cells)
         .collect()

@@ -394,6 +394,8 @@ def ivfpq_topk(
         ]
     )
 
+    rr = int(rerank)
+
     def gen(batches):
         import pandas as pd
 
@@ -402,8 +404,22 @@ def ivfpq_topk(
             n = len(pdf)
             if n == 0 or len(ids) == 0:
                 continue
+            qnp = pdf["q_id"].to_numpy()
+            qpos = np.searchsorted(ids, qnp)
+            # guard: a probed q_id can be absent from the LUT set (NULL-
+            # vector query — probe rows exist, LUT rows don't); drop those
+            # rows instead of misindexing another query's table
+            in_lut = (qpos < len(ids)) & (
+                ids[np.minimum(qpos, len(ids) - 1)] == qnp
+            )
+            if not in_lut.all():
+                pdf = pdf[in_lut].reset_index(drop=True)
+                n = len(pdf)
+                if n == 0:
+                    continue
+                qnp = qnp[in_lut]
+                qpos = qpos[in_lut]
             cm = _codes_to_matrix(pdf["code"])  # (n, m)
-            qpos = np.searchsorted(ids, pdf["q_id"].to_numpy())
             dots = np.zeros(n)
             rec_sq = np.zeros(n)
             for j in range(m):
@@ -414,14 +430,23 @@ def ivfpq_topk(
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, dots / denom, np.nan)
             keep = ~np.isnan(cos)
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "q_id": pdf["q_id"].to_numpy()[keep],
-                        "n_id": pdf["n_id"].to_numpy()[keep],
-                        "adc_cos": cos[keep],
-                    }
-                )
+            if not keep.any():
+                continue
+            # per-batch partial top-rerank PER QUERY (score desc, n_id
+            # asc) — the same truncation pq_adc_topk applies, so the
+            # downstream q_id window shuffles O(batches x nq x rerank)
+            # rows, never the candidate-set size
+            n_ids = pdf["n_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in np.unique(qnp[keep]):
+                idx = np.nonzero(keep & (qnp == qi))[0]
+                order = idx[np.lexsort((n_ids[idx], -cos[idx]))][:rr]
+                out_q.extend([qi] * len(order))
+                out_n.extend(n_ids[order])
+                out_s.extend(cos[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, "n_id": out_n, "adc_cos": out_s}
+            )
 
     scored = cand_codes.mapInPandas(gen, schema)
     w = Window.partitionBy("q_id").orderBy(
@@ -517,10 +542,10 @@ def load_ivfpq_index(
     """(codes frame incl. cell partition column, centroid list, codebook
     tensor) from a build_ivfpq_index directory. Bounded reads: n_cells
     centroid rows + m x ks codebook rows."""
+    from .ivf import load_centroids
+
     codes, books = load_pq_index(spark, path)
-    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    centroids = [np.asarray(r["centroid"], dtype="float64") for r in rows]
-    return codes, centroids, books
+    return codes, load_centroids(spark, path), books
 
 
 def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:

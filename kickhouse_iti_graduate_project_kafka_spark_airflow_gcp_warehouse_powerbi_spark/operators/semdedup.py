@@ -64,16 +64,24 @@ def _unit_rows(vecs) -> tuple[np.ndarray, np.ndarray]:
 def _dominated_in_rank_order(Us: np.ndarray, valid_s: np.ndarray, tau: float) -> np.ndarray:
     """Boolean mask over rank-sorted unit rows: row j is dominated iff some
     earlier row i (i < j, both valid) has ``Us[i] . Us[j] > tau``.
-    Blocked over columns so memory stays O(m x block)."""
+    Tiled over BOTH operands, so peak gram memory is O(block²) — ~32 MB at
+    block 2048 — independent of cell size; the cell's own rows are the
+    only O(cell) term."""
     m = Us.shape[0]
     out = np.zeros(m, dtype=bool)
     for s in range(1, m, _GRAM_BLOCK):
         e = min(s + _GRAM_BLOCK, m)
-        G = Us[:e] @ Us[s:e].T  # (e, e-s)
-        rows = np.arange(e)[:, None]
         cols = np.arange(s, e)[None, :]
-        mask = (G > tau) & (rows < cols) & valid_s[:e, None] & valid_s[None, s:e]
-        out[s:e] = mask.any(axis=0)
+        vcol = valid_s[None, s:e]
+        acc = np.zeros(e - s, dtype=bool)
+        for r0 in range(0, e, _GRAM_BLOCK):
+            r1 = min(r0 + _GRAM_BLOCK, e)
+            G = Us[r0:r1] @ Us[s:e].T  # (r1-r0, e-s)
+            rows = np.arange(r0, r1)[:, None]
+            acc |= (
+                (G > tau) & (rows < cols) & valid_s[r0:r1, None] & vcol
+            ).any(axis=0)
+        out[s:e] = acc
     return out
 
 

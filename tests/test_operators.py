@@ -439,3 +439,24 @@ def test_shingle_cache_lru_keeps_two_corpora(spark):
     keys = {k[0] for k in D._SHINGLE_CACHE}
     assert keys == {"corpB", "corpC"}
     D.clear_all_caches()
+
+
+def test_kmeans_ignores_null_vectors(spark):
+    """NULL embeddings must be invisible to the fit — both the hash-spread
+    init (regression: a NULL in the first n_cells ids crashed np.stack)
+    and the Lloyd partials."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+
+    rows = [Row(vec_id=i, embedding=[float(i % 7 + 1), float(i % 3)]) for i in range(40)]
+    base = spark.createDataFrame(rows)
+    with_nulls = base.unionByName(
+        spark.createDataFrame(
+            [(100 + i, None) for i in range(40)], "vec_id long, embedding array<double>"
+        )
+    )
+    a = kmeans_centroids(base, n_cells=4, iters=2)
+    b = kmeans_centroids(with_nulls, n_cells=4, iters=2)
+    import numpy as np
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))

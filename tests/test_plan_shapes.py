@@ -90,10 +90,28 @@ def test_temperature_mixture_broadcasts_rates(plans):
     assert "CartesianProduct" not in p
 
 
-def test_semdedup_pairs_shuffle_on_cell_only(plans):
-    """Within-cell pairs: the self-join must be keyed (hash/sort-merge on
-    the cell id or broadcast at toy scale) — a cartesian or nested-loop
-    product would mean the O(N^2) shape the operator exists to avoid."""
-    p = plans("embedding_semdedup_stats")
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+def test_semdedup_marks_shape(spark, sf_small):
+    """The within-cell scoring is ONE cell-key exchange feeding the
+    grouped Arrow kernel — assert the FlatMapGroupsInPandas node and the
+    hashpartitioning(cell) exchange are both present, and that no join
+    (which would mean the O(N²) pair shape the operator exists to avoid)
+    appears anywhere in the marks plan."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.semdedup import (
+        semdedup,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = kmeans_centroids(emb, n_cells=4, iters=1)
+    df = semdedup(emb, tau=0.5, centroids=cents)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    p = qe.explainString(mode("formatted")) + qe.explainString(mode("simple"))
+    assert "FlatMapGroupsInPandas" in p
+    assert "hashpartitioning(cell" in p
+    assert "Join" not in p and "CartesianProduct" not in p

@@ -209,3 +209,20 @@ def test_ivfpq_index_roundtrip(emb, tmp_path, spark):
     import glob
 
     assert len(glob.glob(f"{path}/codes/cell=*")) == 8
+
+
+def test_ivfpq_null_query_dropped(spark, emb, books, cents):
+    """A NULL-vector query produces probe rows but no LUT — the ADC
+    kernel must drop its rows, not misindex another query's table."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        ivfpq_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3).unionByName(
+        spark.createDataFrame(
+            [(10**6, None, 0)], "vec_id long, embedding array<float>, label int"
+        )
+    )
+    out = ivfpq_topk(emb, q, cents, books, k=3, nprobe=8, rerank=20).collect()
+    assert all(r["q_id"] != 10**6 for r in out)
+    assert {r["q_id"] for r in out} == {0, 1, 2}
