@@ -1,0 +1,139 @@
+"""Streaming semantic dedup — maintain a survivor corpus from an
+embedding stream.
+
+``operators/semdedup.py`` classifies one batch against one corpus; this
+module keeps a SURVIVORS table current as micro-batches arrive, the same
+one-transform-two-drivers discipline as ``streaming/maintenance.py`` and
+``streaming/scd2.py``: ``upsert_semdedup_batch`` is the whole algorithm,
+``maintain_semdedup_stream`` merely wires it into ``foreachBatch``.
+
+Design for scale:
+
+- The survivors table is laid out in ``cell=<id>`` partitions (the coarse
+  quantizer's cells — the SAME layout the IVF index uses). Each batch's
+  classification touches only the cells the batch lands in: the corpus
+  side of :func:`semdedup_incremental` is pre-pruned by a cell semi-join,
+  so per-batch cost is O(batch + touched-cell rows), never O(corpus).
+- Centroids are fixed at bootstrap (persisted IVF index or an explicit
+  list) — refitting per batch would drift cell boundaries and silently
+  change which historical survivors a new vector is compared against.
+- Retry idempotence without a transaction log: arriving ids already
+  present in the survivors table are dropped BEFORE classification (an
+  id-level anti-join on the pruned cell scan). A failed-then-retried
+  micro-batch (Spark's at-least-once contract) therefore converges: rows
+  appended before the crash are recognized and skipped, rows not yet
+  appended classify exactly as the first attempt did, because first-seen-
+  wins ordering makes survival independent of the retry. Duplicate
+  DELIVERIES (same vec_id sent twice) converge the same way.
+
+Policy note: this is FIRST-SEEN-WINS — a later near-duplicate of an
+existing survivor is dropped even if a batch-mode re-run at the same tau
+might have kept it instead (dominance rank is centroid-cosine, and the
+stream cannot revoke an already-emitted survivor). That ordering
+dependence is inherent to any append-only streaming dedup; batch re-runs
+over the full corpus (jobs/semdedup_corpus.py) remain the reproducible
+ground truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from ..operators.semdedup import semdedup_incremental
+
+
+def _read_survivors(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None  # bootstrap: nothing survived yet
+
+
+def upsert_semdedup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    survivors_path: str,
+    centroids: list[np.ndarray],
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Classify one micro-batch against the survivors table and append the
+    vectors that survive. Returns {n_batch, n_new, n_pruned, n_replayed}.
+
+    The survivors parquet carries (id_col, vec_col, cell), partitioned by
+    ``cell``; appends only ever ADD files to the touched cell dirs."""
+    from ..operators.ivf import assign_cells_df
+
+    src = batch.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
+    ).filter(F.col(vec_col).isNotNull())
+    existing = _read_survivors(spark, survivors_path)
+    n_batch = src.count()
+    if existing is not None:
+        fresh = src.join(existing.select(id_col), id_col, "left_anti")
+    else:
+        fresh = src
+    n_fresh = fresh.count()
+    corpus = (
+        existing
+        if existing is not None
+        else spark.createDataFrame([], f"{id_col} long, {vec_col} array<float>")
+    )
+    marks = semdedup_incremental(
+        fresh, corpus, tau=tau, centroids=centroids,
+        vec_col=vec_col, id_col=id_col,
+    )
+    keep = marks.filter(~F.col("is_pruned")).select(
+        F.col("id").alias(id_col), "cell"
+    )
+    new_rows = fresh.join(keep, id_col).select(id_col, vec_col, "cell")
+    n_new = new_rows.count()
+    if n_new:
+        new_rows.write.mode("append").partitionBy("cell").parquet(
+            survivors_path
+        )
+    return {
+        "n_batch": n_batch,
+        "n_new": n_new,
+        "n_pruned": n_fresh - n_new,
+        "n_replayed": n_batch - n_fresh,
+    }
+
+
+def maintain_semdedup_stream(
+    stream: DataFrame,
+    survivors_path: str,
+    checkpoint: str,
+    centroids: list[np.ndarray],
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger: str = "5 seconds",
+    prepare: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Keep the survivor corpus current from an embedding stream: every
+    micro-batch runs :func:`upsert_semdedup_batch` (optionally after
+    ``prepare`` — e.g. a projection shared with the batch job)."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        if prepare is not None:
+            batch_df = prepare(batch_df)
+        upsert_semdedup_batch(
+            batch_df.sparkSession, batch_df, survivors_path, centroids,
+            tau, vec_col, id_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(processingTime=trigger)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

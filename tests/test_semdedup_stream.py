@@ -1,0 +1,104 @@
+"""Streaming semantic dedup: batch upsert semantics, retry/duplicate
+convergence, cell-partitioned layout, and the foreachBatch wrapper."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+    maintain_semdedup_stream,
+    upsert_semdedup_batch,
+)
+
+CENTS = [
+    np.array([1.0, 0.0, 0.0, 0.0]),
+    np.array([0.0, 1.0, 0.0, 0.0]),
+    np.array([0.0, 0.0, 1.0, 0.0]),
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _ids(spark, path):
+    return sorted(
+        r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()
+    )
+
+
+def test_bootstrap_then_cross_batch_dedup(spark, tmp_path):
+    path = str(tmp_path / "surv")
+    b1 = _mk(spark, [(1, [1, 0, 0, 0]), (2, [1, 0, 0, 0]), (3, [0, 1, 0, 0])])
+    s1 = upsert_semdedup_batch(spark, b1, path, CENTS, tau=0.9)
+    # within-batch: 2 is a dup of 1; 3 unique
+    assert s1 == {"n_batch": 3, "n_new": 2, "n_pruned": 1, "n_replayed": 0}
+    assert _ids(spark, path) == [1, 3]
+
+    # batch 2: 10 dups survivor 1 (corpus prune), 11 novel
+    b2 = _mk(spark, [(10, [2, 0, 0, 0]), (11, [0, 0, 1, 0])])
+    s2 = upsert_semdedup_batch(spark, b2, path, CENTS, tau=0.9)
+    assert s2 == {"n_batch": 2, "n_new": 1, "n_pruned": 1, "n_replayed": 0}
+    assert _ids(spark, path) == [1, 3, 11]
+
+
+def test_retry_and_duplicate_delivery_converge(spark, tmp_path):
+    path = str(tmp_path / "surv")
+    b1 = _mk(spark, [(1, [1, 0, 0, 0]), (3, [0, 1, 0, 0])])
+    upsert_semdedup_batch(spark, b1, path, CENTS, tau=0.9)
+    # full retry of the same batch: every id already present -> no-op
+    s = upsert_semdedup_batch(spark, b1, path, CENTS, tau=0.9)
+    assert s == {"n_batch": 2, "n_new": 0, "n_pruned": 0, "n_replayed": 2}
+    assert _ids(spark, path) == [1, 3]
+    # partial overlap (id 3 redelivered alongside a novel vector)
+    b2 = _mk(spark, [(3, [0, 1, 0, 0]), (5, [0, 0, 1, 0])])
+    s2 = upsert_semdedup_batch(spark, b2, path, CENTS, tau=0.9)
+    assert s2["n_replayed"] == 1 and s2["n_new"] == 1
+    assert _ids(spark, path) == [1, 3, 5]
+
+
+def test_cell_partition_layout(spark, tmp_path):
+    path = str(tmp_path / "surv")
+    b = _mk(spark, [(1, [1, 0, 0, 0]), (3, [0, 1, 0, 0]), (5, [0, 0, 1, 0])])
+    upsert_semdedup_batch(spark, b, path, CENTS, tau=0.9)
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    assert cells == ["cell=0", "cell=1", "cell=2"]
+    # a batch touching only cell 0 appends no files elsewhere
+    before = set(os.listdir(os.path.join(path, "cell=1")))
+    upsert_semdedup_batch(
+        spark, _mk(spark, [(7, [1, 0.1, 0, 0])]), path, CENTS, tau=0.999
+    )
+    assert set(os.listdir(os.path.join(path, "cell=1"))) == before
+
+
+def test_streaming_wrapper(spark, tmp_path):
+    src = str(tmp_path / "src")
+    path = str(tmp_path / "surv")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(
+        spark,
+        [(1, [1, 0, 0, 0]), (2, [1, 0, 0, 0]), (3, [0, 1, 0, 0]),
+         (10, [2, 0, 0, 0]), (11, [0, 0, 1, 0])],
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    q = maintain_semdedup_stream(
+        stream, path, ckpt, CENTS, tau=0.9, trigger="1 seconds"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _ids(spark, path)
+    # one representative per duplicate direction: {1,2,10} collapse to one,
+    # {3} and {11} stand alone
+    surv = spark.read.parquet(path).collect()
+    assert len(got) == 3
+    dirs = {tuple(1 if x > 0 else 0 for x in r["embedding"]) for r in surv}
+    assert dirs == {(1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0)}
