@@ -78,7 +78,18 @@ def upsert_semdedup_batch(
     existing = _read_survivors(spark, survivors_path)
     n_batch = src.count()
     if existing is not None:
-        fresh = src.join(existing.select(id_col), id_col, "left_anti")
+        # replay guard reads only the TOUCHED cells' id column: a replayed
+        # id always sits in the cell its vector maps to (centroids are
+        # fixed), so the cell semi-join both bounds the read O(touched
+        # cells) and lets dynamic partition pruning skip the other
+        # cell= directories entirely
+        touched = assign_cells_df(src, centroids, vec_col=vec_col).select(
+            "cell"
+        ).distinct()
+        seen = existing.join(
+            F.broadcast(touched), "cell", "left_semi"
+        ).select(id_col)
+        fresh = src.join(seen, id_col, "left_anti")
     else:
         fresh = src
     n_fresh = fresh.count()
