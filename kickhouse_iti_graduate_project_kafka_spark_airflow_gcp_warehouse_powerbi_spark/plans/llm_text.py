@@ -416,6 +416,41 @@ def docs_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_source_overlap",
+    tags=("dedup", "provenance", "J5"),
+    oracle="""
+    WITH fp AS (
+        SELECT DISTINCT LOWER(TRIM(text)) AS f, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap — provenance analytics for a crawl
+    mix: for every source pair, how many distinct normalized texts both
+    carry (which crawls mirror each other, what a source adds
+    marginally). Shuffles 8-byte fingerprints only, never text: distinct
+    (fingerprint, source) pairs — at most |sources| rows per fingerprint
+    — self-joined on the hash. The oracle joins on the normalized text
+    itself; equality holds because fingerprint collision-freedom is
+    separately pinned by docs_fingerprint_cardinality."""
+    d = _docs(spark, sf_dir).select(
+        fingerprint64("text").alias("f"), "source"
+    ).distinct()
+    a = d.select(F.col("f"), F.col("source").alias("source_a"))
+    b = d.select(F.col("f"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "f")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@register(
     "docs_top_tfidf_terms",
     tags=("text", "A9"),
     oracle=r"""
