@@ -456,6 +456,56 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental-ingest leg of the IVF lifecycle: assign an arriving
+    batch against the index's FIXED centroids and append the rows to the
+    cell-partitioned layout — cost ∝ batch, the corpus is never re-read
+    or re-fitted (refitting would move cell boundaries out from under
+    every already-written row). Ids already present in the touched cells
+    are skipped, so at-least-once ingest retries converge (same
+    replay-guard shape as streaming/semdedup_stream.py: a replayed id
+    always lands in the same cell, so the guard reads only touched
+    ``cell=`` directories). Returns {n_batch, n_appended, n_replayed}.
+
+    Centroid drift is the operator's documented limit: after enough
+    distribution shift, rebuild (``build_ivf_index``) rather than append
+    — cell-size skew from `{path}/vectors` row counts is the signal."""
+    centroids = load_centroids(spark, path)
+    src = batch.select(
+        F.col(id_col).cast("long").alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_nrm"),
+    ).filter(F.col("n_vec").isNotNull())
+    assigned = assign_cells_df(src, centroids, vec_col="n_vec")
+    n_batch = assigned.count()
+    touched = assigned.select("cell").distinct()
+    existing = (
+        spark.read.parquet(f"{path}/vectors")
+        .join(F.broadcast(touched), "cell", "left_semi")
+        .select("n_id")
+    )
+    fresh = assigned.join(existing, "n_id", "left_anti")
+    n_new = fresh.count()
+    if n_new:
+        (
+            fresh.sortWithinPartitions("cell", "n_id")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(f"{path}/vectors")
+        )
+    return {
+        "n_batch": n_batch,
+        "n_appended": n_new,
+        "n_replayed": n_batch - n_new,
+    }
+
+
 def load_centroids(spark, path: str) -> list[np.ndarray]:
     rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     return [np.asarray(r["centroid"], dtype="float64") for r in rows]

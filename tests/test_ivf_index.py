@@ -65,3 +65,48 @@ def test_index_scan_prunes_cells(spark, ivf_index):
     queries = emb.filter(F.col("vec_id") < 3)
     out = ivf_topk_from_index(spark, path, queries, k=3, nprobe=1)
     assert out.count() > 0
+
+
+def test_append_batch_and_replay_converge(spark, sf_oracle, tmp_path):
+    """Incremental appends: new vectors land in their cells and become
+    searchable; full/partial replays are no-ops; search over the appended
+    index equals a fresh index built with the SAME centroids."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        append_to_ivf_index,
+        assign_cells_df,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_cells=N_CELLS, iters=2)
+    n_base = spark.read.parquet(f"{path}/vectors").count()
+
+    s = append_to_ivf_index(spark, path, batch)
+    assert s["n_appended"] == s["n_batch"] and s["n_replayed"] == 0
+    assert spark.read.parquet(f"{path}/vectors").count() == n_base + s["n_batch"]
+
+    # replay of the whole batch: nothing duplicated
+    s2 = append_to_ivf_index(spark, path, batch)
+    assert s2 == {"n_batch": s["n_batch"], "n_appended": 0,
+                  "n_replayed": s["n_batch"]}
+    assert spark.read.parquet(f"{path}/vectors").count() == n_base + s["n_batch"]
+
+    # appended layout answers queries identically to the in-memory
+    # operator over the full corpus with the same centroids
+    cents = load_centroids(spark, path)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_topk_from_index(spark, path, queries, k=5, nprobe=N_CELLS)
+    want = ivf_topk(emb, queries, cents, k=5, nprobe=N_CELLS)
+    a = got.select("q_id", "n_id", "rank")
+    b = want.select("q_id", "n_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # cell assignment of appended rows matches the fixed centroids
+    stored = spark.read.parquet(f"{path}/vectors").select("n_id", "cell")
+    expect = assign_cells_df(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec")),
+        cents, vec_col="n_vec",
+    ).select("n_id", "cell")
+    assert stored.exceptAll(expect).count() == 0
