@@ -113,3 +113,34 @@ def test_quantization_error_within_half_grid(spark, vec):
     # error bounded by half the grid step (+ float slack)
     assert row["err"] <= row["range"] / 510.0 + 1e-9
     assert all(-128 <= q <= 127 for q in row["q"])
+
+
+@SLOW
+@given(
+    weights=st.lists(st.integers(0, 300), min_size=1, max_size=60),
+    seq_len=st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_equals_sequential_packer(spark, weights, seq_len):
+    """Arbitrary weights (zeros included) and sequence lengths: the
+    distributed layout must equal a sequential packer walking docs in
+    order and cutting at every seq_len boundary."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        pack_sequences,
+    )
+
+    rows = [(i * 2 + 1, w) for i, w in enumerate(weights)]  # gappy ids
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        (r["doc_id"], r["seq_id"]): (r["begin_tok"], r["end_tok"])
+        for r in pack_sequences(df, "n_tok", "doc_id", seq_len, bucket_width=7).collect()
+    }
+    expect = {}
+    prefix = 0
+    for doc_id, w in rows:
+        if w > 0:
+            for seq in range(prefix // seq_len, (prefix + w - 1) // seq_len + 1):
+                b = max(seq * seq_len, prefix) - prefix
+                e = min((seq + 1) * seq_len, prefix + w) - prefix
+                expect[(doc_id, seq)] = (b, e)
+        prefix += w
+    assert got == expect
