@@ -195,6 +195,36 @@ def main() -> None:
             build_ivf_index(emb, f"{idx_root}/ivf", n_cells=64, iters=2)
             index_secs["build_ivf_index"] = round(time.perf_counter() - t0, 3)
 
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+                append_to_ivf_index,
+                load_centroids,
+            )
+
+            base = emb.filter(F.col("vec_id") % 5 != 0)
+            build_ivf_index(base, f"{idx_root}/ivf_inc", n_cells=64, iters=2)
+            t0 = time.perf_counter()
+            append_to_ivf_index(
+                spark, f"{idx_root}/ivf_inc", emb.filter(F.col("vec_id") % 5 == 0)
+            )
+            index_secs["append_to_ivf_index"] = round(time.perf_counter() - t0, 3)
+
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+                upsert_semdedup_batch,
+            )
+
+            cents = load_centroids(spark, f"{idx_root}/ivf_inc")
+            upsert_semdedup_batch(
+                spark, base, f"{idx_root}/sem", cents, tau=0.4
+            )  # bootstrap corpus outside the timed window
+            t0 = time.perf_counter()
+            upsert_semdedup_batch(
+                spark, emb.filter(F.col("vec_id") % 5 == 0),
+                f"{idx_root}/sem", cents, tau=0.4,
+            )
+            index_secs["semdedup_stream_batch"] = round(
+                time.perf_counter() - t0, 3
+            )
+
             from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
                 build_pq_index,
             )

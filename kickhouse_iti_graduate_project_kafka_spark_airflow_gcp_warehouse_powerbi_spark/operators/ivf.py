@@ -482,23 +482,31 @@ def append_to_ivf_index(
         F.col(vec_col).alias("n_vec"),
         norm(vec_col).alias("n_nrm"),
     ).filter(F.col("n_vec").isNotNull())
-    assigned = assign_cells_df(src, centroids, vec_col="n_vec")
-    n_batch = assigned.count()
-    touched = assigned.select("cell").distinct()
-    existing = (
-        spark.read.parquet(f"{path}/vectors")
-        .join(F.broadcast(touched), "cell", "left_semi")
-        .select("n_id")
-    )
-    fresh = assigned.join(existing, "n_id", "left_anti")
-    n_new = fresh.count()
-    if n_new:
-        (
-            fresh.sortWithinPartitions("cell", "n_id")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(f"{path}/vectors")
+    # batch-sized persists: count, replay guard, and the write all reuse
+    # the assignment instead of re-running the Arrow kernel per action
+    assigned = assign_cells_df(src, centroids, vec_col="n_vec").persist()
+    try:
+        n_batch = assigned.count()
+        touched = assigned.select("cell").distinct()
+        existing = (
+            spark.read.parquet(f"{path}/vectors")
+            .join(F.broadcast(touched), "cell", "left_semi")
+            .select("n_id")
         )
+        fresh = assigned.join(existing, "n_id", "left_anti").persist()
+        try:
+            n_new = fresh.count()
+            if n_new:
+                (
+                    fresh.sortWithinPartitions("cell", "n_id")
+                    .write.partitionBy("cell")
+                    .mode("append")
+                    .parquet(f"{path}/vectors")
+                )
+        finally:
+            fresh.unpersist()
+    finally:
+        assigned.unpersist()
     return {
         "n_batch": n_batch,
         "n_appended": n_new,

@@ -74,7 +74,7 @@ def upsert_semdedup_batch(
 
     src = batch.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
-    ).filter(F.col(vec_col).isNotNull())
+    ).filter(F.col(vec_col).isNotNull()).persist()
     existing = _read_survivors(spark, survivors_path)
     n_batch = src.count()
     if existing is not None:
@@ -92,25 +92,39 @@ def upsert_semdedup_batch(
         fresh = src.join(seen, id_col, "left_anti")
     else:
         fresh = src
-    n_fresh = fresh.count()
-    corpus = (
-        existing
-        if existing is not None
-        else spark.createDataFrame([], f"{id_col} long, {vec_col} array<float>")
-    )
-    marks = semdedup_incremental(
-        fresh, corpus, tau=tau, centroids=centroids,
-        vec_col=vec_col, id_col=id_col,
-    )
-    keep = marks.filter(~F.col("is_pruned")).select(
-        F.col("id").alias(id_col), "cell"
-    )
-    new_rows = fresh.join(keep, id_col).select(id_col, vec_col, "cell")
-    n_new = new_rows.count()
-    if n_new:
-        new_rows.write.mode("append").partitionBy("cell").parquet(
-            survivors_path
+    # batch-sized persists: the classification feeds BOTH the count and
+    # the append — without them every action re-runs the gram kernels
+    fresh = fresh.persist()
+    try:
+        n_fresh = fresh.count()
+        corpus = (
+            existing
+            if existing is not None
+            else spark.createDataFrame(
+                [], f"{id_col} long, {vec_col} array<float>"
+            )
         )
+        marks = semdedup_incremental(
+            fresh, corpus, tau=tau, centroids=centroids,
+            vec_col=vec_col, id_col=id_col,
+        )
+        keep = marks.filter(~F.col("is_pruned")).select(
+            F.col("id").alias(id_col), "cell"
+        )
+        new_rows = fresh.join(keep, id_col).select(
+            id_col, vec_col, "cell"
+        ).persist()
+        try:
+            n_new = new_rows.count()
+            if n_new:
+                new_rows.write.mode("append").partitionBy("cell").parquet(
+                    survivors_path
+                )
+        finally:
+            new_rows.unpersist()
+    finally:
+        fresh.unpersist()
+        src.unpersist()
     return {
         "n_batch": n_batch,
         "n_new": n_new,
