@@ -477,11 +477,20 @@ def append_to_ivf_index(
     distribution shift, rebuild (``build_ivf_index``) rather than append
     — cell-size skew from `{path}/vectors` row counts is the signal."""
     centroids = load_centroids(spark, path)
-    src = batch.select(
-        F.col(id_col).cast("long").alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        norm(vec_col).alias("n_nrm"),
-    ).filter(F.col("n_vec").isNotNull())
+    # ids repeated WITHIN the batch (at-least-once duplicate deliveries)
+    # must collapse here — the anti-join only guards against the stored
+    # index, and a doubled id would otherwise be appended twice, breaking
+    # the appended ≡ fresh-build equivalence forever; a NULL-casting id
+    # would bypass the guard on EVERY retry (NULL never joins)
+    src = (
+        batch.select(
+            F.col(id_col).cast("long").alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            norm(vec_col).alias("n_nrm"),
+        )
+        .filter(F.col("n_vec").isNotNull() & F.col("n_id").isNotNull())
+        .dropDuplicates(["n_id"])
+    )
     # batch-sized persists: count, replay guard, and the write all reuse
     # the assignment instead of re-running the Arrow kernel per action
     assigned = assign_cells_df(src, centroids, vec_col="n_vec").persist()

@@ -418,9 +418,12 @@ def docs_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "docs_source_overlap",
     tags=("dedup", "provenance", "J5"),
-    oracle="""
+    oracle=r"""
     WITH fp AS (
-        SELECT DISTINCT LOWER(TRIM(text)) AS f, source FROM documents
+        SELECT DISTINCT
+               REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g') AS f,
+               source
+        FROM documents WHERE text IS NOT NULL
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -434,10 +437,12 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry (which crawls mirror each other, what a source adds
     marginally). Shuffles 8-byte fingerprints only, never text: distinct
     (fingerprint, source) pairs — at most |sources| rows per fingerprint
-    — self-joined on the hash. The oracle joins on the normalized text
-    itself; equality holds because fingerprint collision-freedom is
+    — self-joined on the hash. The oracle applies fingerprint64's EXACT
+    normalization (lower, trim, whitespace collapse, NULL text excluded —
+    xxhash64(NULL) is a constant that would fabricate overlap) so
+    equivalence is structural; collision-freedom of the hash itself is
     separately pinned by docs_fingerprint_cardinality."""
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
         fingerprint64("text").alias("f"), "source"
     ).distinct()
     a = d.select(F.col("f"), F.col("source").alias("source_a"))

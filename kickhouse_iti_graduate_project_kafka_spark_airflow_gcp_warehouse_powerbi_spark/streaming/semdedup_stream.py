@@ -72,58 +72,74 @@ def upsert_semdedup_batch(
     ``cell``; appends only ever ADD files to the touched cell dirs."""
     from ..operators.ivf import assign_cells_df
 
-    src = batch.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
-    ).filter(F.col(vec_col).isNotNull()).persist()
-    existing = _read_survivors(spark, survivors_path)
-    n_batch = src.count()
-    if existing is not None:
-        # replay guard reads only the TOUCHED cells' id column: a replayed
-        # id always sits in the cell its vector maps to (centroids are
-        # fixed), so the cell semi-join both bounds the read O(touched
-        # cells) and lets dynamic partition pruning skip the other
-        # cell= directories entirely
-        touched = assign_cells_df(src, centroids, vec_col=vec_col).select(
-            "cell"
-        ).distinct()
-        seen = existing.join(
-            F.broadcast(touched), "cell", "left_semi"
-        ).select(id_col)
-        fresh = src.join(seen, id_col, "left_anti")
-    else:
-        fresh = src
-    # batch-sized persists: the classification feeds BOTH the count and
-    # the append — without them every action re-runs the gram kernels
-    fresh = fresh.persist()
+    # duplicate ids WITHIN the batch (normal under at-least-once) must
+    # collapse before classification — otherwise the keep-join fans out
+    # over the copies and appends the same survivor twice, permanently
+    src = (
+        batch.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).alias(vec_col),
+        )
+        .filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        .dropDuplicates([id_col])
+    )
     try:
-        n_fresh = fresh.count()
-        corpus = (
-            existing
-            if existing is not None
-            else spark.createDataFrame(
-                [], f"{id_col} long, {vec_col} array<float>"
-            )
-        )
-        marks = semdedup_incremental(
-            fresh, corpus, tau=tau, centroids=centroids,
-            vec_col=vec_col, id_col=id_col,
-        )
-        keep = marks.filter(~F.col("is_pruned")).select(
-            F.col("id").alias(id_col), "cell"
-        )
-        new_rows = fresh.join(keep, id_col).select(
-            id_col, vec_col, "cell"
-        ).persist()
+        src = src.persist()
+        existing = _read_survivors(spark, survivors_path)
+        n_batch = src.count()
+        touched = None
+        if existing is not None:
+            # replay guard reads only the TOUCHED cells' id column: a
+            # replayed id always sits in the cell its vector maps to
+            # (centroids are fixed), so the cell semi-join — on the STORED
+            # partition column — both bounds the read O(touched cells) and
+            # lets partition pruning skip the other cell= directories
+            touched = assign_cells_df(src, centroids, vec_col=vec_col).select(
+                "cell"
+            ).distinct()
+            seen = existing.join(
+                F.broadcast(touched), "cell", "left_semi"
+            ).select(id_col)
+            fresh = src.join(seen, id_col, "left_anti")
+        else:
+            fresh = src
+        # batch-sized persists: the classification feeds BOTH the count and
+        # the append — without them every action re-runs the gram kernels
+        fresh = fresh.persist()
         try:
-            n_new = new_rows.count()
-            if n_new:
-                new_rows.write.mode("append").partitionBy("cell").parquet(
-                    survivors_path
+            n_fresh = fresh.count()
+            if existing is not None:
+                # the corpus side is pruned the same way BEFORE it enters
+                # classification — per-batch cost is O(batch + touched-cell
+                # rows), never a full-corpus re-scan/re-assign per trigger
+                corpus = existing.join(
+                    F.broadcast(touched), "cell", "left_semi"
+                ).select(id_col, vec_col)
+            else:
+                corpus = spark.createDataFrame(
+                    [], f"{id_col} long, {vec_col} array<float>"
                 )
+            marks = semdedup_incremental(
+                fresh, corpus, tau=tau, centroids=centroids,
+                vec_col=vec_col, id_col=id_col,
+            )
+            keep = marks.filter(~F.col("is_pruned")).select(
+                F.col("id").alias(id_col), "cell"
+            )
+            new_rows = fresh.join(keep, id_col).select(
+                id_col, vec_col, "cell"
+            ).persist()
+            try:
+                n_new = new_rows.count()
+                if n_new:
+                    new_rows.write.mode("append").partitionBy("cell").parquet(
+                        survivors_path
+                    )
+            finally:
+                new_rows.unpersist()
         finally:
-            new_rows.unpersist()
+            fresh.unpersist()
     finally:
-        fresh.unpersist()
         src.unpersist()
     return {
         "n_batch": n_batch,
@@ -149,12 +165,22 @@ def maintain_semdedup_stream(
     ``prepare`` — e.g. a projection shared with the batch job)."""
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        from ..operators.cachereg import release_tracked
+
         if prepare is not None:
             batch_df = prepare(batch_df)
-        upsert_semdedup_batch(
-            batch_df.sparkSession, batch_df, survivors_path, centroids,
-            tau, vec_col, id_col,
-        )
+        try:
+            upsert_semdedup_batch(
+                batch_df.sparkSession, batch_df, survivors_path, centroids,
+                tau, vec_col, id_col,
+            )
+        finally:
+            # each batch registers 1-4 centroid broadcasts in the shared
+            # registry (semdedup_incremental + the Arrow assign paths); a
+            # long-running stream must release them per trigger or they
+            # accumulate for the stream's lifetime. unpersist is always
+            # safe — a re-execution re-fetches from the driver.
+            release_tracked()
 
     return (
         stream.writeStream.foreachBatch(_process)

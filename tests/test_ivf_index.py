@@ -110,3 +110,25 @@ def test_append_batch_and_replay_converge(spark, sf_oracle, tmp_path):
         cents, vec_col="n_vec",
     ).select("n_id", "cell")
     assert stored.exceptAll(expect).count() == 0
+
+
+def test_append_duplicate_ids_within_batch_collapse(spark, tmp_path):
+    """A vec_id delivered twice in one batch is appended once; the
+    appended ≡ fresh-build equivalence depends on it."""
+    from pyspark.sql import Row
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        append_to_ivf_index,
+    )
+
+    base = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 5 + 1), float(i % 3)]) for i in range(20)]
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_cells=2, iters=1)
+    dup = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 2.0]), Row(vec_id=100, embedding=[1.0, 2.0])]
+    )
+    s = append_to_ivf_index(spark, path, dup)
+    assert s == {"n_batch": 1, "n_appended": 1, "n_replayed": 0}
+    stored = spark.read.parquet(f"{path}/vectors").filter(F.col("n_id") == 100)
+    assert stored.count() == 1

@@ -102,3 +102,13 @@ def test_streaming_wrapper(spark, tmp_path):
     assert len(got) == 3
     dirs = {tuple(1 if x > 0 else 0 for x in r["embedding"]) for r in surv}
     assert dirs == {(1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0)}
+
+
+def test_duplicate_ids_within_one_batch_collapse(spark, tmp_path):
+    """At-least-once duplicate DELIVERY inside a single micro-batch: one
+    survivor row, never two, and stats count the id once."""
+    path = str(tmp_path / "surv")
+    b = _mk(spark, [(1, [1, 0, 0, 0]), (1, [1, 0, 0, 0]), (3, [0, 1, 0, 0])])
+    s = upsert_semdedup_batch(spark, b, path, CENTS, tau=0.9)
+    assert s == {"n_batch": 2, "n_new": 2, "n_pruned": 0, "n_replayed": 0}
+    assert _ids(spark, path) == [1, 3]
