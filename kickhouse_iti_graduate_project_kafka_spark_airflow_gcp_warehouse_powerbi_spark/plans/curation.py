@@ -506,6 +506,76 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_distribution_drift",
+    tags=("stats", "drift", "A3"),
+    oracle=r"""
+    WITH w AS (
+        SELECT lang, doc_id % 2 AS split,
+               LEAST(CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     // 50, 9) AS bin
+        FROM documents
+    ), c AS (
+        SELECT lang, bin,
+               CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM w GROUP BY lang, bin
+    ), t AS (
+        SELECT lang, SUM(c0) AS t0, SUM(c1) AS t1 FROM c GROUP BY lang
+    ), p AS (
+        SELECT c.lang, c.bin,
+               GREATEST(c.c0 * 1.0 / t.t0, 0.000001) AS p0,
+               GREATEST(c.c1 * 1.0 / t.t1, 0.000001) AS p1
+        FROM c JOIN t ON c.lang = t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((p0 - p1) * LN(p0 / p1)) + 1e-9, 4) AS psi
+    FROM p GROUP BY lang
+    """,
+)
+def docs_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the monitoring
+    gate a training pipeline runs on every ingest (did this crawl's
+    length profile shift?). Population Stability Index per language over
+    banded token-length bins (width 50, capped at 10 bins), even/odd
+    doc_id halves standing in for the two snapshots; proportions clamped
+    at 1e-6 so one-sided bins contribute a finite penalty (standard PSI
+    practice). Plan: one (lang, bin) aggregate with conditional partial
+    counts — map-side combined, one shuffle on (lang, bin) plus a tiny
+    per-lang totals join; rule of thumb PSI > 0.2 = investigate. ln() is
+    libm-dependent in the last ulp, hence the suite's ROUND(+1e-9, 4)
+    convention on both sides."""
+    from ..functions.text import token_count
+
+    docs = _docs(spark, sf_dir).withColumn("n_tok", token_count("text"))
+    w = docs.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("split"),
+        F.least(F.expr("n_tok div 50"), F.lit(9).cast("long")).alias("bin"),
+    )
+    c = w.groupBy("lang", "bin").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1")
+    )
+    p = c.join(F.broadcast(t), "lang").select(
+        "lang",
+        F.greatest(F.col("c0") * 1.0 / F.col("t0"), F.lit(0.000001)).alias("p0"),
+        F.greatest(F.col("c1") * 1.0 / F.col("t1"), F.lit(0.000001)).alias("p1"),
+    )
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum((F.col("p0") - F.col("p1")) * F.log(F.col("p0") / F.col("p1")))
+            + 1e-9,
+            4,
+        ).alias("psi"),
+    )
+
+
+@register(
     "docs_per_source_sample",
     tags=("sampling", "WF2"),
     oracle="""
