@@ -941,3 +941,165 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def absorb_batch_into_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> dict:
+    """Accept-and-grow half of the index lifecycle: classify ``batch``
+    against a :func:`build_dedup_index` corpus index, and APPEND the
+    accepted documents' state (fingerprint, guard-filtered shingle
+    postings, size, doc id) so future batches classify against them —
+    the steady-state ingest loop never re-touches corpus text.
+
+    Acceptance = not an exact dup, no corpus near-match at
+    ``threshold``, and not dominated within the batch (exact: min-id per
+    fingerprint wins; near: ``a_id < b_id`` pair convention, the
+    higher id drops). Returns
+    {n_batch, n_accepted, n_rejected_exact, n_rejected_near,
+    n_rejected_batch}.
+
+    Replay/crash posture (document-level, no transaction log): a
+    replayed batch re-classifies — fully absorbed docs reject as exact
+    dups, so absorption converges. Appends are ordered shingles →
+    sizes → doc_ids → fingerprints; a crash mid-sequence leaves the doc
+    discoverable through its POSTINGS (jaccard 1.0 with itself → near
+    reject, never duplicated) while its exact-flag only materializes on
+    a successful pass — rejection DECISIONS are unaffected, only the
+    exact-vs-near attribution degrades. Single writer assumed (the
+    foreachBatch loop), like every parquet append here.
+
+    Hot-shingle guard under growth: the stored index keeps at most
+    ``max_shingle_freq`` postings per hash. Batch postings for a hash
+    are appended only while stored + batch stays within the cap,
+    else the batch's rows for that hash are skipped (first-seen
+    postings win — an Elasticsearch-style per-term cap). A REBUILD
+    drops over-cap hashes entirely; both bound join fan-out, and
+    scores for docs dominated by over-cap shingles can differ between
+    the absorbed and rebuilt index (equivalence below the cap is
+    tested)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n = int(meta["n"])
+    msf = None if meta["max_shingle_freq"] < 0 else int(meta["max_shingle_freq"])
+    et = float(meta["edge_threshold"])
+    if et >= 0 and threshold > et:
+        raise ValueError(
+            f"index stores near-dup edges at jaccard >= {et}; absorbing "
+            f"with threshold {threshold} > {et} would admit documents "
+            f"whose edges in [{et}, {threshold}) are never materialized — "
+            "absorb at threshold <= edge_threshold or rebuild"
+        )
+
+    src = batch.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_txt")
+    )
+    # within-batch exact dedup: min id per fingerprint wins (duplicate
+    # DELIVERY of one doc in a batch must not double-absorb)
+    wfp = Window.partitionBy(fingerprint64("_txt")).orderBy("_id")
+    src = _persist(
+        src.withColumn("_rk", F.row_number().over(wfp))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    n_batch = src.count()
+
+    cls = _classify_batch(
+        src,
+        spark.read.parquet(f"{path}/fingerprints"),
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/sizes"),
+        "_txt",
+        "_id",
+        n,
+        threshold,
+    )
+    cls = _persist(cls)
+    n_exact = cls.filter(F.col("is_exact_dup")).count()
+    n_near = cls.filter(
+        ~F.col("is_exact_dup") & (F.col("n_near_matches") > 0)
+    ).count()
+    clean = src.join(
+        cls.filter(
+            ~F.col("is_exact_dup") & (F.col("n_near_matches") == 0)
+        ).select("_id"),
+        "_id",
+        "left_semi",
+    )
+    # within-batch near dedup among the survivors (same pair convention
+    # as the corpus operator: the higher id of each pair drops)
+    drop = ngram_jaccard_pairs(
+        clean, "_txt", "_id", n=n, threshold=threshold, max_shingle_freq=msf
+    ).select(F.col("b_id").alias("_id")).distinct()
+    # SEVER the lineage before any append: final's plan READS the very
+    # parquet paths the appends below modify, and Spark caching is
+    # best-effort — a cache-evicted re-evaluation mid-append-sequence
+    # would re-classify against the half-updated index (the batch's own
+    # freshly-appended shingles score jaccard 1.0 → everything flips to
+    # rejected → later appends write empty). localCheckpoint(eager)
+    # pins the accepted set as DATA, not a plan.
+    final = clean.join(drop, "_id", "left_anti").localCheckpoint(eager=True)
+    n_final = final.count()
+    stats = {
+        "n_batch": n_batch,
+        "n_accepted": n_final,
+        "n_rejected_exact": n_exact,
+        "n_rejected_near": n_near,
+        "n_rejected_batch": n_batch - n_exact - n_near - n_final,
+    }
+    if n_final == 0:
+        release_persisted()
+        return stats
+
+    f_sh = _persist(
+        shingle_rows(final, "_txt", "_id", n).select(
+            F.col("_id").alias("_cid"), F.xxhash64("_sh").alias("_h")
+        )
+    )
+    if msf is not None:
+        stored_cnt = (
+            spark.read.parquet(f"{path}/shingles")
+            .join(f_sh.select("_h").distinct(), "_h", "left_semi")
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_sc"))
+        )
+        batch_cnt = f_sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_bc"))
+        ok = (
+            batch_cnt.join(stored_cnt, "_h", "left")
+            .filter(
+                F.coalesce(F.col("_sc"), F.lit(0)) + F.col("_bc") <= msf
+            )
+            .select("_h")
+        )
+        f_sh = f_sh.join(ok, "_h", "left_semi")
+    # same lineage severing as `final`: the guard read the stored
+    # shingles, which is the first path appended below
+    f_sh = f_sh.localCheckpoint(eager=True)
+    # append order = crash posture documented above
+    f_sh.write.mode("append").parquet(f"{path}/shingles")
+    f_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs")).write.mode(
+        "append"
+    ).parquet(f"{path}/sizes")
+    final.select(F.col("_id").alias("_cid")).write.mode("append").parquet(
+        f"{path}/doc_ids"
+    )
+    final.select(fingerprint64("_txt").alias("_fp")).distinct().join(
+        spark.read.parquet(f"{path}/fingerprints"), "_fp", "left_anti"
+    ).write.mode("append").parquet(f"{path}/fingerprints")
+    spark.createDataFrame(
+        [
+            (
+                n,
+                -1 if msf is None else msf,
+                int(meta["n_docs"]) + n_final,
+                et,
+            )
+        ],
+        "n int, max_shingle_freq int, n_docs long, edge_threshold double",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    release_persisted()
+    return stats

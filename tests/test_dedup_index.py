@@ -172,3 +172,124 @@ def test_job_clusters_mode(sf_small, tmpdir):
     assert clusters.returncode == 0, clusters.stderr[-800:]
     cdoc = json.loads(clusters.stdout.strip().splitlines()[-1])
     assert cdoc["n_clusters"] > 0 and cdoc["max_cluster"] >= 1
+
+
+def test_absorb_grows_index_and_converges(spark, tmpdir):
+    """Accept-and-grow: absorbed docs reject future dups (exact AND
+    near); replaying the same batch is a no-op; meta n_docs tracks."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        absorb_batch_into_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different sentence about spark engines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # exact dup
+         (11, "a brand new document with fresh unseen content"),
+         (12, "a brand new document with fresh unseen content"),  # in-batch exact
+         (13, "a brand new document with fresh unseen stuff")],   # in-batch near of 11
+        "doc_id long, text string",
+    )
+    s = absorb_batch_into_index(spark, f"{tmpdir}/idx", batch, "text", "doc_id")
+    assert s == {"n_batch": 3, "n_accepted": 1, "n_rejected_exact": 1,
+                 "n_rejected_near": 0, "n_rejected_batch": 1}
+    meta = spark.read.parquet(f"{tmpdir}/idx/meta").collect()[0]
+    assert meta["n_docs"] == 3
+
+    # the absorbed doc (11) now rejects exact AND near arrivals
+    probe = spark.createDataFrame(
+        [(20, "a brand new document with fresh unseen content"),
+         (21, "a brand new document with fresh unseen ideas")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in incremental_dedup_indexed(
+        spark, f"{tmpdir}/idx", probe, "text", "doc_id").collect()}
+    assert rows[20]["is_exact_dup"]
+    assert rows[21]["n_near_matches"] >= 1
+
+    # replay: everything rejects, nothing double-absorbed
+    s2 = absorb_batch_into_index(spark, f"{tmpdir}/idx", batch, "text", "doc_id")
+    assert s2["n_accepted"] == 0
+    assert spark.read.parquet(f"{tmpdir}/idx/meta").collect()[0]["n_docs"] == 3
+    assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 3
+    release_persisted()
+
+
+def test_absorb_equals_rebuild_below_guard_cap(spark, sf_small, tmpdir):
+    """Classification against (index(A) + absorb(B)) must equal
+    classification against index(A ∪ accepted-B) when no shingle nears
+    the guard cap — absorption is a rebuild, incrementally."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        absorb_batch_into_index,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    probe = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), "text"
+    )
+    build_dedup_index(a, f"{tmpdir}/inc", "text", "doc_id")
+    s = absorb_batch_into_index(spark, f"{tmpdir}/inc", b, "text", "doc_id")
+    accepted_b = (
+        spark.read.parquet(f"{tmpdir}/inc/doc_ids")
+        .join(b.select(F.col("doc_id").alias("_cid")), "_cid", "left_semi")
+    )
+    full = a.unionByName(
+        b.join(accepted_b.select(F.col("_cid").alias("doc_id")), "doc_id", "left_semi")
+    )
+    build_dedup_index(full, f"{tmpdir}/reb", "text", "doc_id")
+    inc = sorted(map(tuple, incremental_dedup_indexed(
+        spark, f"{tmpdir}/inc", probe, "text", "doc_id").collect()))
+    reb = sorted(map(tuple, incremental_dedup_indexed(
+        spark, f"{tmpdir}/reb", probe, "text", "doc_id").collect()))
+    assert inc == reb
+    release_persisted()
+
+
+def test_streaming_dedup_ingest(spark, tmpdir):
+    """File-source stream absorbs batches into the index: novel docs
+    land, dups (exact, near, in-batch) reject; stats surface per batch."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.dedup_stream import (
+        maintain_dedup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "a brand new document with fresh unseen content"),
+         (12, "a brand new document with fresh unseen content"),
+         (13, "some other novel text that matches nothing else")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    seen = []
+    q = maintain_dedup_stream(
+        stream, f"{tmpdir}/idx", f"{tmpdir}/ckpt", "text", "doc_id",
+        threshold=0.5, trigger="1 seconds", on_batch=seen.append,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(s["n_accepted"] for s in seen) == 2
+    meta = spark.read.parquet(f"{tmpdir}/idx/meta").collect()[0]
+    assert meta["n_docs"] == 3
+    # the absorbed docs now reject their own replays
+    rows = {r["doc_id"]: r for r in incremental_dedup_indexed(
+        spark, f"{tmpdir}/idx",
+        spark.createDataFrame(
+            [(20, "a brand new document with fresh unseen content")],
+            "doc_id long, text string",
+        ), "text", "doc_id").collect()}
+    assert rows[20]["is_exact_dup"]
+    release_persisted()
