@@ -952,3 +952,109 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") - F.col("cust_avg_price")).alias("above_by"),
         )
     )
+
+
+@register(
+    "promo_revenue_monthly",
+    tags=("A3", "J5", "tpch"),
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           ROUND(CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                       THEN {_REVENUE_SQL}
+                                       ELSE CAST(0 AS DECIMAL(14,2)) END)
+                      / SUM({_REVENUE_SQL}) AS DOUBLE) + 1e-9, 4)
+               AS promo_pct,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY strftime(l_shipdate, '%Y-%m')
+    """,
+)
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share over a fact⋈dim join —
+    what fraction of each ship-month's revenue came from promo parts.
+    The part side broadcasts (dim ≪ fact); both the conditional and the
+    total go through exact decimal sums so the ratio is
+    bitwise-deterministic before the single double division; the 1e-9
+    nudge + ROUND(4) is the suite's float-comparison convention."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue_dec()
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+        .select(
+            "ship_month",
+            F.round(
+                (F.lit(100.0) * F.col("_p") / F.col("_t")).cast("double") + 1e-9, 4
+            ).alias("promo_pct"),
+            F.col("_t").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "top_revenue_share_nations",
+    tags=("A8", "J5", "tpch", "scalar-subquery"),
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name AS nation,
+               SUM({_REVENUE_SQL}) AS nation_rev
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), tot AS (SELECT SUM(nation_rev) AS total FROM rev)
+    SELECT nation,
+           CAST(nation_rev AS DOUBLE) AS nation_revenue,
+           ROUND(CAST(100.0 * nation_rev / total AS DOUBLE) + 1e-9, 4)
+               AS revenue_share_pct
+    FROM rev, tot
+    WHERE nation_rev > 0.04 * total
+    """,
+)
+def top_revenue_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: a grouped aggregate FILTERED against a scalar of
+    the global aggregate (HAVING sum > x% of total). The global total is
+    a 1-row broadcast scalar crossJoined onto the per-nation rows — no
+    second scan of the fact table (the per-nation aggregate is reused
+    for both sides); all sums exact decimal, one double division at the
+    end. The threshold predicate stays decimal×decimal so the cut is
+    bitwise-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_revenue_dec()).alias("nation_rev"))
+    )
+    tot = rev.agg(F.sum("nation_rev").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("nation_rev")
+            > F.lit(0.04).cast("decimal(3,2)") * F.col("total")
+        )
+        .select(
+            "nation",
+            F.col("nation_rev").cast("double").alias("nation_revenue"),
+            F.round(
+                (F.lit(100.0) * F.col("nation_rev") / F.col("total")).cast(
+                    "double"
+                )
+                + 1e-9,
+                4,
+            ).alias("revenue_share_pct"),
+        )
+    )
