@@ -1023,11 +1023,13 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_revenue_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: a grouped aggregate FILTERED against a scalar of
     the global aggregate (HAVING sum > x% of total). The global total is
-    a 1-row broadcast scalar crossJoined onto the per-nation rows — no
-    second scan of the fact table (the per-nation aggregate is reused
-    for both sides); all sums exact decimal, one double division at the
-    end. The threshold predicate stays decimal×decimal so the cut is
-    bitwise-identical cross-engine."""
+    an UNPARTITIONED window over the per-nation aggregate output — ~25
+    rows, so the SinglePartition exchange is trivially bounded and the
+    4-table join+agg subtree evaluates ONCE (a crossJoined scalar
+    aggregate would re-evaluate the whole subtree for the 1-row side:
+    two fact scans — plan-guarded against). All sums exact decimal, one
+    double division at the end; the threshold predicate stays
+    decimal×decimal so the cut is bitwise-identical cross-engine."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1039,9 +1041,9 @@ def top_revenue_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(_revenue_dec()).alias("nation_rev"))
     )
-    tot = rev.agg(F.sum("nation_rev").alias("total"))
+    w = Window.partitionBy()  # over the ~|nations| aggregate rows only
     return (
-        rev.crossJoin(F.broadcast(tot))
+        rev.withColumn("total", F.sum("nation_rev").over(w))
         .filter(
             F.col("nation_rev")
             > F.lit(0.04).cast("decimal(3,2)") * F.col("total")

@@ -115,3 +115,20 @@ def test_semdedup_marks_shape(spark, sf_small):
     assert "FlatMapGroupsInPandas" in p
     assert "hashpartitioning(cell" in p
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_promo_revenue_broadcasts_part_dim(plans):
+    p = plans("promo_revenue_monthly")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_revenue_share_reuses_single_aggregate(plans):
+    """Q11 shape: the global total comes from an unpartitioned window
+    over the ~25 per-nation aggregate rows — the 4-table join+agg
+    subtree must appear ONCE. A crossJoined scalar aggregate re-plans
+    the whole subtree for the 1-row side (8 scan nodes instead of 4 —
+    two fact scans; measured 24 occurrences in formatted+simple vs 12)."""
+    p = plans("top_revenue_share_nations")
+    assert p.count("Scan parquet") <= 14  # 4 scan nodes across both explain modes
+    assert "BroadcastHashJoin" in p
