@@ -12,7 +12,7 @@ Every query here has a DuckDB oracle; cross-engine determinism notes inline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -319,10 +319,13 @@ def docs_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFra
     per_src = per_src.withColumn(
         "wgt", F.floor(F.sqrt(F.col("toks").cast("double"))).cast("long")
     )
-    totals = per_src.agg(
-        F.sum("toks").alias("total"), F.sum("wgt").alias("wsum")
-    )
-    rates = per_src.crossJoin(F.broadcast(totals)).select(
+    # global totals via an unpartitioned window over the |sources|-row
+    # aggregate — a crossJoined scalar aggregate would re-evaluate the
+    # corpus-scanning subtree for the 1-row side (second full scan)
+    wall = Window.partitionBy()
+    rates = per_src.withColumn("total", F.sum("toks").over(wall)).withColumn(
+        "wsum", F.sum("wgt").over(wall)
+    ).select(
         "source",
         F.least(
             F.lit(10000).cast("long"),
@@ -557,13 +560,18 @@ def docs_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).cast("long").alias("c0"),
         F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).cast("long").alias("c1"),
     )
-    t = c.groupBy("lang").agg(
-        F.sum("c0").alias("t0"), F.sum("c1").alias("t1")
-    )
-    p = c.join(F.broadcast(t), "lang").select(
+    # per-lang totals via a window over the (lang, bin) aggregate rows —
+    # ≤ langs × 10 rows; a join against an aggregate OF this aggregate
+    # would re-evaluate the corpus-scanning subtree a second time
+    wl = Window.partitionBy("lang")
+    p = c.select(
         "lang",
-        F.greatest(F.col("c0") * 1.0 / F.col("t0"), F.lit(0.000001)).alias("p0"),
-        F.greatest(F.col("c1") * 1.0 / F.col("t1"), F.lit(0.000001)).alias("p1"),
+        F.greatest(
+            F.col("c0") * 1.0 / F.sum("c0").over(wl), F.lit(0.000001)
+        ).alias("p0"),
+        F.greatest(
+            F.col("c1") * 1.0 / F.sum("c1").over(wl), F.lit(0.000001)
+        ).alias("p1"),
     )
     return p.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_bins"),
