@@ -642,6 +642,7 @@ def _classify_batch(
     id_col: str,
     n: int,
     threshold: float,
+    b_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Shared classification tail of incremental dedup: batch fingerprints
     vs corpus fingerprint set, batch shingles vs corpus inverted index
@@ -654,11 +655,16 @@ def _classify_batch(
         corpus_fp.withColumn("_hit", F.lit(True)), "_fp", "left"
     ).select("_id", F.coalesce("_hit", F.lit(False)).alias("is_exact_dup"))
 
-    b_sh = _persist(
-        shingle_rows(batch, text_col, id_col, n).select(
-            F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h")
+    if b_hashes is not None:
+        # caller already shingled+hashed (and persisted) the batch once —
+        # absorb reuses one pass across classify / in-batch pairs / append
+        b_sh = b_hashes.select(F.col("_id").alias("_bid"), "_h")
+    else:
+        b_sh = _persist(
+            shingle_rows(batch, text_col, id_col, n).select(
+                F.col("_id").alias("_bid"), F.xxhash64("_sh").alias("_h")
+            )
         )
-    )
     b_sizes = b_sh.groupBy("_bid").agg(F.count(F.lit(1)).alias("_bs"))
     inter = (
         b_sh.join(c_sh, "_h")
@@ -955,34 +961,42 @@ def absorb_batch_into_index(
     against a :func:`build_dedup_index` corpus index, and APPEND the
     accepted documents' state (fingerprint, guard-filtered shingle
     postings, size, doc id) so future batches classify against them —
-    the steady-state ingest loop never re-touches corpus text.
+    the steady-state ingest loop never re-touches corpus text. The batch
+    is shingled ONCE; classification, in-batch pair generation and the
+    posting append all reuse that pass.
 
     Acceptance = not an exact dup, no corpus near-match at
     ``threshold``, and not dominated within the batch (exact: min-id per
-    fingerprint wins; near: ``a_id < b_id`` pair convention, the
-    higher id drops). Returns
-    {n_batch, n_accepted, n_rejected_exact, n_rejected_near,
-    n_rejected_batch}.
+    fingerprint wins; near: ``a_id < b_id`` pair convention, the higher
+    id drops). Returns {n_batch (delivered, post-null-filter),
+    n_accepted, n_rejected_exact (corpus fingerprint hits),
+    n_rejected_near (corpus near-matches), n_rejected_batch (in-batch
+    exact + near dominated)}.
 
-    Replay/crash posture (document-level, no transaction log): a
-    replayed batch re-classifies — fully absorbed docs reject as exact
-    dups, so absorption converges. Appends are ordered shingles →
-    sizes → doc_ids → fingerprints; a crash mid-sequence leaves the doc
-    discoverable through its POSTINGS (jaccard 1.0 with itself → near
-    reject, never duplicated) while its exact-flag only materializes on
-    a successful pass — rejection DECISIONS are unaffected, only the
-    exact-vs-near attribution degrades. Single writer assumed (the
-    foreachBatch loop), like every parquet append here.
+    Replay/crash posture (document-level, no transaction log): appends
+    run fingerprints → doc_ids → sizes → shingles, and the FINGERPRINT
+    is the commit gate — a replayed batch rejects its absorbed docs as
+    exact dups, so nothing is ever appended twice, whatever prefix of
+    the sequence a crash allowed (fingerprint-only: the doc rejects
+    future exacts but lacks postings — bounded near-recall loss for that
+    doc, no score corruption; sizes-without-postings is inert because
+    the near join is driven from the postings side). `{path}/meta` is
+    IMMUTABLE after build (its ``n_docs`` records the build-time corpus;
+    current count = `{path}/doc_ids`), so no maintenance write can brick
+    the index. Single writer assumed (the foreachBatch loop), like every
+    parquet append here.
 
     Hot-shingle guard under growth: the stored index keeps at most
     ``max_shingle_freq`` postings per hash. Batch postings for a hash
-    are appended only while stored + batch stays within the cap,
-    else the batch's rows for that hash are skipped (first-seen
-    postings win — an Elasticsearch-style per-term cap). A REBUILD
-    drops over-cap hashes entirely; both bound join fan-out, and
-    scores for docs dominated by over-cap shingles can differ between
-    the absorbed and rebuilt index (equivalence below the cap is
-    tested)."""
+    are appended only while stored + batch stays within the cap, else
+    the batch's rows for that hash are skipped (first-seen postings win
+    — an Elasticsearch-style per-term cap). A REBUILD drops over-cap
+    hashes entirely; both bound join fan-out, and scores for docs
+    dominated by over-cap shingles can differ between the absorbed and
+    rebuilt index (equivalence below the cap is tested). Appends
+    accumulate one file set per batch — run :func:`compact_dedup_index`
+    periodically (the MergeTree-merge analogue) to keep listing costs
+    flat."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n = int(meta["n"])
     msf = None if meta["max_shingle_freq"] < 0 else int(meta["max_shingle_freq"])
@@ -995,30 +1009,42 @@ def absorb_batch_into_index(
             "absorb at threshold <= edge_threshold or rebuild"
         )
 
-    src = batch.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_txt")
+    src_raw = _persist(
+        batch.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(text_col).alias("_txt"),
+        ).filter(F.col("_id").isNotNull())
     )
+    n_batch = src_raw.count()
     # within-batch exact dedup: min id per fingerprint wins (duplicate
     # DELIVERY of one doc in a batch must not double-absorb)
     wfp = Window.partitionBy(fingerprint64("_txt")).orderBy("_id")
     src = _persist(
-        src.withColumn("_rk", F.row_number().over(wfp))
+        src_raw.withColumn("_rk", F.row_number().over(wfp))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    n_batch = src.count()
+    n_dedup = src.count()
 
-    cls = _classify_batch(
-        src,
-        spark.read.parquet(f"{path}/fingerprints"),
-        spark.read.parquet(f"{path}/shingles"),
-        spark.read.parquet(f"{path}/sizes"),
-        "_txt",
-        "_id",
-        n,
-        threshold,
+    # the ONE shingling pass for this batch
+    b_hashes = _persist(
+        shingle_rows(src, "_txt", "_id", n).select(
+            "_id", F.xxhash64("_sh").alias("_h")
+        )
     )
-    cls = _persist(cls)
+    cls = _persist(
+        _classify_batch(
+            src,
+            spark.read.parquet(f"{path}/fingerprints"),
+            spark.read.parquet(f"{path}/shingles"),
+            spark.read.parquet(f"{path}/sizes"),
+            "_txt",
+            "_id",
+            n,
+            threshold,
+            b_hashes=b_hashes,
+        )
+    )
     n_exact = cls.filter(F.col("is_exact_dup")).count()
     n_near = cls.filter(
         ~F.col("is_exact_dup") & (F.col("n_near_matches") > 0)
@@ -1031,17 +1057,18 @@ def absorb_batch_into_index(
         "left_semi",
     )
     # within-batch near dedup among the survivors (same pair convention
-    # as the corpus operator: the higher id of each pair drops)
+    # as the corpus operator: the higher id of each pair drops), off the
+    # shared hash pass
     drop = ngram_jaccard_pairs(
-        clean, "_txt", "_id", n=n, threshold=threshold, max_shingle_freq=msf
+        clean, "_txt", "_id", n=n, threshold=threshold,
+        max_shingle_freq=msf,
+        _hashes=b_hashes.join(clean.select("_id"), "_id", "left_semi"),
     ).select(F.col("b_id").alias("_id")).distinct()
     # SEVER the lineage before any append: final's plan READS the very
     # parquet paths the appends below modify, and Spark caching is
     # best-effort — a cache-evicted re-evaluation mid-append-sequence
-    # would re-classify against the half-updated index (the batch's own
-    # freshly-appended shingles score jaccard 1.0 → everything flips to
-    # rejected → later appends write empty). localCheckpoint(eager)
-    # pins the accepted set as DATA, not a plan.
+    # would re-classify against the half-updated index. localCheckpoint
+    # (eager) pins the accepted set as DATA, not a plan.
     final = clean.join(drop, "_id", "left_anti").localCheckpoint(eager=True)
     n_final = final.count()
     stats = {
@@ -1055,10 +1082,8 @@ def absorb_batch_into_index(
         release_persisted()
         return stats
 
-    f_sh = _persist(
-        shingle_rows(final, "_txt", "_id", n).select(
-            F.col("_id").alias("_cid"), F.xxhash64("_sh").alias("_h")
-        )
+    f_sh = b_hashes.join(final.select("_id"), "_id", "left_semi").select(
+        F.col("_id").alias("_cid"), "_h"
     )
     if msf is not None:
         stored_cnt = (
@@ -1076,30 +1101,49 @@ def absorb_batch_into_index(
             .select("_h")
         )
         f_sh = f_sh.join(ok, "_h", "left_semi")
-    # same lineage severing as `final`: the guard read the stored
-    # shingles, which is the first path appended below
+    # same lineage severing as `final`: the guard read the stored shingles
     f_sh = f_sh.localCheckpoint(eager=True)
-    # append order = crash posture documented above
-    f_sh.write.mode("append").parquet(f"{path}/shingles")
-    f_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs")).write.mode(
-        "append"
-    ).parquet(f"{path}/sizes")
-    final.select(F.col("_id").alias("_cid")).write.mode("append").parquet(
-        f"{path}/doc_ids"
-    )
+    # append order = crash posture documented above (fingerprint = gate)
     final.select(fingerprint64("_txt").alias("_fp")).distinct().join(
         spark.read.parquet(f"{path}/fingerprints"), "_fp", "left_anti"
     ).write.mode("append").parquet(f"{path}/fingerprints")
-    spark.createDataFrame(
-        [
-            (
-                n,
-                -1 if msf is None else msf,
-                int(meta["n_docs"]) + n_final,
-                et,
-            )
-        ],
-        "n int, max_shingle_freq int, n_docs long, edge_threshold double",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    final.select(F.col("_id").alias("_cid")).write.mode("append").parquet(
+        f"{path}/doc_ids"
+    )
+    f_sh.groupBy("_cid").agg(F.count(F.lit(1)).alias("_cs")).write.mode(
+        "append"
+    ).parquet(f"{path}/sizes")
+    f_sh.write.mode("append").parquet(f"{path}/shingles")
     release_persisted()
     return stats
+
+
+def compact_dedup_index(spark, path: str, target_rows_per_file: int = 4_000_000) -> dict:
+    """Offline maintenance for an absorb-grown index (the MergeTree-merge
+    analogue): rewrite each table's accumulated per-batch file sets into
+    few large files so listing/footer costs stay flat as triggers
+    accumulate. NOT concurrency-safe with a running ingest stream — run
+    it in the stream's maintenance window (single-writer discipline, same
+    as the compaction job in sources/gold_layout.py). Each table is
+    rewritten through a temp dir then swapped via two renames; a crash
+    between renames leaves `{table}.compact-tmp` beside an intact or
+    already-swapped table — re-running converges."""
+    import os
+    import shutil
+
+    out = {}
+    for tbl in ("fingerprints", "shingles", "sizes", "doc_ids"):
+        src_dir = f"{path}/{tbl}"
+        tmp_dir = f"{path}/{tbl}.compact-tmp"
+        old_dir = f"{path}/{tbl}.compact-old"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        df = spark.read.parquet(src_dir)
+        rows = df.count()
+        n_files = max(1, rows // max(1, target_rows_per_file))
+        df.repartition(n_files).write.parquet(tmp_dir)
+        os.rename(src_dir, old_dir)
+        os.rename(tmp_dir, src_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        out[tbl] = {"rows": rows, "files": n_files}
+    return out

@@ -195,10 +195,13 @@ def test_absorb_grows_index_and_converges(spark, tmpdir):
         "doc_id long, text string",
     )
     s = absorb_batch_into_index(spark, f"{tmpdir}/idx", batch, "text", "doc_id")
-    assert s == {"n_batch": 3, "n_accepted": 1, "n_rejected_exact": 1,
-                 "n_rejected_near": 0, "n_rejected_batch": 1}
+    # 10 corpus-exact; 12 in-batch exact of 11; 13 in-batch near of 11
+    assert s == {"n_batch": 4, "n_accepted": 1, "n_rejected_exact": 1,
+                 "n_rejected_near": 0, "n_rejected_batch": 2}
+    # meta is IMMUTABLE (build-time corpus); current count = doc_ids
     meta = spark.read.parquet(f"{tmpdir}/idx/meta").collect()[0]
-    assert meta["n_docs"] == 3
+    assert meta["n_docs"] == 2
+    assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 3
 
     # the absorbed doc (11) now rejects exact AND near arrivals
     probe = spark.createDataFrame(
@@ -214,7 +217,6 @@ def test_absorb_grows_index_and_converges(spark, tmpdir):
     # replay: everything rejects, nothing double-absorbed
     s2 = absorb_batch_into_index(spark, f"{tmpdir}/idx", batch, "text", "doc_id")
     assert s2["n_accepted"] == 0
-    assert spark.read.parquet(f"{tmpdir}/idx/meta").collect()[0]["n_docs"] == 3
     assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 3
     release_persisted()
 
@@ -282,8 +284,7 @@ def test_streaming_dedup_ingest(spark, tmpdir):
     finally:
         q.stop()
     assert sum(s["n_accepted"] for s in seen) == 2
-    meta = spark.read.parquet(f"{tmpdir}/idx/meta").collect()[0]
-    assert meta["n_docs"] == 3
+    assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 3
     # the absorbed docs now reject their own replays
     rows = {r["doc_id"]: r for r in incremental_dedup_indexed(
         spark, f"{tmpdir}/idx",
@@ -292,4 +293,80 @@ def test_streaming_dedup_ingest(spark, tmpdir):
             "doc_id long, text string",
         ), "text", "doc_id").collect()}
     assert rows[20]["is_exact_dup"]
+    release_persisted()
+
+
+def test_compact_dedup_index_preserves_content(spark, tmpdir):
+    """Compaction rewrites the accumulated per-batch file sets into few
+    files with identical content — classification before == after."""
+    import glob
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        absorb_batch_into_index,
+        compact_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    for i in range(3):  # three absorb batches -> three file sets
+        absorb_batch_into_index(
+            spark, f"{tmpdir}/idx",
+            spark.createDataFrame(
+                [(100 + i, f"novel text number {i} unlike anything else ever")],
+                "doc_id long, text string",
+            ),
+            "text", "doc_id",
+        )
+    probe = spark.createDataFrame(
+        [(500, "novel text number 1 unlike anything else ever"),
+         (501, "totally fresh never seen words")],
+        "doc_id long, text string",
+    )
+    before = sorted(map(tuple, incremental_dedup_indexed(
+        spark, f"{tmpdir}/idx", probe, "text", "doc_id").collect()))
+    files_before = len(glob.glob(f"{tmpdir}/idx/shingles/part-*"))
+    out = compact_dedup_index(spark, f"{tmpdir}/idx")
+    files_after = len(glob.glob(f"{tmpdir}/idx/shingles/part-*"))
+    assert files_after < files_before and files_after == out["shingles"]["files"]
+    after = sorted(map(tuple, incremental_dedup_indexed(
+        spark, f"{tmpdir}/idx", probe, "text", "doc_id").collect()))
+    assert before == after
+    assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 4
+    release_persisted()
+
+
+def test_absorb_fingerprint_prefix_crash_converges(spark, tmpdir):
+    """Crash posture: with ONLY the fingerprint appended (the commit
+    gate), a replay rejects the doc as an exact dup and appends nothing —
+    no double-postings, no score corruption; a partial-overlap probe
+    still classifies sanely (no near-hit from the missing postings)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.text import (
+        fingerprint64,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        absorb_batch_into_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    doc = spark.createDataFrame(
+        [(50, "a crash interrupted this document mid absorb")],
+        "doc_id long, text string",
+    )
+    # simulate the crash: append ONLY the fingerprint (first in order)
+    doc.select(fingerprint64("text").alias("_fp")).write.mode("append").parquet(
+        f"{tmpdir}/idx/fingerprints"
+    )
+    n_sh = spark.read.parquet(f"{tmpdir}/idx/shingles").count()
+    s = absorb_batch_into_index(spark, f"{tmpdir}/idx", doc, "text", "doc_id")
+    assert s["n_rejected_exact"] == 1 and s["n_accepted"] == 0
+    # nothing double-appended
+    assert spark.read.parquet(f"{tmpdir}/idx/shingles").count() == n_sh
+    assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 1
     release_persisted()
