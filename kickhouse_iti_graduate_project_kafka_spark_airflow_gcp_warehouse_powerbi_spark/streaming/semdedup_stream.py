@@ -26,6 +26,12 @@ Design for scale:
   wins ordering makes survival independent of the retry. Duplicate
   DELIVERIES (same vec_id sent twice) converge the same way.
 
+Maintenance: appends land one file set per trigger, so file-listing
+cost grows with trigger count — run
+``sources/gold_layout.compact_partitions(spark, path, "cell",
+["vec_id"])`` in the stream's maintenance window (tested composition)
+to merge each cell directory back to few ordered files.
+
 Policy note: this is FIRST-SEEN-WINS — a later near-duplicate of an
 existing survivor is dropped even if a batch-mode re-run at the same tau
 might have kept it instead (dominance rank is centroid-cosine, and the

@@ -112,3 +112,33 @@ def test_duplicate_ids_within_one_batch_collapse(spark, tmp_path):
     s = upsert_semdedup_batch(spark, b, path, CENTS, tau=0.9)
     assert s == {"n_batch": 2, "n_new": 2, "n_pruned": 0, "n_replayed": 0}
     assert _ids(spark, path) == [1, 3]
+
+
+def test_survivors_compaction_composition(spark, tmp_path):
+    """The generic partition compactor services the survivors layout:
+    per-trigger file sets merge back to one file per cell with identical
+    content, and later upserts still classify correctly."""
+    import glob
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.gold_layout import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "surv")
+    for i in range(3):  # three single-cell appends into cell=0
+        upsert_semdedup_batch(
+            spark, _mk(spark, [(i, [1, 0.01 * (i + 1), 0, 0])]), path,
+            CENTS, tau=1.1,  # keep-all: force one append per trigger
+        )
+    before = sorted(_ids(spark, path))
+    files_before = len(glob.glob(f"{path}/cell=0/part-*"))
+    assert files_before >= 3
+    out = compact_partitions(spark, path, "cell", ["vec_id"])
+    assert len(glob.glob(f"{path}/cell=0/part-*")) == 1
+    assert sorted(_ids(spark, path)) == before
+    # the compacted table still serves the replay guard + classification
+    s = upsert_semdedup_batch(
+        spark, _mk(spark, [(0, [1, 0.01, 0, 0]), (9, [0, 0, 1, 0])]),
+        path, CENTS, tau=1.1,
+    )
+    assert s["n_replayed"] == 1 and s["n_new"] == 1
