@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Job: streaming ingest gates in front of a training corpus.
+
+Document gate (text dedup — exact + n-gram near-dup against the
+persisted index, accepted docs absorbed):
+
+    python jobs/ingest_gate.py docs --source /lake/docs_stream \\
+        --index /lake/dedup_index --checkpoint /lake/_ckpt/docs_gate \\
+        [--text-col text --id-col doc_id --threshold 0.5]
+
+Embedding gate (semantic dedup — survivors corpus maintained under the
+persisted IVF quantizer):
+
+    python jobs/ingest_gate.py embeddings --source /lake/emb_stream \\
+        --survivors /lake/sem_survivors --ivf /lake/ivf_index \\
+        --checkpoint /lake/_ckpt/emb_gate [--tau 0.95]
+
+Both tail a parquet directory (swap the reader line for Kafka in a real
+deployment — the foreachBatch body is source-agnostic), run until
+terminated, and print one JSON stats line per micro-batch for
+orchestration. ``--drain`` processes everything currently available and
+exits — the batch-backfill twin of the same gate (ST12 discipline:
+one transform, two drivers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark import (
+        get_spark,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        load_centroids,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.dedup_stream import (
+        maintain_dedup_stream,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+        maintain_semdedup_stream,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["docs", "embeddings"])
+    ap.add_argument("--source", required=True, help="parquet dir to tail")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--index", help="dedup index path (docs mode)")
+    ap.add_argument("--survivors", help="survivors table path (embeddings mode)")
+    ap.add_argument("--ivf", help="IVF index path for the coarse quantizer")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--vec-id-col", default="vec_id")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--tau", type=float, default=0.95)
+    ap.add_argument("--trigger", default="5 seconds")
+    ap.add_argument(
+        "--drain", action="store_true",
+        help="process everything available, then exit (backfill twin)",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(app_name=f"kickhouse-ingest-gate-{args.mode}")
+
+    def emit(stats: dict) -> None:
+        print(json.dumps(stats), flush=True)
+
+    if args.mode == "docs":
+        if not args.index:
+            ap.error("docs mode requires --index")
+        schema = (
+            spark.read.parquet(args.source).schema
+        )  # tailing an existing lake dir: take its schema
+        stream = spark.readStream.schema(schema).parquet(args.source)
+        q = maintain_dedup_stream(
+            stream, args.index, args.checkpoint, args.text_col,
+            args.id_col, args.threshold, trigger=args.trigger,
+            on_batch=emit,
+        )
+    else:
+        if not (args.survivors and args.ivf):
+            ap.error("embeddings mode requires --survivors and --ivf")
+        centroids = load_centroids(spark, args.ivf)
+        schema = spark.read.parquet(args.source).schema
+        stream = spark.readStream.schema(schema).parquet(args.source)
+        q = maintain_semdedup_stream(
+            stream, args.survivors, args.checkpoint, centroids,
+            tau=args.tau, vec_col=args.vec_col, id_col=args.vec_id_col,
+            trigger=args.trigger,
+        )
+
+    if args.drain:
+        q.processAllAvailable()
+        q.stop()
+    else:
+        q.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
