@@ -20,7 +20,9 @@ deployment — the foreachBatch body is source-agnostic), run until
 terminated, and print one JSON stats line per micro-batch for
 orchestration. ``--drain`` processes everything currently available and
 exits — the batch-backfill twin of the same gate (ST12 discipline:
-one transform, two drivers).
+one transform, two drivers). ``--schema`` (a DDL string) lets the gate
+start BEFORE its producer has written anything; without it the schema
+is inferred from the existing source files.
 """
 
 from __future__ import annotations
@@ -65,35 +67,48 @@ def main() -> None:
         "--drain", action="store_true",
         help="process everything available, then exit (backfill twin)",
     )
+    ap.add_argument(
+        "--schema",
+        help="DDL schema for the source (required to start before the "
+        "producer has written any file; otherwise inferred)",
+    )
     args = ap.parse_args()
+    # validate mode-conditional args BEFORE paying JVM startup
+    if args.mode == "docs" and not args.index:
+        ap.error("docs mode requires --index")
+    if args.mode == "embeddings" and not (args.survivors and args.ivf):
+        ap.error("embeddings mode requires --survivors and --ivf")
 
     spark = get_spark(app_name=f"kickhouse-ingest-gate-{args.mode}")
 
     def emit(stats: dict) -> None:
         print(json.dumps(stats), flush=True)
 
+    if args.schema:
+        schema = args.schema
+    else:
+        try:
+            schema = spark.read.parquet(args.source).schema
+        except Exception as exc:
+            raise SystemExit(
+                f"cannot infer schema from {args.source!r} (empty or "
+                f"missing — start the producer first, or pass --schema "
+                f"'col1 type1, ...'): {exc}"
+            )
+    stream = spark.readStream.schema(schema).parquet(args.source)
+
     if args.mode == "docs":
-        if not args.index:
-            ap.error("docs mode requires --index")
-        schema = (
-            spark.read.parquet(args.source).schema
-        )  # tailing an existing lake dir: take its schema
-        stream = spark.readStream.schema(schema).parquet(args.source)
         q = maintain_dedup_stream(
             stream, args.index, args.checkpoint, args.text_col,
             args.id_col, args.threshold, trigger=args.trigger,
             on_batch=emit,
         )
     else:
-        if not (args.survivors and args.ivf):
-            ap.error("embeddings mode requires --survivors and --ivf")
         centroids = load_centroids(spark, args.ivf)
-        schema = spark.read.parquet(args.source).schema
-        stream = spark.readStream.schema(schema).parquet(args.source)
         q = maintain_semdedup_stream(
             stream, args.survivors, args.checkpoint, centroids,
             tau=args.tau, vec_col=args.vec_col, id_col=args.vec_id_col,
-            trigger=args.trigger,
+            trigger=args.trigger, on_batch=emit,
         )
 
     if args.drain:

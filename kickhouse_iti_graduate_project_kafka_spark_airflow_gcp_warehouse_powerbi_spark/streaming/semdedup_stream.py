@@ -165,10 +165,13 @@ def maintain_semdedup_stream(
     id_col: str = "vec_id",
     trigger: str = "5 seconds",
     prepare: Callable[[DataFrame], DataFrame] | None = None,
+    on_batch: Callable[[dict], None] | None = None,
 ) -> StreamingQuery:
     """Keep the survivor corpus current from an embedding stream: every
     micro-batch runs :func:`upsert_semdedup_batch` (optionally after
-    ``prepare`` — e.g. a projection shared with the batch job)."""
+    ``prepare`` — e.g. a projection shared with the batch job);
+    ``on_batch`` receives each batch's stats dict (DQ counters/alerts),
+    mirroring :func:`..streaming.dedup_stream.maintain_dedup_stream`."""
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
         from ..operators.cachereg import release_tracked
@@ -176,10 +179,12 @@ def maintain_semdedup_stream(
         if prepare is not None:
             batch_df = prepare(batch_df)
         try:
-            upsert_semdedup_batch(
+            stats = upsert_semdedup_batch(
                 batch_df.sparkSession, batch_df, survivors_path, centroids,
                 tau, vec_col, id_col,
             )
+            if on_batch is not None:
+                on_batch(stats)
         finally:
             # each batch registers 1-4 centroid broadcasts in the shared
             # registry (semdedup_incremental + the Arrow assign paths); a

@@ -370,3 +370,60 @@ def test_absorb_fingerprint_prefix_crash_converges(spark, tmpdir):
     assert spark.read.parquet(f"{tmpdir}/idx/shingles").count() == n_sh
     assert spark.read.parquet(f"{tmpdir}/idx/doc_ids").count() == 1
     release_persisted()
+
+
+def test_ingest_gate_cli_both_modes(spark, sf_small, tmpdir):
+    """Subprocess drive of jobs/ingest_gate.py: docs mode absorbs and
+    prints per-batch JSON stats; embeddings mode maintains survivors and
+    prints stats too (the on_batch contract both gates share)."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "a brand new document with fresh unseen content")],
+        "doc_id long, text string",
+    ).write.parquet(f"{tmpdir}/dsrc")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "docs",
+         "--source", f"{tmpdir}/dsrc", "--index", f"{tmpdir}/idx",
+         "--checkpoint", f"{tmpdir}/dckpt", "--trigger", "1 seconds",
+         "--drain"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert sum(s["n_accepted"] for s in stats) == 1
+
+    emb = load_table(spark, sf_small, "embeddings")
+    build_ivf_index(emb, f"{tmpdir}/ivf", n_cells=8, iters=2)
+    emb.filter("vec_id < 30").write.parquet(f"{tmpdir}/esrc")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "embeddings",
+         "--source", f"{tmpdir}/esrc", "--survivors", f"{tmpdir}/surv",
+         "--ivf", f"{tmpdir}/ivf", "--checkpoint", f"{tmpdir}/eckpt",
+         "--tau", "0.4", "--trigger", "1 seconds", "--drain"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert sum(s["n_new"] for s in stats) >= 1
+    assert spark.read.parquet(f"{tmpdir}/surv").count() == sum(
+        s["n_new"] for s in stats
+    )
+    # cold start without --schema fails with guidance, not a stack trace
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "docs",
+         "--source", f"{tmpdir}/nonexistent", "--index", f"{tmpdir}/idx",
+         "--checkpoint", f"{tmpdir}/x", "--drain"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode != 0 and "pass --schema" in (out.stderr + out.stdout)

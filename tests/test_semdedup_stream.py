@@ -134,6 +134,7 @@ def test_survivors_compaction_composition(spark, tmp_path):
     files_before = len(glob.glob(f"{path}/cell=0/part-*"))
     assert files_before >= 3
     out = compact_partitions(spark, path, "cell", ["vec_id"])
+    assert out["rows"] == 3 and out["files_after"] < out["files_before"]
     assert len(glob.glob(f"{path}/cell=0/part-*")) == 1
     assert sorted(_ids(spark, path)) == before
     # the compacted table still serves the replay guard + classification
