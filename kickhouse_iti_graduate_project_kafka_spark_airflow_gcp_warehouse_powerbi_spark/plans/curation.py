@@ -509,6 +509,54 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_train_val_test_split",
+    tags=("sampling", "split", "A1"),
+    oracle=r"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test assignment — the
+    canonical corpus-preparation split, as a pure function of doc_id
+    (md5 bucket: reproducible across engines/retries, stable under
+    repartitioning, and any doc's split can be recomputed in isolation
+    — no rand(), no persisted split table needed). Per-(split, lang)
+    doc/token accounting; the assignment itself is a narrow map, so at
+    100 TB the split costs one column expression at read time."""
+    from ..functions.text import token_count
+
+    docs = _docs(spark, sf_dir).withColumn("n_tok", token_count("text"))
+    bucket = sample_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "docs_distribution_drift",
     tags=("stats", "drift", "A3"),
     oracle=r"""
