@@ -129,6 +129,35 @@ def pack_sequences(
     return out
 
 
+def write_packed_sequences(
+    df: DataFrame,
+    path: str,
+    weight_col: str,
+    order_col: str,
+    seq_len: int,
+    seqs_per_shard: int = 10_000,
+    bucket_width: int = 10_000,
+) -> None:
+    """Materialize the packing layout for a data loader:
+    ``seq_shard=N/`` parquet partitions each holding ``seqs_per_shard``
+    consecutive training sequences' slice rows, internally ordered by
+    (seq_id, order_col) so a loader reads one shard directory and walks
+    slices in emission order. Partition pruning makes "give me sequences
+    [a, b)" a directory-range read — the loader never lists the corpus.
+    The sort leads with the partition column (FileFormatWriter drops
+    secondary sort keys otherwise — documented Spark quirk)."""
+    packed = pack_sequences(df, weight_col, order_col, seq_len, bucket_width)
+    (
+        packed.withColumn(
+            "seq_shard", F.expr(f"seq_id div {int(seqs_per_shard)}").cast("long")
+        )
+        .sortWithinPartitions("seq_shard", "seq_id", order_col)
+        .write.partitionBy("seq_shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_token_shards(
     df: DataFrame,
     path: str,

@@ -123,3 +123,35 @@ def test_pack_sequences_invariants(spark):
     for seq, tok in per_seq.items():
         if seq != last:
             assert tok == L, (seq, tok)
+
+
+def test_write_packed_sequences_layout(spark, tmp_path):
+    """seq_shard partitioned layout: content equals pack_sequences, a
+    shard-range read prunes to the matching directories only."""
+    import os as _os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        pack_sequences,
+        write_packed_sequences,
+    )
+
+    L, PER = 64, 4
+    df, _ = _fixture(spark, n=200)
+    path = str(tmp_path / "packed")
+    write_packed_sequences(df, path, "n_tok", "doc_id", L,
+                           seqs_per_shard=PER, bucket_width=64)
+    back = spark.read.parquet(path)
+    direct = pack_sequences(df, "n_tok", "doc_id", L, bucket_width=64)
+    a = sorted(map(tuple, back.select("doc_id", "seq_id", "begin_tok", "end_tok").collect()))
+    b = sorted(map(tuple, direct.select("doc_id", "seq_id", "begin_tok", "end_tok").collect()))
+    assert a == b
+    # directory layout + shard arithmetic
+    dirs = sorted(d for d in _os.listdir(path) if d.startswith("seq_shard="))
+    max_seq = max(r["seq_id"] for r in direct.collect())
+    assert len(dirs) == max_seq // PER + 1
+    # partition pruning: a one-shard filter shows PartitionFilters in plan
+    q = back.filter(F.col("seq_shard") == 1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "seq_shard" in plan
+    got = {r["seq_id"] for r in q.collect()}
+    assert got == {s for s in range(PER, 2 * PER) if s <= max_seq}
