@@ -1000,7 +1000,13 @@ def absorb_batch_into_index(
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n = int(meta["n"])
     msf = None if meta["max_shingle_freq"] < 0 else int(meta["max_shingle_freq"])
-    et = float(meta["edge_threshold"])
+    # pre-r4 indexes lack edge_threshold — same guarded access (and the
+    # same -1.0 "no stored edges" sentinel) as incremental_dedup_indexed
+    et = (
+        float(meta["edge_threshold"])
+        if "edge_threshold" in meta.__fields__
+        else -1.0
+    )
     if et >= 0 and threshold > et:
         raise ValueError(
             f"index stores near-dup edges at jaccard >= {et}; absorbing "
@@ -1024,7 +1030,8 @@ def absorb_batch_into_index(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
-    n_dedup = src.count()
+    # (no count action here — the in-batch-exact drop count is already
+    # folded into n_rejected_batch via n_batch - n_exact - n_near - n_final)
 
     # the ONE shingling pass for this batch
     b_hashes = _persist(
@@ -1118,32 +1125,88 @@ def absorb_batch_into_index(
     return stats
 
 
+class _IndexFs:
+    """Scheme-agnostic directory ops for the index lifecycle, routed
+    through the Hadoop ``FileSystem`` API via the session JVM (the same
+    posture as ``streaming/maintenance._HadoopManifestIO`` and
+    ``sources/gold_layout.compact_partitions``): ``os.rename``/
+    ``shutil.rmtree`` only work on the local filesystem, while index
+    paths can be ``hdfs://``/``s3a://`` like every other path here."""
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jp(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._jp(p).getFileSystem(self._conf)
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs(p).exists(self._jp(p)))
+
+    def rename(self, src: str, dst: str) -> None:
+        # plain FileSystem.rename: atomic dir move on HDFS/local; refuses
+        # an existing destination, which is exactly what we want — every
+        # swap step below renames onto a path proven absent.
+        if not self._fs(src).rename(self._jp(src), self._jp(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def rmtree(self, p: str) -> None:
+        fs = self._fs(p)
+        jp = self._jp(p)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+
+
 def compact_dedup_index(spark, path: str, target_rows_per_file: int = 4_000_000) -> dict:
     """Offline maintenance for an absorb-grown index (the MergeTree-merge
     analogue): rewrite each table's accumulated per-batch file sets into
     few large files so listing/footer costs stay flat as triggers
     accumulate. NOT concurrency-safe with a running ingest stream — run
     it in the stream's maintenance window (single-writer discipline, same
-    as the compaction job in sources/gold_layout.py). Each table is
-    rewritten through a temp dir then swapped via two renames; a crash
-    between renames leaves `{table}.compact-tmp` beside an intact or
-    already-swapped table — re-running converges."""
-    import os
-    import shutil
+    as the compaction job in sources/gold_layout.py).
 
+    Each table is rewritten through `{table}.compact-tmp` then swapped
+    via two renames (live → `.compact-old`, tmp → live). Crash recovery
+    RESTORES before it deletes: on entry, if the live dir is missing (a
+    crash landed between the two renames), the table is brought back
+    from `.compact-tmp` when that write completed (Spark's ``_SUCCESS``
+    marker) else from `.compact-old`; leftover staging dirs are removed
+    only AFTER the live dir is confirmed present. Re-running therefore
+    converges from any crash point without a window in which the only
+    copies of the table are staged. All directory ops route through the
+    Hadoop ``FileSystem`` API, so the swap works on any scheme the
+    session can reach, not just the local filesystem."""
+    fs = _IndexFs(spark)
     out = {}
     for tbl in ("fingerprints", "shingles", "sizes", "doc_ids"):
         src_dir = f"{path}/{tbl}"
         tmp_dir = f"{path}/{tbl}.compact-tmp"
         old_dir = f"{path}/{tbl}.compact-old"
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        if not fs.exists(src_dir):
+            # prior run crashed between the two renames: the compacted
+            # copy (if complete) or the pre-compaction original IS the
+            # table — restore it first, delete nothing yet
+            if fs.exists(f"{tmp_dir}/_SUCCESS"):
+                fs.rename(tmp_dir, src_dir)
+            elif fs.exists(old_dir):
+                fs.rename(old_dir, src_dir)
+            else:
+                raise FileNotFoundError(
+                    f"dedup index table missing and no staged copy to "
+                    f"restore: {src_dir}"
+                )
+        # live table confirmed present — staging leftovers are now dead
+        fs.rmtree(tmp_dir)
+        fs.rmtree(old_dir)
         df = spark.read.parquet(src_dir)
         rows = df.count()
         n_files = max(1, rows // max(1, target_rows_per_file))
         df.repartition(n_files).write.parquet(tmp_dir)
-        os.rename(src_dir, old_dir)
-        os.rename(tmp_dir, src_dir)
-        shutil.rmtree(old_dir, ignore_errors=True)
+        fs.rename(src_dir, old_dir)
+        fs.rename(tmp_dir, src_dir)
+        fs.rmtree(old_dir)
         out[tbl] = {"rows": rows, "files": n_files}
     return out

@@ -472,9 +472,12 @@ def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), c AS (
         SELECT doc_id, n_tok,
-               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               -- CAST: DuckDB SUM(BIGINT) window yields HUGEINT, which the
+               -- driver's compare frame coerces to float64 and the value
+               -- hash diverges from Spark's int64 even when values match.
+               CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS prefix
+                   0) AS BIGINT) AS prefix
         FROM w WHERE n_tok > 0
     )
     , s AS (
@@ -485,8 +488,10 @@ def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT doc_id, seq_id,
-           GREATEST(seq_id * 256, prefix) - prefix AS begin_tok,
-           LEAST((seq_id + 1) * 256, prefix + n_tok) - prefix AS end_tok
+           CAST(GREATEST(seq_id * 256, prefix) - prefix AS BIGINT)
+               AS begin_tok,
+           CAST(LEAST((seq_id + 1) * 256, prefix + n_tok) - prefix AS BIGINT)
+               AS end_tok
     FROM s
     """,
 )

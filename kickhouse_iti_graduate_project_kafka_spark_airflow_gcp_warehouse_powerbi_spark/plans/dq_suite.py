@@ -357,7 +357,8 @@ def top_users_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
-           CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS bin_low,
+           CAST(CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE)
+               AS bin_low,
            COUNT(*) AS n,
            MIN(value) AS min_value,
            MAX(value) AS max_value

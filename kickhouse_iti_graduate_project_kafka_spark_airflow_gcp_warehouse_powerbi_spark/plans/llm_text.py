@@ -158,9 +158,10 @@ def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
            CAST(n_stop AS BIGINT) AS n_stopwords,
-           ROUND((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
+           CAST(ROUND(
+               (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END)
                + (CASE WHEN n_stop * 1.0 / n_tok BETWEEN 0.01 AND 0.5
-                       THEN 0.5 ELSE 0.0 END), 2) AS quality
+                       THEN 0.5 ELSE 0.0 END), 2) AS DOUBLE) AS quality
     FROM m
     """,
 )

@@ -427,3 +427,106 @@ def test_ingest_gate_cli_both_modes(spark, sf_small, tmpdir):
         capture_output=True, text=True, timeout=300,
     )
     assert out.returncode != 0 and "pass --schema" in (out.stderr + out.stdout)
+
+
+def _build_absorbed_index(spark, tmpdir):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        absorb_batch_into_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/idx", "text", "doc_id")
+    absorb_batch_into_index(
+        spark, f"{tmpdir}/idx",
+        spark.createDataFrame(
+            [(100, "novel text unlike anything else ever")],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id",
+    )
+    return f"{tmpdir}/idx"
+
+
+def test_compact_crash_between_renames_recovers(spark, tmpdir):
+    """ADVICE r5 (medium): a crash BETWEEN the two swap renames leaves
+    the live dir missing, the compacted copy at `.compact-tmp` and the
+    original at `.compact-old`. A re-run must RESTORE before deleting
+    anything — the old behaviour rmtree'd both staged dirs first,
+    destroying the only two copies of the table."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        compact_dedup_index,
+    )
+
+    idx = _build_absorbed_index(spark, tmpdir)
+    before = _canon(spark.read.parquet(f"{idx}/shingles"))
+    # simulate the mid-swap crash state for the first table in the loop
+    # order (fingerprints): compacted copy staged + original moved aside
+    fp = f"{idx}/fingerprints"
+    fp_rows = _canon(spark.read.parquet(fp))
+    spark.read.parquet(fp).coalesce(1).write.parquet(f"{fp}.compact-tmp")
+    os.rename(fp, f"{fp}.compact-old")
+    assert not os.path.exists(fp)
+
+    out = compact_dedup_index(spark, idx)
+    # table restored (from the complete tmp copy) and compaction finished
+    assert os.path.exists(fp) and not os.path.exists(f"{fp}.compact-tmp")
+    assert not os.path.exists(f"{fp}.compact-old")
+    assert _canon(spark.read.parquet(fp)) == fp_rows
+    assert _canon(spark.read.parquet(f"{idx}/shingles")) == before
+    assert out["fingerprints"]["rows"] == len(fp_rows)
+    release_persisted()
+
+
+def test_compact_crash_incomplete_tmp_restores_old(spark, tmpdir):
+    """If the staged compacted copy is INCOMPLETE (no _SUCCESS — a crash
+    during the rewrite plus a lost live dir), recovery falls back to the
+    `.compact-old` original instead of installing a torn table."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        compact_dedup_index,
+    )
+
+    idx = _build_absorbed_index(spark, tmpdir)
+    fp = f"{idx}/fingerprints"
+    fp_rows = _canon(spark.read.parquet(fp))
+    os.makedirs(f"{fp}.compact-tmp")  # torn write: no _SUCCESS marker
+    os.rename(fp, f"{fp}.compact-old")
+
+    compact_dedup_index(spark, idx)
+    assert os.path.exists(fp)
+    assert _canon(spark.read.parquet(fp)) == fp_rows
+    release_persisted()
+
+
+def test_absorb_into_pre_edge_threshold_index(spark, tmpdir):
+    """ADVICE r5: an index built before `edge_threshold` existed in meta
+    must absorb with the -1.0 fallback (same guard as
+    incremental_dedup_indexed), not raise a raw Row access error."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        absorb_batch_into_index,
+    )
+
+    idx = _build_absorbed_index(spark, tmpdir)
+    # rewrite meta without the edge_threshold field (pre-r4 layout)
+    meta = spark.read.parquet(f"{idx}/meta")
+    legacy = meta.drop("edge_threshold")
+    legacy.write.mode("overwrite").parquet(f"{tmpdir}/meta-legacy")
+    shutil.rmtree(f"{idx}/meta")
+    spark.read.parquet(f"{tmpdir}/meta-legacy").write.parquet(f"{idx}/meta")
+
+    s = absorb_batch_into_index(
+        spark, idx,
+        spark.createDataFrame(
+            [(200, "completely different fresh words again here")],
+            "doc_id long, text string",
+        ),
+        "text", "doc_id",
+    )
+    assert s["n_accepted"] == 1
+    release_persisted()
