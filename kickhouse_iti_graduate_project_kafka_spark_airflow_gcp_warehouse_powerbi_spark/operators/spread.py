@@ -30,17 +30,33 @@ from pyspark.sql import DataFrame
 #: corpus-scale)
 SPREAD_MAX_BYTES = 64 * 1024 * 1024
 
+#: inputs BELOW this estimated size are left alone: on sub-MB inputs the
+#: single-core narrow stage is already sub-second, while the re-spread
+#: costs a shuffle round-trip plus cores× task scheduling on every
+#: downstream stage that reads the (now 32-partition) output — measured
+#: as a net +1 s on the minhash query at sf0.1 when its 255 KB pruned
+#: document scan was spread (round-5 bench regression; the 2 MB
+#: validator parse chain, by contrast, keeps its win). The profit window
+#: is [min, max]: big enough that serial CPU time dominates, small
+#: enough that the shuffle is broadcast-scale.
+SPREAD_MIN_BYTES = 1024 * 1024
 
-def spread_for_cpu(df: DataFrame, max_bytes: int = SPREAD_MAX_BYTES) -> DataFrame:
+
+def spread_for_cpu(
+    df: DataFrame,
+    max_bytes: int = SPREAD_MAX_BYTES,
+    min_bytes: int = SPREAD_MIN_BYTES,
+) -> DataFrame:
     """Re-spread a broadcast-small, under-partitioned input across cores
     (see module docstring). Returns ``df`` unchanged when the input is
-    large, already parallel, or when plan statistics are unavailable
-    (e.g. Spark Connect) — the gate fails closed to a no-op."""
+    large, tiny (below ``min_bytes`` — see above), already parallel, or
+    when plan statistics are unavailable (e.g. Spark Connect) — the gate
+    fails closed to a no-op."""
     try:
         spark = df.sparkSession
         par = spark.sparkContext.defaultParallelism
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        if size <= max_bytes and df.rdd.getNumPartitions() < par:
+        if min_bytes <= size <= max_bytes and df.rdd.getNumPartitions() < par:
             return df.repartition(par)
     except Exception:
         pass
