@@ -95,6 +95,63 @@ _MARK_SCHEMA = T.StructType(
 )
 
 
+def cell_centroids(
+    corpus: DataFrame,
+    cell_col: str,
+    vec_col: str = "embedding",
+    round_decimals: int = 6,
+) -> dict[int, np.ndarray]:
+    """Per-cell centroid = the mean of the cell's VALID unit vectors
+    (zero-norm rows excluded), rounded to ``round_decimals`` so partition
+    summation order cannot leak into the result — the same determinism
+    posture as ``ivf.kmeans_centroids``. One zero-shuffle ``mapInPandas``
+    partial-sums pass: at most n_partitions x n_cells tiny rows reach the
+    driver. Cells here are EXISTING values of ``cell_col`` (a label, an
+    IVF cell id), not k-means indices."""
+    import pandas as pd  # noqa: F401 — executor-side import below
+
+    vecs = corpus.select(
+        F.col(cell_col).cast("int").alias("_cell"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    def partials(batches):
+        import pandas as pd
+
+        cnt: dict[int, int] = {}
+        sums: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            n = np.linalg.norm(V, axis=1)
+            valid = n > 0
+            U = np.divide(V, n[:, None], out=np.zeros_like(V), where=valid[:, None])
+            cells = pdf["_cell"].to_numpy()
+            for c in np.unique(cells[valid]):
+                m = valid & (cells == c)
+                cnt[int(c)] = cnt.get(int(c), 0) + int(m.sum())
+                sums[int(c)] = sums.get(int(c), 0.0) + U[m].sum(axis=0)
+        if cnt:
+            yield pd.DataFrame(
+                {
+                    "cell": list(cnt),
+                    "cnt": [cnt[c] for c in cnt],
+                    "sums": [sums[c] for c in cnt],
+                }
+            )
+
+    rows = vecs.mapInPandas(partials, "cell int, cnt long, sums array<double>").collect()
+    tot_cnt: dict[int, int] = {}
+    tot_sum: dict[int, np.ndarray] = {}
+    for r in rows:
+        c = int(r["cell"])
+        tot_cnt[c] = tot_cnt.get(c, 0) + int(r["cnt"])
+        tot_sum[c] = tot_sum.get(c, 0.0) + np.asarray(r["sums"], dtype="float64")
+    return {
+        c: np.round(tot_sum[c] / tot_cnt[c], round_decimals) for c in tot_cnt
+    }
+
+
 def semdedup(
     corpus: DataFrame,
     tau: float = 0.95,
@@ -103,11 +160,12 @@ def semdedup(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """(id, cell, cent_cos, is_pruned) for every non-null vector.
 
     ``is_pruned`` marks vectors dominated by an earlier-ranked near-dup
-    (cosine > ``tau``) in the same k-means cell. Survivors are the
+    (cosine > ``tau``) in the same cell. Survivors are the
     ``~is_pruned`` rows; join back on ``id_col`` for full columns.
 
     One cell-key shuffle feeds the per-cell gram kernel; candidate pairs
@@ -115,20 +173,39 @@ def semdedup(
     ``centroids`` may come from a persisted index
     (operators/ivf.build_ivf_index) so re-runs at a new ``tau`` skip the
     k-means fit entirely.
-    """
+
+    ``cell_col``: reuse an EXISTING partition of the corpus (a label
+    column, a materialized IVF cell id) instead of fitting/assigning
+    k-means cells — no fit pass, no assignment scoring; the rank
+    centroids are the per-cell unit-vector means (:func:`cell_centroids`,
+    deterministic). Because the whole computation is then closed-form
+    (no quantizer state), the survivor set is exactly replayable by an
+    external engine — the DuckDB oracle for ``semdedup_survivor_ids``
+    does precisely that."""
     from .ivf import assign_cells_df, kmeans_centroids
 
-    if centroids is None:
-        centroids = kmeans_centroids(
-            corpus, vec_col, id_col, n_cells=n_cells, iters=iters
-        )
-    base = corpus.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
-    ).filter(F.col("_v").isNotNull())
-    cells = assign_cells_df(base, centroids, vec_col="_v")
     spark = corpus.sparkSession
-    cmat = np.stack([np.asarray(c, dtype=np.float64) for c in centroids])
-    bc = track_broadcast(spark.sparkContext.broadcast(cmat))
+    if cell_col is not None:
+        base = corpus.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).alias("_v"),
+            F.col(cell_col).cast("int").alias("cell"),
+        ).filter(F.col("_v").isNotNull())
+        cells = base
+        cent_map = cell_centroids(corpus, cell_col, vec_col)
+    else:
+        if centroids is None:
+            centroids = kmeans_centroids(
+                corpus, vec_col, id_col, n_cells=n_cells, iters=iters
+            )
+        base = corpus.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
+        ).filter(F.col("_v").isNotNull())
+        cells = assign_cells_df(base, centroids, vec_col="_v")
+        cent_map = {
+            i: np.asarray(c, dtype=np.float64) for i, c in enumerate(centroids)
+        }
+    bc = track_broadcast(spark.sparkContext.broadcast(cent_map))
     tau_f = float(tau)
 
     def prune(key, pdf):
@@ -140,8 +217,10 @@ def semdedup(
         # sort by id so every partitioning computes the identical kernel
         pdf = pdf.sort_values("id", ignore_index=True)
         U, valid = _unit_rows(pdf["_v"])
-        c = bc.value[cell]
-        cn = np.linalg.norm(c)
+        # a cell with no valid vectors has no centroid — every row there
+        # is invalid anyway, so the zero-cent_cos path is exact
+        c = bc.value.get(cell)
+        cn = np.linalg.norm(c) if c is not None else 0.0
         cent_cos = (U @ (c / cn)) if cn > 0 else np.zeros(len(U))
         cent_cos = np.where(valid, cent_cos, 0.0)
         ids = pdf["id"].to_numpy()

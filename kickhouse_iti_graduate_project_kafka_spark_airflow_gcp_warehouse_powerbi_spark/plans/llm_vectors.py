@@ -871,6 +871,79 @@ def semdedup_tau_max_keeps_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semdedup_survivor_ids",
+    tags=("dedup", "similarity", "semantic"),
+    oracle=r"""
+    WITH e AS (
+        SELECT vec_id, CAST(label AS INTEGER) AS cell,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), n AS (
+        SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), u AS (
+        SELECT vec_id, cell,
+               CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) END AS uv,
+               nrm > 0 AS valid
+        FROM n
+    ), ux AS (
+        SELECT vec_id, cell, unnest(uv) AS x,
+               generate_subscripts(uv, 1) AS i
+        FROM u WHERE valid
+    ), cent AS (
+        -- per-cell centroid: rounded mean of valid unit vectors, the
+        -- same 1e-6 rounding the engine uses so summation order cannot
+        -- flip a rank
+        SELECT cell, i, ROUND(AVG(x), 6) AS m FROM ux GROUP BY cell, i
+    ), cnorm AS (
+        SELECT cell, sqrt(SUM(m * m)) AS cn FROM cent GROUP BY cell
+    ), cc AS (
+        SELECT ux.vec_id, SUM(ux.x * cent.m / cnorm.cn) AS cent_cos
+        FROM ux JOIN cent ON ux.cell = cent.cell AND ux.i = cent.i
+                JOIN cnorm ON ux.cell = cnorm.cell
+        WHERE cnorm.cn > 0
+        GROUP BY ux.vec_id
+    ), r AS (
+        SELECT u.vec_id, u.cell, u.uv, u.valid,
+               CASE WHEN u.valid THEN COALESCE(cc.cent_cos, 0.0)
+                    ELSE 0.0 END AS cent_cos
+        FROM u LEFT JOIN cc ON u.vec_id = cc.vec_id
+    ), dom AS (
+        -- dominance: ANY earlier-ranked near-dup in the cell prunes,
+        -- rank = (cent_cos ASC, id ASC) — pruned rows still dominate,
+        -- exactly the engine's rank-order scan
+        SELECT DISTINCT b.vec_id
+        FROM r a JOIN r b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE a.valid AND b.valid
+          AND (a.cent_cos < b.cent_cos
+               OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+          AND list_dot_product(a.uv, b.uv) > 0.35
+    )
+    SELECT vec_id, cell FROM r
+    WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+    """,
+)
+def semdedup_survivor_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup survivor SET, fully oracled (VERDICT r5 item 4):
+    cells come from the existing label column (``cell_col`` — the
+    reuse-a-materialized-partition path, no quantizer state), centroids
+    are the deterministic per-cell unit-vector means, and the dominance
+    rule (rank = centroid-cos ASC, id ASC; ANY earlier-ranked near-dup
+    prunes) is replayed verbatim in DuckDB as an O(cell²) join —
+    affordable at fixture scale, which is the point: this converts the
+    largest rows-only surface (the actual pruned/survivor partition)
+    into a value-level equivalence check. tau=0.35 sits in the fixture's
+    populated cosine band (no pair within 1e-6 of the threshold at
+    either driver SF, so float drift cannot flip a pair)."""
+    from ..operators.semdedup import semdedup
+
+    emb = _emb(spark, sf_dir)
+    marks = semdedup(emb, tau=0.35, cell_col="label")
+    return marks.filter(~F.col("is_pruned")).select(
+        F.col("id").alias("vec_id"), "cell"
+    )
+
+
+@register(
     "embedding_semdedup_incremental",
     tags=("dedup", "similarity", "semantic", "incremental"),
     oracle=None,

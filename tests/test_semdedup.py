@@ -172,3 +172,63 @@ def test_semdedup_job_modes(spark, sf_oracle, tmp_path):
               tau=0.4, ivf_path=ivf)
     assert inc["n_batch"] == emb.filter(F.col("vec_id") % 10 == 0).count()
     assert inc["pruned_by_corpus"] >= 0 and inc["pruned_by_batch"] >= 0
+
+
+def _mk_cells(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], c) for i, v, c in rows],
+        "vec_id long, embedding array<float>, grp int",
+    )
+
+
+def test_cell_col_prunes_within_cells_only(spark):
+    """cell_col path (r6): dedup within an EXISTING partition — identical
+    vectors in the same cell collapse to one survivor, identical vectors
+    in DIFFERENT cells are never compared."""
+    df = _mk_cells(
+        spark,
+        [
+            (1, [1, 0, 0, 0], 0),
+            (2, [1, 0, 0, 0], 0),   # same cell dup of 1 -> one survives
+            (3, [1, 0, 0, 0], 1),   # identical but other cell -> survives
+            (4, [0, 1, 0, 0], 1),
+        ],
+    )
+    marks = semdedup(df, tau=0.9, cell_col="grp")
+    got = {r["id"]: (r["cell"], r["is_pruned"]) for r in marks.collect()}
+    assert got[3] == (1, False) and got[4] == (1, False)
+    assert got[1][0] == 0 and got[2][0] == 0
+    assert sum(not p for _, p in (got[1], got[2])) == 1
+
+
+def test_cell_col_rank_keeps_low_centroid_cos(spark):
+    """The keep rule survives the cell_col path: among mutual near-dups
+    the LOWEST centroid-cosine (then lowest id) ranks first and wins."""
+    # cell 0: two near-identical vectors + one distinct; the centroid
+    # leans toward the pair, so the slightly-off member has lower
+    # cent_cos... make it deterministic: ids break the tie for the
+    # identical pair, so id 1 survives, id 2 prunes.
+    df = _mk_cells(
+        spark,
+        [(1, [1, 0, 0, 0], 0), (2, [1, 0, 0, 0], 0), (5, [0, 1, 0, 0], 0)],
+    )
+    marks = semdedup(df, tau=0.9, cell_col="grp")
+    got = {r["id"]: r["is_pruned"] for r in marks.collect()}
+    assert got[1] is False and got[2] is True and got[5] is False
+
+
+def test_cell_col_deterministic_across_partitioning(spark):
+    """Same survivor set whatever the input partitioning (the kernel
+    sorts rows canonically before the BLAS pass)."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(
+        r["id"]
+        for r in semdedup(emb.repartition(7), tau=0.35, cell_col="label")
+        .filter(~F.col("is_pruned")).collect()
+    )
+    b = sorted(
+        r["id"]
+        for r in semdedup(emb.coalesce(1), tau=0.35, cell_col="label")
+        .filter(~F.col("is_pruned")).collect()
+    )
+    assert a == b and len(a) > 0
