@@ -112,6 +112,38 @@ def pq_train(
     return books
 
 
+def pq_sample_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+) -> np.ndarray:
+    """Closed-form (m, ks, dim/m) codebook: codeword ``c`` of subspace
+    ``j`` is subvector ``j`` of the corpus's ``c``-th-smallest-id vector
+    — sampled-codeword init with ZERO Lloyd iterations (random-sample
+    codebooks are the standard k-means init; using them directly is the
+    cheap PQ baseline). Every value is copied, not averaged, so the
+    tensor is bit-exact from the stored float32s and an external engine
+    can recompute it — the ``pq_adc_shortlist`` DuckDB oracle replays
+    encode + ADC off this rule (VERDICT r5 item 5)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .orderBy("_id")
+        .limit(ks)
+        .collect()
+    )
+    if len(rows) < ks:
+        raise ValueError(f"corpus has fewer than ks={ks} vectors")
+    sample = np.asarray([np.asarray(r["_v"], dtype="float64") for r in rows])
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    # (ks, m, sub) -> (m, ks, sub)
+    return sample.reshape(ks, m, dim // m).transpose(1, 0, 2).copy()
+
+
 def _codes_to_matrix(code_series) -> np.ndarray:
     """(n, m) uint8 matrix from a pandas Series of m-byte code blobs."""
     return np.frombuffer(b"".join(code_series), dtype=np.uint8).reshape(

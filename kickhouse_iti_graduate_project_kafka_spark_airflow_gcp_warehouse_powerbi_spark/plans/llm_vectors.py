@@ -716,6 +716,82 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_adc_shortlist",
+    tags=("similarity", "ANN", "PQ"),
+    oracle=r"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), js AS (SELECT unnest(range(8)) AS j),
+    cb AS (
+        -- sampled codebook: codeword c of subspace j = subvector j of
+        -- the c-th-smallest-id vector (bit-exact from stored float32s)
+        SELECT f.rn - 1 AS c, js.j, list_slice(f.v, js.j*8+1, js.j*8+8) AS w
+        FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+              FROM e ORDER BY vec_id LIMIT 16) f
+        CROSS JOIN js
+    ), sub AS (
+        SELECT e.vec_id, js.j, list_slice(e.v, js.j*8+1, js.j*8+8) AS x
+        FROM e CROSS JOIN js
+    ), code AS (
+        -- encode: argmin -2 x.w + ||w||^2 per (vector, subspace),
+        -- first-minimum tie-break — the engine's exact expression
+        SELECT vec_id, j, c, wsq FROM (
+            SELECT s.vec_id, s.j, cb.c,
+                   list_dot_product(cb.w, cb.w) AS wsq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id, s.j
+                       ORDER BY -2*list_dot_product(s.x, cb.w)
+                                + list_dot_product(cb.w, cb.w) ASC, cb.c ASC
+                   ) AS rn
+            FROM sub s JOIN cb ON s.j = cb.j)
+        WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS q_id, v, sqrt(list_dot_product(v, v)) AS qn
+        FROM e WHERE vec_id < 5
+    ), lut AS (
+        SELECT q.q_id, cb.j, cb.c,
+               list_dot_product(list_slice(q.v, cb.j*8+1, cb.j*8+8), cb.w)
+                   AS lv
+        FROM q CROSS JOIN cb
+    ), score AS (
+        SELECT l.q_id, co.vec_id AS n_id,
+               SUM(l.lv) AS dots, SUM(co.wsq) AS rec_sq
+        FROM code co JOIN lut l ON l.j = co.j AND l.c = co.c
+        GROUP BY l.q_id, co.vec_id
+    )
+    SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT s.q_id, s.n_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY s.dots / (q.qn * sqrt(s.rec_sq)) DESC,
+                            s.n_id ASC
+               ) AS rank
+        FROM score s JOIN q ON s.q_id = q.q_id
+        WHERE s.n_id <> s.q_id AND s.rec_sq > 0 AND q.qn > 0)
+    WHERE rank <= 10
+    """,
+)
+def pq_adc_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADC approximation tier itself, fully oracled (VERDICT r5
+    item 5): the closed-form sampled codebook (pq_sample_codebooks —
+    copied subvectors, zero Lloyd iterations, bit-exact from the stored
+    float32s) makes encode + LUT + ADC ranking exactly replayable, so
+    the DuckDB oracle recomputes the ENTIRE compressed-search shortlist
+    — codes, reconstruction norms, asymmetric scores, rank order — not
+    just the rerank tier that pq_rerank_equals_bruteforce already pins.
+    Output is the rank-ordered id shortlist (scores ordinal-verified
+    through the ordering; no float column to hash)."""
+    from ..operators.pq import pq_adc_topk, pq_encode, pq_sample_codebooks
+
+    emb = _emb(spark, sf_dir)
+    books = pq_sample_codebooks(emb, m=8, ks=16)
+    codes = pq_encode(emb, books)
+    out = pq_adc_topk(codes, emb.filter(F.col("vec_id") < 5), books, k=10)
+    return out.select("q_id", "n_id", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
     "pq_rerank_equals_bruteforce",
     tags=("similarity", "ANN", "PQ", "invariant"),
     oracle="SELECT TRUE AS has_hits, CAST(0 AS BIGINT) AS n_diff",
