@@ -52,7 +52,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["docs", "embeddings"])
     ap.add_argument("--source", required=True, help="parquet dir to tail")
-    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--checkpoint")
     ap.add_argument("--index", help="dedup index path (docs mode)")
     ap.add_argument("--survivors", help="survivors table path (embeddings mode)")
     ap.add_argument("--ivf", help="IVF index path for the coarse quantizer")
@@ -72,17 +72,47 @@ def main() -> None:
         help="DDL schema for the source (required to start before the "
         "producer has written any file; otherwise inferred)",
     )
+    ap.add_argument(
+        "--reconcile", action="store_true",
+        help="embeddings mode: instead of streaming, rebuild the "
+        "survivors table as the order-free batch answer over --source "
+        "(the source of record) and atomically swap it in — the "
+        "maintenance-window fix for first-seen-wins ordering drift; "
+        "exits after the swap",
+    )
     args = ap.parse_args()
     # validate mode-conditional args BEFORE paying JVM startup
     if args.mode == "docs" and not args.index:
         ap.error("docs mode requires --index")
     if args.mode == "embeddings" and not (args.survivors and args.ivf):
         ap.error("embeddings mode requires --survivors and --ivf")
+    if args.reconcile and args.mode != "embeddings":
+        ap.error("--reconcile applies to embeddings mode only")
+    if not args.reconcile and not args.checkpoint:
+        ap.error("--checkpoint is required (except with --reconcile)")
 
     spark = get_spark(app_name=f"kickhouse-ingest-gate-{args.mode}")
 
     def emit(stats: dict) -> None:
         print(json.dumps(stats), flush=True)
+
+    if args.reconcile:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+            reconcile_semdedup_survivors,
+        )
+
+        emit(
+            reconcile_semdedup_survivors(
+                spark,
+                spark.read.parquet(args.source),
+                args.survivors,
+                load_centroids(spark, args.ivf),
+                tau=args.tau,
+                vec_col=args.vec_col,
+                id_col=args.vec_id_col,
+            )
+        )
+        return
 
     if args.schema:
         schema = args.schema

@@ -199,3 +199,90 @@ def maintain_semdedup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def reconcile_semdedup_survivors(
+    spark: SparkSession,
+    corpus: DataFrame,
+    survivors_path: str,
+    centroids: list[np.ndarray],
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Replace the streamed survivors table with the ORDER-FREE batch
+    answer (the deterministic alternative to first-seen-wins, VERDICT r5
+    item 7): re-run :func:`~..operators.semdedup.semdedup` over the full
+    source-of-record ``corpus`` under the SAME fixed centroids and tau,
+    and atomically swap the result in. Whatever batch ordering the
+    stream ingested under, the table afterwards equals the reproducible
+    batch ground truth — a later-arriving vector that outranks an
+    earlier survivor (lower centroid-cosine) is admitted and the
+    survivor it dominates revoked, which the append-only stream can
+    never do. Run it from the stream's maintenance window
+    (``jobs/ingest_gate.py embeddings --reconcile``), then let the gate
+    resume against the reconciled table.
+
+    The swap reuses the restore-first two-rename protocol of
+    ``operators/dedup.compact_dedup_index`` (Hadoop ``FileSystem`` API,
+    scheme-agnostic; a crash between the renames is recovered by the
+    next run restoring from the staged copies before deleting anything).
+
+    Returns {n_corpus, n_survivors, n_revoked, n_admitted} — revoked =
+    ids the streamed table kept that the batch answer prunes, admitted =
+    ids the batch answer keeps that the streamed table lacked."""
+    from ..operators.dedup import _IndexFs
+    from ..operators.semdedup import semdedup
+
+    marks = semdedup(
+        corpus, tau=tau, centroids=centroids, vec_col=vec_col, id_col=id_col
+    )
+    keep = marks.filter(~F.col("is_pruned")).select(
+        F.col("id").alias(id_col), "cell"
+    )
+    new_rows = (
+        corpus.select(
+            F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+        )
+        .filter(F.col(vec_col).isNotNull())
+        .dropDuplicates([id_col])
+        .join(keep, id_col)
+        .select(id_col, vec_col, "cell")
+    )
+
+    fs = _IndexFs(spark)
+    tmp_dir = f"{survivors_path}.reconcile-tmp"
+    old_dir = f"{survivors_path}.reconcile-old"
+    if not fs.exists(survivors_path):
+        # bootstrap OR a crash landed between the two renames of a prior
+        # reconcile — restore before deleting anything (same posture as
+        # compact_dedup_index)
+        if fs.exists(f"{tmp_dir}/_SUCCESS"):
+            fs.rename(tmp_dir, survivors_path)
+        elif fs.exists(old_dir):
+            fs.rename(old_dir, survivors_path)
+    fs.rmtree(tmp_dir)
+    fs.rmtree(old_dir)
+
+    prev = _read_survivors(spark, survivors_path)
+    prev_ids = (
+        prev.select(id_col) if prev is not None
+        else spark.createDataFrame([], f"{id_col} long")
+    )
+    new_rows.write.partitionBy("cell").parquet(tmp_dir)
+    back = spark.read.parquet(tmp_dir)
+    n_survivors = back.count()
+    n_corpus = corpus.filter(F.col(vec_col).isNotNull()).count()
+    n_revoked = prev_ids.join(back.select(id_col), id_col, "left_anti").count()
+    n_admitted = back.select(id_col).join(prev_ids, id_col, "left_anti").count()
+
+    if fs.exists(survivors_path):
+        fs.rename(survivors_path, old_dir)
+    fs.rename(tmp_dir, survivors_path)
+    fs.rmtree(old_dir)
+    return {
+        "n_corpus": n_corpus,
+        "n_survivors": n_survivors,
+        "n_revoked": n_revoked,
+        "n_admitted": n_admitted,
+    }

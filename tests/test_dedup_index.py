@@ -530,3 +530,36 @@ def test_absorb_into_pre_edge_threshold_index(spark, tmpdir):
     )
     assert s["n_accepted"] == 1
     release_persisted()
+
+
+def test_ingest_gate_cli_reconcile(spark, sf_small, tmpdir):
+    """Subprocess drive of the --reconcile maintenance mode: rebuilds the
+    survivors table as the batch answer over --source and prints one
+    stats line; --checkpoint is not required for it."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    build_ivf_index(emb, f"{tmpdir}/ivf", n_cells=8, iters=2)
+    emb.filter("vec_id < 30").write.parquet(f"{tmpdir}/esrc")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "embeddings",
+         "--source", f"{tmpdir}/esrc", "--survivors", f"{tmpdir}/surv",
+         "--ivf", f"{tmpdir}/ivf", "--tau", "0.4", "--reconcile"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(stats) == 1 and stats[0]["n_corpus"] == 30
+    assert spark.read.parquet(f"{tmpdir}/surv").count() == stats[0]["n_survivors"]
+    # docs mode must refuse the flag
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "docs",
+         "--source", f"{tmpdir}/esrc", "--index", f"{tmpdir}/ivf",
+         "--reconcile"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode != 0 and "embeddings mode only" in (out.stderr + out.stdout)

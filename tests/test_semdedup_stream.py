@@ -143,3 +143,94 @@ def test_survivors_compaction_composition(spark, tmp_path):
         path, CENTS, tau=1.1,
     )
     assert s["n_replayed"] == 1 and s["n_new"] == 1
+
+
+def test_reconcile_converges_batch_orderings(spark, tmp_path):
+    """First-seen-wins is ordering-dependent (documented); reconcile
+    (VERDICT r5 item 7) replaces the streamed table with the order-free
+    batch answer, so two ingests of the same corpus under DIFFERENT
+    batch orderings converge to the identical survivor set."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.semdedup import (
+        semdedup,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+        reconcile_semdedup_survivors,
+    )
+
+    # id 1 (cent_cos = 1.0) and id 2 (cent_cos ~ 0.994) are mutual
+    # near-dups in cell 0; batch dominance keeps the LOWER cent_cos (2).
+    rows = [(1, [1, 0, 0, 0]), (2, [0.9, 0.1, 0, 0]), (7, [0, 1, 0, 0])]
+    corpus = _mk(spark, rows)
+    orderings = {"A": [[0], [1, 2]], "B": [[1], [0, 2]]}
+    streamed: dict[str, list[int]] = {}
+    for name, batches in orderings.items():
+        path = str(tmp_path / f"surv_{name}")
+        for batch_idx in batches:
+            upsert_semdedup_batch(
+                spark, _mk(spark, [rows[i] for i in batch_idx]), path,
+                CENTS, tau=0.9,
+            )
+        streamed[name] = _ids(spark, path)
+    # the hazard is real: the two orderings kept different survivors
+    assert streamed["A"] == [1, 7] and streamed["B"] == [2, 7]
+
+    batch_keep = sorted(
+        r["id"]
+        for r in semdedup(corpus, tau=0.9, centroids=CENTS)
+        .filter(~F.col("is_pruned")).collect()
+    )
+    for name in orderings:
+        path = str(tmp_path / f"surv_{name}")
+        stats = reconcile_semdedup_survivors(
+            spark, corpus, path, CENTS, tau=0.9
+        )
+        assert _ids(spark, path) == batch_keep == [2, 7]
+        assert stats["n_corpus"] == 3 and stats["n_survivors"] == 2
+    # ordering A kept 1, which the batch answer revokes and replaces by 2
+    # (the reconcile-only transition an append-only stream cannot make)
+
+
+def test_reconcile_bootstrap_and_resume(spark, tmp_path):
+    """Reconcile works with no existing table (bootstrap), and the gate
+    can keep absorbing batches against the reconciled table."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+        reconcile_semdedup_survivors,
+    )
+
+    path = str(tmp_path / "surv")
+    corpus = _mk(spark, [(1, [1, 0, 0, 0]), (3, [0, 1, 0, 0])])
+    stats = reconcile_semdedup_survivors(spark, corpus, path, CENTS, tau=0.9)
+    assert stats == {
+        "n_corpus": 2, "n_survivors": 2, "n_revoked": 0, "n_admitted": 2,
+    }
+    s = upsert_semdedup_batch(
+        spark, _mk(spark, [(9, [2, 0, 0, 0]), (11, [0, 0, 1, 0])]),
+        path, CENTS, tau=0.9,
+    )
+    assert s["n_new"] == 1 and s["n_pruned"] == 1
+    assert _ids(spark, path) == [1, 3, 11]
+
+
+def test_reconcile_crash_between_renames_recovers(spark, tmp_path):
+    """A crash between the two swap renames leaves only staged copies;
+    the next reconcile restores before deleting (the compact_dedup_index
+    posture) instead of losing the table."""
+    import shutil
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (
+        reconcile_semdedup_survivors,
+    )
+
+    path = str(tmp_path / "surv")
+    corpus = _mk(spark, [(1, [1, 0, 0, 0]), (3, [0, 1, 0, 0])])
+    reconcile_semdedup_survivors(spark, corpus, path, CENTS, tau=0.9)
+    # simulate the mid-swap crash: live gone, complete tmp + old staged
+    spark.read.parquet(path).write.partitionBy("cell").parquet(
+        f"{path}.reconcile-tmp"
+    )
+    shutil.move(path, f"{path}.reconcile-old")
+    stats = reconcile_semdedup_survivors(spark, corpus, path, CENTS, tau=0.9)
+    assert stats["n_survivors"] == 2 and stats["n_revoked"] == 0
+    assert _ids(spark, path) == [1, 3]
+    assert not os.path.exists(f"{path}.reconcile-tmp")
+    assert not os.path.exists(f"{path}.reconcile-old")
