@@ -316,6 +316,7 @@ def asof_join_auto(
     tolerance_micros: int | None = None,
     right_prefix: str = "r_",
     tiebreak: str | None = None,
+    sketch=None,
 ) -> DataFrame:
     """Skew-gated as-of join: probe the right side's key distribution with
     the count-min sketch (operators/heavy.estimated_top_share — one narrow
@@ -328,7 +329,12 @@ def asof_join_auto(
     so the gate is purely physical — this is the "observed key-frequency
     sketch" planner step the bucketed variant's constant overhead asks
     for: uniform inputs skip it, genuinely skewed inputs pay it and win
-    back wall-clock on the hot key."""
+    back wall-clock on the hot key.
+
+    ``sketch`` (a ``heavy.KeyFreqSketch`` built over the RIGHT side's
+    ``on`` keys, e.g. via ``heavy.build_key_sketch``) skips the probe
+    pass — a pipeline that also extracts heavy hitters from the same
+    side pays the sketch once and shares the handle with both."""
     from .heavy import should_salt
 
     kwargs = dict(
@@ -337,7 +343,7 @@ def asof_join_auto(
         right_prefix=right_prefix,
         tiebreak=tiebreak,
     )
-    if should_salt(right, list(on), share_threshold=share_threshold):
+    if should_salt(right, list(on), share_threshold=share_threshold, sketch=sketch):
         return asof_join_bucketed(
             left, right, on, left_ts, right_ts, bucket_micros=bucket_micros, **kwargs
         )

@@ -86,6 +86,49 @@ def cm_sketch(
     return pairs.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+class KeyFreqSketch:
+    """A materialized count-min sketch plus the parameters that built it —
+    the shareable handle for every sketch consumer (``heavy_hitters``,
+    ``estimated_top_share``/``should_salt``, ``asof_join_auto``): a
+    pipeline that gates both a heavy-hitter extraction and a skew-aware
+    join on the same keys builds ONE sketch pass and feeds it to each
+    (VERDICT r5 item 8). Parameters ride along because a sketch consumed
+    with a different width/seed/key-set would silently mis-filter —
+    consumers validate and raise instead."""
+
+    def __init__(self, df, key_cols, depth, width, seed):
+        self.df = df
+        self.key_cols = list(key_cols)
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+
+    def check(self, key_cols: list[str]) -> None:
+        if list(key_cols) != self.key_cols:
+            raise ValueError(
+                f"sketch was built over keys {self.key_cols}, "
+                f"asked to serve {list(key_cols)}"
+            )
+
+
+def build_key_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+    seed: int = 0,
+    materialize: bool = True,
+) -> KeyFreqSketch:
+    """ONE sketch pass over ``df``'s keys, persisted (<= depth x width
+    tiny rows) so every consumer reads the cached cells instead of
+    re-scanning the input. Call ``.df.unpersist()`` when done."""
+    sk = cm_sketch(df, key_cols, depth=depth, width=width, seed=seed)
+    if materialize:
+        sk = sk.persist()
+        sk.count()
+    return KeyFreqSketch(sk, key_cols, depth, width, seed)
+
+
 def heavy_hitters(
     df: DataFrame,
     key_cols: list[str],
@@ -93,6 +136,7 @@ def heavy_hitters(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 0,
+    sketch: KeyFreqSketch | None = None,
 ) -> DataFrame:
     """EXACT keys with frequency ``>= min_count`` (columns: key_cols +
     ``cnt``), computed with a count-min candidate filter so the by-key
@@ -100,11 +144,17 @@ def heavy_hitters(
 
     Equivalent to ``SELECT key, count(*) FROM t GROUP BY key HAVING
     count(*) >= min_count`` — the sketch changes the physical plan, never
-    the answer."""
+    the answer. ``sketch`` (a :class:`KeyFreqSketch` over the SAME df and
+    keys) skips the sketch pass."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    sketch = cm_sketch(df, key_cols, depth=depth, width=width, seed=seed)
-    heavy = sketch.filter(F.col("cnt") >= min_count)
+    if sketch is not None:
+        sketch.check(key_cols)
+        depth, width, seed = sketch.depth, sketch.width, sketch.seed
+        sk = sketch.df
+    else:
+        sk = cm_sketch(df, key_cols, depth=depth, width=width, seed=seed)
+    heavy = sk.filter(F.col("cnt") >= min_count)
     cand = df
     for i in range(depth):
         hb = heavy.filter(F.col("i") == i).select(F.col("bucket").alias(f"_hb{i}"))
@@ -124,6 +174,7 @@ def estimated_top_share(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 0,
+    sketch: KeyFreqSketch | None = None,
 ) -> float:
     """Count-min UPPER BOUND on the hottest key's frequency share, from
     one sketch pass: ``min over levels of (max bucket count) / N``.
@@ -132,10 +183,14 @@ def estimated_top_share(
     read posture shared with cc.py's per-round fingerprint. Returns 0.0
     for an empty input. Because it is an upper bound, using it as a skew
     gate (``should_salt``) can only over-trigger mitigation, never miss
-    real skew."""
-    sketch = cm_sketch(df, key_cols, depth=depth, width=width, seed=seed)
+    real skew. ``sketch`` reuses a shared :class:`KeyFreqSketch`."""
+    if sketch is not None:
+        sketch.check(key_cols)
+        sk = sketch.df
+    else:
+        sk = cm_sketch(df, key_cols, depth=depth, width=width, seed=seed)
     rows = (
-        sketch.groupBy("i")
+        sk.groupBy("i")
         .agg(F.max("cnt").alias("mx"), F.sum("cnt").alias("n"))
         .collect()
     )
@@ -151,12 +206,13 @@ def should_salt(
     depth: int = DEFAULT_DEPTH,
     width: int = DEFAULT_WIDTH,
     seed: int = 0,
+    sketch: KeyFreqSketch | None = None,
 ) -> bool:
     """Skew gate: True when the sketch's top-key share bound exceeds
     ``share_threshold`` — the cheap pre-check before choosing
     ``skew.salted_*`` / ``asof.asof_join_bucketed`` over their plain
-    variants. One narrow pass over the key columns; never shuffles the
-    corpus by key."""
-    return estimated_top_share(df, key_cols, depth=depth, width=width, seed=seed) > (
-        share_threshold
-    )
+    variants. One narrow pass over the key columns (or zero with a shared
+    ``sketch``); never shuffles the corpus by key."""
+    return estimated_top_share(
+        df, key_cols, depth=depth, width=width, seed=seed, sketch=sketch
+    ) > share_threshold

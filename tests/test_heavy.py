@@ -143,3 +143,72 @@ def test_broadcast_semi_joins_in_plan(spark):
     plan = heavy_hitters(df, ["k"], 100)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shared_sketch_equivalence_and_validation(spark):
+    """One materialized KeyFreqSketch feeds heavy_hitters, the top-share
+    bound AND should_salt with results identical to the per-call sketch
+    path; mismatched keys are refused (a wrong-keyed sketch would
+    silently mis-filter)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.heavy import (
+        build_key_sketch,
+    )
+
+    df = _skewed(spark)
+    sk = build_key_sketch(df, ["k"])
+    try:
+        assert sk.df.storageLevel.useMemory  # materialized once
+        direct_hh = _sortable(
+            tuple(r) for r in heavy_hitters(df, ["k"], 100).collect()
+        )
+        shared_hh = _sortable(
+            tuple(r) for r in heavy_hitters(df, ["k"], 100, sketch=sk).collect()
+        )
+        assert shared_hh == direct_hh == _exact(df, ["k"], 100)
+        assert estimated_top_share(df, ["k"], sketch=sk) == estimated_top_share(
+            df, ["k"]
+        )
+        assert should_salt(df, ["k"], sketch=sk) is should_salt(df, ["k"]) is True
+        with pytest.raises(ValueError, match="built over keys"):
+            heavy_hitters(df, ["grp"], 10, sketch=sk)
+    finally:
+        sk.df.unpersist()
+
+
+def test_asof_auto_accepts_shared_sketch(spark):
+    """asof_join_auto with a shared right-side sketch returns the same
+    rows as the probe-per-call path (the gate is purely physical)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.asof import (
+        asof_join_auto,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.heavy import (
+        build_key_sketch,
+    )
+
+    left = spark.createDataFrame(
+        [(0, 100), (0, 250), (7, 100)], "k long, sec long"
+    ).select("k", F.timestamp_seconds("sec").alias("ts"))
+    # right side skewed onto k=0 so the gate picks the bucketed variant
+    right = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 7)
+        .alias("k"),
+        F.timestamp_seconds(F.col("id") * 3).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    sk = build_key_sketch(right, ["k"])
+    try:
+        base = _sortable(
+            tuple(r)
+            for r in asof_join_auto(
+                left, right, ["k"], "ts", "ts", bucket_micros=100
+            ).collect()
+        )
+        shared = _sortable(
+            tuple(r)
+            for r in asof_join_auto(
+                left, right, ["k"], "ts", "ts", bucket_micros=100, sketch=sk
+            ).collect()
+        )
+        assert shared == base and base
+    finally:
+        sk.df.unpersist()
