@@ -1,0 +1,219 @@
+"""BM25 lexical retrieval — the sparse twin of the ANN operators.
+
+Training-data pipelines retrieve lexically as well as semantically
+(contamination lookups, hard-negative mining, hybrid RAG indexes). This
+module implements Robertson/Lucene BM25 as pure DataFrame algebra:
+
+- **bm25_score_topk** — score a (small, broadcast) query set against the
+  corpus and return the top-k docs per query.
+- **build_bm25_index / bm25_topk_indexed** — the persisted-index lifecycle
+  (same shape as the dedup/IVF index lifecycles in this package): postings
+  and document lengths are written once, term-bucketed; queries then touch
+  only the postings of their own terms.
+
+Scoring (Lucene variant — idf is always positive):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm(t,d)= tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q,d)  = sum over DISTINCT terms of q present in d of idf * tf_norm
+
+Query-side term frequency is deliberately ignored (queries are short; this
+matches Lucene's default practice).
+
+Scale posture (100 TB corpus, handful-to-thousands of queries):
+
+- The postings table (doc_id, term, tf) is the same volume as the token
+  stream every dedup operator here already shuffles once; it is built with
+  one explode + one (doc_id, term) hash aggregate.
+- Document length and the (N, avgdl) global pair are derived FROM the
+  postings aggregate (dl = sum of tf per doc), so the corpus text is
+  tokenized exactly once; (N, avgdl) is a 1-row reduced aggregate,
+  broadcast back — never a window over corpus rows.
+- Query terms are a broadcast semi-filter on the postings: only postings
+  rows whose term appears in some query survive, so the per-query scoring
+  join moves O(matching postings), never the corpus.
+- Ranking windows partition by q_id — parallel across queries, and each
+  query's candidate set is bounded by its matched postings.
+- Ranks are computed over the ROUNDED score (4 dp, +1e-9 nudge) with doc
+  id as the tie-break, so exact-duplicate documents (equal scores up to
+  summation order) order identically on any engine — the determinism
+  discipline the ANN queries use, strengthened for a corpus that DOES
+  contain exact duplicates.
+
+No counterpart in the reference repo (its retrieval lives in ClickHouse /
+Power BI aggregations); this is part of the LLM-pipeline extension surface
+(SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.text import tokens
+from .cachereg import track as _persist
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) postings via one explode + one hash aggregate.
+    Empty/whitespace-only docs contribute no postings (they can never
+    match a query term, and dl derives from postings)."""
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _score(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
+           query_terms: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """Shared scoring tail: semi-filter postings by query terms, compute
+    per-term idf from the surviving postings' df, aggregate per (q_id,
+    doc), rank per query on the rounded score."""
+    q_terms = broadcast(query_terms)
+    # document frequency only for terms some query mentions — the idf
+    # table is then at most |distinct query terms| rows and broadcastable
+    df_tbl = (
+        postings.join(broadcast(query_terms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_avg = stats  # (n_docs long, avgdl double) — 1 row
+    idf_tbl = df_tbl.crossJoin(broadcast(n_avg)).select(
+        "term",
+        F.log1p(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    matched = (
+        postings.join(q_terms, "term")
+        .join(broadcast(idf_tbl), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(broadcast(n_avg))
+        .filter(F.col("doc_id") != F.col("q_id"))
+    )
+    tf = F.col("tf").cast("double")
+    tf_norm = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = matched.groupBy("q_id", "doc_id").agg(
+        F.sum(F.col("idf") * tf_norm).alias("_raw")
+    )
+    scored = scored.withColumn("score", F.round(F.col("_raw") + 1e-9, 4))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("doc_id").alias("n_id"), "score", "rank")
+    )
+
+
+def bm25_score_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k per query, computed directly from the corpus (one
+    tokenize pass; see module docstring for the formula and posture).
+
+    Returns (q_id, n_id, score, rank) with rank 1..k per q_id; score is
+    rounded to 4 dp and rank is computed over the rounded score with n_id
+    as the tie-break (total order, engine-independent).
+
+    The postings frame feeds four consumers (df table, doclen, the global
+    stats pair, the scoring join), so it is persisted via the shared
+    cachereg registry — the corpus is tokenized once, exactly like the
+    shingle index the near-dup operators share."""
+    postings = _persist(bm25_postings(corpus, id_col, text_col))
+    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    query_terms = (
+        queries.select(F.col(id_col).alias("q_id"), tokens(text_col).alias("_toks"))
+        .select("q_id", F.explode(F.array_distinct("_toks")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return _score(postings, doclen, stats, query_terms, k, k1, b)
+
+
+def build_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int = 64,
+) -> dict:
+    """Persist the BM25 index: `{path}/postings` (term-hash-bucketed so a
+    query's terms prune to their buckets), `{path}/doclen`, and
+    `{path}/meta` (n_docs, avgdl). The one tokenize scan a corpus ever
+    pays for lexical retrieval; queries afterwards read only postings
+    buckets their terms hash into."""
+    postings = bm25_postings(corpus, id_col, text_col).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    )
+    postings.repartition("term_bucket").write.partitionBy("term_bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+    spark = corpus.sparkSession
+    doclen = spark.read.parquet(f"{path}/postings").groupBy("doc_id").agg(
+        F.sum("tf").alias("dl")
+    )
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    stats = (
+        spark.read.parquet(f"{path}/doclen")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .withColumn("term_buckets", F.lit(term_buckets))
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/meta")
+    row = spark.read.parquet(f"{path}/meta").collect()[0]  # 1 row: index meta
+    return {"n_docs": int(row["n_docs"]), "avgdl": float(row["avgdl"]),
+            "term_buckets": int(row["term_buckets"])}
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query a :func:`build_bm25_index` index. The query terms' hash
+    buckets become an IN-list filter on the postings partition column —
+    partition pruning for text — before the shared scoring tail runs.
+    Equivalent to :func:`bm25_score_topk` on the indexed corpus."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]  # 1 row
+    n_buckets = int(meta["term_buckets"])
+    query_terms = (
+        queries.select(F.col(id_col).alias("q_id"), tokens(text_col).alias("_toks"))
+        .select("q_id", F.explode(F.array_distinct("_toks")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    # bounded collect: distinct term buckets of the (small) query set
+    buckets = sorted(
+        r["b"]
+        for r in query_terms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term_bucket").isin(buckets)
+    ).drop("term_bucket")
+    doclen = spark.read.parquet(f"{path}/doclen")
+    stats = spark.createDataFrame(
+        [(int(meta["n_docs"]), float(meta["avgdl"]))], "n_docs long, avgdl double"
+    )
+    return _score(postings, doclen, stats, query_terms, k, k1, b)

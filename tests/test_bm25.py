@@ -1,0 +1,89 @@
+"""BM25 retrieval operator — scoring semantics + persisted-index lifecycle."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
+    bm25_score_topk,
+    bm25_topk_indexed,
+    build_bm25_index,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "spark shuffles the big table"),
+        (1, "spark broadcasts the small table"),
+        (2, "the table the table the table"),
+        (3, "ducks quack loudly"),
+        (4, "spark shuffles the big table"),  # exact duplicate of doc 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed_score(spark, tiny):
+    """Score of doc 3 for query 'ducks quack' verified against the closed
+    form: every term unique to doc 3 (df=1, tf=1, dl=3)."""
+    q = spark.createDataFrame([(99, "ducks quack")], "doc_id long, text string")
+    out = {r["n_id"]: r["score"] for r in bm25_score_topk(tiny, q, k=5).collect()}
+    n, df, tf, dl = 5, 1, 1, 3
+    avgdl = (5 + 5 + 6 + 3 + 5) / 5
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    tf_norm = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert out[3] == round(2 * idf * tf_norm + 1e-9, 4)
+    # no other doc contains a query term
+    assert set(out) == {3}
+
+
+def test_bm25_duplicate_docs_rank_by_id(spark, tiny):
+    """Exact-duplicate docs 0 and 4 tie on the rounded score and order by
+    id — the determinism contract the oracle replays."""
+    q = spark.createDataFrame([(99, "spark shuffles")], "doc_id long, text string")
+    got = bm25_score_topk(tiny, q, k=5).orderBy("rank").collect()
+    r0 = [r for r in got if r["n_id"] == 0][0]
+    r4 = [r for r in got if r["n_id"] == 4][0]
+    assert r0["score"] == r4["score"]
+    assert r0["rank"] + 1 == r4["rank"]
+
+
+def test_bm25_self_match_excluded(spark, tiny):
+    out = bm25_score_topk(tiny, tiny.filter(F.col("doc_id") == 0), k=5)
+    assert 0 not in {r["n_id"] for r in out.collect()}
+    # but its exact duplicate ranks first
+    assert out.filter("rank = 1").collect()[0]["n_id"] == 4
+
+
+def test_bm25_indexed_equals_direct(spark, tiny, tmp_path):
+    """The persisted-index path returns exactly the direct path's frame."""
+    idx = str(tmp_path / "bm25")
+    meta = build_bm25_index(tiny, idx, term_buckets=8)
+    assert meta["n_docs"] == 5
+    q = spark.createDataFrame(
+        [(100, "spark table"), (101, "ducks quack loudly")],
+        "doc_id long, text string",
+    )
+    direct = bm25_score_topk(tiny, q, k=10).orderBy("q_id", "rank").collect()
+    indexed = bm25_topk_indexed(spark, idx, q, k=10).orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_bm25_index_prunes_term_buckets(spark, tiny, tmp_path):
+    """The indexed read plan carries the query terms' bucket IN-list as a
+    partition filter — unmatched term buckets are never scanned."""
+    idx = str(tmp_path / "bm25p")
+    build_bm25_index(tiny, idx, term_buckets=8)
+    q = spark.createDataFrame([(100, "ducks")], "doc_id long, text string")
+    plan = bm25_topk_indexed(spark, idx, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    # the single query-term bucket shows up as a PartitionFilters equality
+    # (Catalyst collapses a 1-element IN) on every postings scan
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("ducks")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    import re
+
+    assert re.search(
+        rf"PartitionFilters: \[[^\]]*term_bucket#\d+ = {bucket}\)", plan
+    ), plan
