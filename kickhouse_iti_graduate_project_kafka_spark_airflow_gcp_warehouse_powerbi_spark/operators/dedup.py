@@ -856,6 +856,104 @@ def dup_clusters_indexed(
     )
 
 
+def _positional_gram_stream(
+    df: DataFrame, text_col: str, id_col: str, l: int
+) -> DataFrame:
+    """Positional ``l``-gram hash stream: (_id, _pos, _gh) — one row per
+    token offset that starts a full l-token run (duplicates kept, positions
+    kept). posexplode + per-doc lead window; the gram hashes to 8 bytes via
+    xxhash64 (the package-wide collision posture). Shared by
+    :func:`duplicate_span_stats` and :func:`remove_duplicate_spans`."""
+    toks = _spread_for_cpu(df).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_t0"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    parts = [F.col("_t0")] + [
+        F.lead("_t0", j).over(w).alias(f"_t{j}") for j in range(1, l)
+    ]
+    last = F.lead("_t0", l - 1).over(w)
+    return (
+        toks.select(
+            "_id",
+            "_pos",
+            F.xxhash64(F.concat_ws(" ", *parts)).alias("_gh"),
+            last.alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, text_col: str, id_col: str, l: int = 8
+) -> DataFrame:
+    """Exact-substring dedup REWRITE — the removal half of the Lee et al.
+    recipe that :func:`duplicate_span_stats` only measures: every
+    ``l``-token run that occurs more than once in the corpus keeps its
+    first occurrence (canonical = smallest (doc id, position)) and every
+    other occurrence's tokens are removed; documents are re-emitted with
+    the surviving tokens.
+
+    Semantics (deterministic, engine-replayable):
+
+    1. positional l-gram hash stream (shared helper);
+    2. per gram hash, rank occurrences by (doc id, position); rank > 1
+       marks a removal interval [pos, pos + l);
+    3. removal coverage = the UNION of non-canonical intervals (DISTINCT
+       (doc, position) from the exploded intervals). NOTE: under
+       self-overlap — a document repeating its own run, e.g. "x" * 10 —
+       non-canonical intervals overlap the canonical run's tokens, so the
+       canonical occurrence is only guaranteed to survive intact when the
+       duplication is across documents (the dominant case);
+    4. documents are rebuilt from their ORIGINAL text by filtering the
+       token array against the doc's (small) removal-position set — the
+       corpus text itself is never tokenized-and-reshuffled: only the
+       removal positions aggregate, then join back to the docs frame on id.
+
+    Scale posture (100 TB): the gram stream is token volume (the same one
+    shuffle every near-dup operator pays, here keyed by gram hash for the
+    rank); the interval explode is bounded by l x duplicated occurrences,
+    NOT l x corpus; the rebuild joins the docs table once against a
+    per-doc removal array whose size is bounded by that doc's duplicated
+    tokens. Windows partition by gram hash / doc id — never global.
+
+    Output: (id_col, n_tokens, removed_tokens, cleaned_text) for EVERY
+    input document (docs shorter than ``l`` tokens pass through intact).
+    """
+    grams = _positional_gram_stream(df, text_col, id_col, l)
+    w_gram = Window.partitionBy("_gh").orderBy(F.col("_id").asc(), F.col("_pos").asc())
+    noncanon = (
+        grams.withColumn("_rn", F.row_number().over(w_gram))
+        .filter(F.col("_rn") > 1)  # rank > 1 exists only for duplicated grams
+        .select("_id", "_pos")
+    )
+    removal = (
+        noncanon.select(
+            "_id",
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (l - 1))).alias("_rp"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_rp")).alias("_rem"))
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).withColumn("_toks", tokens("_text"))
+    joined = base.join(removal, "_id", "left").withColumn(
+        "_rem", F.coalesce("_rem", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_rem"), i)
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size("_rem").cast("bigint").alias("removed_tokens"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame, text_col: str, id_col: str, l: int = 8
 ) -> DataFrame:
@@ -889,25 +987,7 @@ def duplicate_span_stats(
     """
     from ..functions.text import token_count
 
-    toks = _spread_for_cpu(df).select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(tokens(text_col)).alias("_pos", "_t0"),
-    )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_t0")] + [
-        F.lead("_t0", j).over(w).alias(f"_t{j}") for j in range(1, l)
-    ]
-    last = F.lead("_t0", l - 1).over(w)
-    grams = (
-        toks.select(
-            "_id",
-            "_pos",
-            F.xxhash64(F.concat_ws(" ", *parts)).alias("_gh"),
-            last.alias("_last"),
-        )
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
+    grams = _positional_gram_stream(df, text_col, id_col, l)
     dup_index = grams.groupBy("_gh").count().filter(F.col("count") >= 2)
     spans = grams.join(dup_index.select("_gh"), "_gh", "left_semi")
 

@@ -24,6 +24,7 @@ from ..operators.dedup import (
     duplicate_span_stats,
     minhash_lsh_pairs,
     jaccard_pairs_cached,
+    remove_duplicate_spans,
     simhash_pairs,
 )
 from ..sources.tables import load_table
@@ -603,6 +604,54 @@ def docs_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional grams, duplicate index, and gaps-and-islands merge in SQL,
     so the hash match proves interval arithmetic end to end."""
     return duplicate_span_stats(_docs(spark, sf_dir), "text", "doc_id", l=8)
+
+
+@register(
+    "docs_dedup_span_rewrite",
+    bench=True,
+    tags=("dedup", "text", "spans"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+        FROM t, UNNEST(range(1, len(toks) - 6)) AS u(i)
+    ), nc AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, pos) AS rn
+            FROM g)
+        WHERE rn > 1
+    ), rem AS (
+        SELECT DISTINCT doc_id, rp
+        FROM nc, UNNEST(range(pos, pos + 8)) AS r(rp)
+    ), ragg AS (
+        SELECT doc_id, COUNT(*) AS removed, list(rp) AS rps
+        FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+           COALESCE(array_to_string(
+               [t.toks[i] for i in range(1, len(t.toks) + 1)
+                if NOT list_contains(COALESCE(r.rps, CAST([] AS BIGINT[])), i)],
+               ' '), '') AS cleaned_text
+    FROM t LEFT JOIN ragg r ON t.doc_id = r.doc_id
+    """,
+)
+def docs_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE (operators/dedup.py:
+    remove_duplicate_spans) — the removal half of the Lee-et-al recipe
+    that docs_dup_span_stats only measures: each duplicated 8-token run
+    keeps its first (doc_id, pos) occurrence and every other occurrence's
+    tokens are excised; docs are re-emitted rebuilt from their original
+    token arrays. The oracle replays the rank-1-survives rule and the
+    positional token filter verbatim, so the hash match proves the
+    rewrite end to end (including the rebuilt text bytes)."""
+    return remove_duplicate_spans(_docs(spark, sf_dir), "text", "doc_id", l=8)
 
 
 @register(

@@ -373,6 +373,59 @@ def test_duplicate_span_islands_merge_overlaps(spark):
     assert out[1] == 5 and out[2] == 5
 
 
+def test_remove_duplicate_spans_semantics(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta"  # shared 4-gram between docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared} one two three four"),
+            Row(doc_id=2, text=f"zero {shared} five six seven"),
+            Row(doc_id=3, text="totally unique words here nothing repeats at all"),
+            Row(doc_id=4, text="short doc"),
+            Row(doc_id=5, text="loop loop loop loop loop loop loop loop loop loop"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.cleaned_text)
+        for r in remove_duplicate_spans(docs, "text", "doc_id", l=4).collect()
+    }
+    # canonical (smallest doc_id, pos) occurrence survives: doc 1 keeps the
+    # shared run, doc 2 loses exactly those 4 tokens
+    assert out[1] == (8, 0, f"{shared} one two three four")
+    assert out[2] == (8, 4, "zero five six seven")
+    # untouched docs pass through byte-identical
+    assert out[3] == (8, 0, "totally unique words here nothing repeats at all")
+    assert out[4] == (2, 0, "short doc")
+    # self-repetition: the 4-gram at pos 0 is canonical but the
+    # non-canonical occurrences at pos 1..6 cover [1,10) — removal is the
+    # UNION of non-canonical intervals, so only the first token survives
+    assert out[5] == (10, 9, "loop")
+
+
+def test_remove_duplicate_spans_matches_stats_coverage(spark, sf_small):
+    """removed_tokens is bounded above by duplicate_span_stats' coverage
+    (canonical occurrences stay), and every doc keeps
+    n_tokens - removed_tokens words in its cleaned text."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    rw = remove_duplicate_spans(docs, "text", "doc_id", l=8)
+    st = duplicate_span_stats(docs, "text", "doc_id", l=8)
+    joined = rw.join(st.select("doc_id", "dup_tokens"), "doc_id").collect()
+    assert len(joined) == docs.count()
+    for r in joined:
+        assert r.removed_tokens <= r.dup_tokens
+        n_kept = len(r.cleaned_text.split()) if r.cleaned_text else 0
+        assert n_kept == r.n_tokens - r.removed_tokens
+
+
 def test_persist_lifecycle_and_pair_cache(spark, sf_small):
     """Round-2 verdict #5: persisted shingle intermediates must be
     releasable, and CC consumers must share one persisted pair set."""
