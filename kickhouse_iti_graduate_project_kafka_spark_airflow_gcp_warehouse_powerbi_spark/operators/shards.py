@@ -37,11 +37,16 @@ def global_prefix(
     weight_col: str,
     order_col: str,
     bucket_width: int = 10_000,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Adds ``_prefix`` — the exclusive running sum of ``weight_col`` in
     canonical ``order_col`` order — via the two-phase parallel scan
     described in the module docstring. Exact long arithmetic throughout.
-    Callers must drop ``_prefix`` (and may drop ``_bucket``) when done."""
+    Callers must drop ``_prefix`` (and may drop ``_bucket``) when done.
+
+    If ``order_col`` is not unique, pass ``tiebreak_cols`` that complete a
+    total order — otherwise tied rows receive their prefix values in
+    partition-dependent order (nondeterministic across runs/engines)."""
     w = F.col(weight_col).cast("long")
     bucketed = df.withColumn(
         "_bucket", F.expr(f"{order_col} div {bucket_width}").cast("long")
@@ -54,7 +59,7 @@ def global_prefix(
     )
     iw = (
         Window.partitionBy("_bucket")
-        .orderBy(order_col)
+        .orderBy(order_col, *tiebreak_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -84,6 +89,55 @@ def token_balanced_shards(
         global_prefix(df, weight_col, order_col, bucket_width)
         .withColumn("shard_id", F.expr(f"_prefix div {target_per_shard}").cast("long"))
         .drop("_bucket", "_prefix")
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    hex_digits: int = 15,
+) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE of a corpus into ``n_shards`` training
+    shards — the 'randomize document order before training' op, as a pure
+    function of the id (no ``rand()``: reproducible across retries,
+    engines, and repartitioning).
+
+    The permutation key is the first ``hex_digits`` (60 bits) of
+    md5(id-as-string) parsed as an integer — engine-portable (the same
+    md5-bucket contract the sampling/split ops use). The global rank of
+    that key is the document's position in the shuffled order; documents
+    are dealt round-robin into shards:
+
+        shard        = rank % n_shards
+        pos_in_shard = rank div n_shards
+
+    so every shard is a uniform pseudo-random 1/n sample AND carries its
+    own dense, gap-free loader order.
+
+    Scale posture (100 TB): the rank is the two-phase parallel prefix scan
+    (``global_prefix``) over the uniform key space — per-bucket hash
+    aggregate, an O(n_buckets) offsets window, and per-bucket local
+    windows. Never a single global ORDER BY window. Key collisions
+    (~N²/2^61) are totally ordered by the id tie-break, which the oracle
+    replays.
+
+    Output: (id_col, shard int, pos_in_shard long).
+    """
+    key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, hex_digits), 16, 10
+    ).cast("long")
+    keyed = df.select(F.col(id_col), key.alias("_key"), F.lit(1).alias("_one"))
+    # keys are uniform over [0, 16^hex_digits) — carve that space into
+    # ~4096 equal-width buckets for the two-phase scan
+    width = max(16**hex_digits // 4096, 1)
+    ranked = global_prefix(
+        keyed, "_one", "_key", bucket_width=width, tiebreak_cols=(id_col,)
+    )
+    return ranked.select(
+        id_col,
+        F.pmod(F.col("_prefix"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.expr(f"_prefix div {n_shards}").cast("long").alias("pos_in_shard"),
     )
 
 

@@ -562,6 +562,40 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_global_shuffle",
+    tags=("sampling", "layout", "O1"),
+    oracle=r"""
+    WITH k AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS key
+        FROM documents
+    ), r AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS rnk
+        FROM k
+    )
+    SELECT doc_id,
+           CAST(rnk % 8 AS INTEGER) AS shard,
+           CAST(rnk // 8 AS BIGINT) AS pos_in_shard
+    FROM r
+    """,
+)
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards
+    (operators/shards.py: global_shuffle) — randomize document order
+    before training as a pure function of doc_id (md5 permutation key,
+    round-robin deal). The oracle's single ORDER BY window is exactly the
+    plan this operator exists to avoid: the engine computes the same rank
+    with the two-phase parallel prefix scan (per-bucket aggregate +
+    O(n_buckets) offsets window + per-bucket local windows), which is the
+    shape that survives 100 TB."""
+    from ..operators.shards import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), "doc_id", n_shards=8)
+
+
+@register(
     "docs_distribution_drift",
     tags=("stats", "drift", "A3"),
     oracle=r"""

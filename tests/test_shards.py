@@ -155,3 +155,44 @@ def test_write_packed_sequences_layout(spark, tmp_path):
     assert "seq_shard" in plan
     got = {r["seq_id"] for r in q.collect()}
     assert got == {s for s in range(PER, 2 * PER) if s <= max_seq}
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        global_shuffle,
+    )
+    import hashlib
+
+    df, rows = _fixture(spark, n=500)
+    out = global_shuffle(df.select("doc_id"), "doc_id", n_shards=8).collect()
+    assert len(out) == 500
+    # round-robin deal: shard sizes differ by at most 1, positions dense
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    sizes = {s: len(v) for s, v in by_shard.items()}
+    assert set(by_shard) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # rank replays the md5-key order exactly (sequential reference)
+    key = lambda i: (int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), i)
+    expect = {
+        doc_id: (rank % 8, rank // 8)
+        for rank, (_, doc_id) in enumerate(
+            sorted((key(doc_id) for doc_id, _ in rows))
+        )
+    }
+    got = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in out}
+    assert got == expect
+
+
+def test_global_shuffle_repartition_stable(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        global_shuffle,
+    )
+
+    df, _ = _fixture(spark, n=300)
+    a = sorted(map(tuple, global_shuffle(df, "doc_id", 4).collect()))
+    b = sorted(map(tuple, global_shuffle(df.repartition(13), "doc_id", 4).collect()))
+    assert a == b
