@@ -1060,3 +1060,249 @@ def top_revenue_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape: nation-pair trade volume (two dimension roles on one
+# fact row: supplier nation AND customer nation)
+# --------------------------------------------------------------------------
+@register(
+    "nation_pair_trade_volume",
+    tags=("J5", "A1", "tpch"),
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           strftime(l.l_shipdate, '%Y') AS ship_year,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name != nc.n_name
+    GROUP BY ns.n_name, nc.n_name, strftime(l.l_shipdate, '%Y')
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue per (supplier nation, customer
+    nation, ship year). The same nation dim joins TWICE in different roles
+    (broadcast both — alias the frames, Catalyst dedups the scan); supplier
+    and customer resolve through the fact chain. At 100 TB supplier/
+    customer are fact-sized (shuffle joins under AQE); only nation
+    broadcasts. The inequality filter runs AFTER the role joins, on the
+    two small dim columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").alias("ship_year"),
+        )
+        .agg(
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: order-count histogram with a join-clause predicate
+# --------------------------------------------------------------------------
+@register(
+    "customer_order_count_distribution",
+    tags=("J-left", "A1", "tpch"),
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def customer_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many (non-urgent)
+    orders — the predicate lives in the JOIN clause, not WHERE, so
+    customers whose every order is urgent still appear with count 0
+    (filter-then-left-join is the Spark equivalent). Two aggregations:
+    per-customer count (shuffle on custkey), then the tiny histogram."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts under a NOT-IN exclusion
+# --------------------------------------------------------------------------
+@register(
+    "brand_supplier_counts",
+    tags=("A11", "J5", "tpch"),
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_size AS size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp stood in by the lineitem link): how many
+    distinct suppliers ship each surviving (brand, size). The NOT IN /
+    IN-list predicates are dim-side — they prune part BEFORE the broadcast
+    join, so the fact scan only hashes against surviving parts; the
+    count-distinct is one partial-aggregated shuffle on the group keys."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            ~F.col("p_brand").isin("Brand#1", "Brand#2")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_size").alias("size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicate (OR of ANDs)
+# --------------------------------------------------------------------------
+@register(
+    "disjunctive_parts_revenue",
+    tags=("A1", "J5", "tpch"),
+    oracle=f"""
+    SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs mixing dim attributes (brand, size)
+    with fact attributes (quantity). The dim-only residue of the
+    disjunction (brand IN set, size <= 15) is FACTORED OUT and pushed to
+    the part scan before the broadcast join — the classic Q19 rewrite the
+    optimizer cannot always derive — while the exact mixed predicate
+    filters post-join. One row out: the aggregate-only result shape."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: global scalar threshold + anti join
+# --------------------------------------------------------------------------
+@register(
+    "top_balance_inactive_customers",
+    tags=("A4", "J-anti", "tpch"),
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                   / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def top_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance who
+    never placed an order. The threshold is a 1-row broadcast scalar
+    (exact decimal sum / exact count, so the double compares identically
+    on any engine — no float-summation-order hazard at the boundary); the
+    'never ordered' clause is a LEFT ANTI join, Spark's native NOT EXISTS.
+    Second scan of the (dim-sized) customer table for the scalar is
+    deliberate and cheap relative to shipping a window over it."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
