@@ -57,6 +57,34 @@ from .cachereg import track as _persist
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
+#: session-scoped postings cache, one corpus pinned at a time — the same
+#: contract as the dedup operators' shingle cache: callers pass a
+#: cache_key identifying the corpus (e.g. its path) and MUST change it
+#: when the data changes.
+_POSTINGS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def bm25_postings_cached(
+    corpus: DataFrame, id_col: str, text_col: str, *, cache_key: str
+) -> DataFrame:
+    """:func:`bm25_postings` with session-scoped reuse — the BM25 and
+    hybrid-RRF catalog queries over the same corpus share one tokenize
+    pass. Entries for other cache keys are evicted (one corpus pinned)."""
+    key = (cache_key, id_col, text_col)
+    hit = _POSTINGS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    p = bm25_postings(corpus, id_col, text_col).persist()
+    for k in [k for k in _POSTINGS_CACHE if k[0] != cache_key]:
+        _POSTINGS_CACHE.pop(k).unpersist()
+    _POSTINGS_CACHE[key] = p
+    return p
+
+
+def clear_postings_cache() -> None:
+    for k in list(_POSTINGS_CACHE):
+        _POSTINGS_CACHE.pop(k).unpersist()
+
 
 def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, term, tf) postings via one explode + one hash aggregate.
@@ -122,6 +150,7 @@ def bm25_score_topk(
     b: float = B_DEFAULT,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """BM25 top-k per query, computed directly from the corpus (one
     tokenize pass; see module docstring for the formula and posture).
@@ -131,10 +160,15 @@ def bm25_score_topk(
     as the tie-break (total order, engine-independent).
 
     The postings frame feeds four consumers (df table, doclen, the global
-    stats pair, the scoring join), so it is persisted via the shared
-    cachereg registry — the corpus is tokenized once, exactly like the
-    shingle index the near-dup operators share."""
-    postings = _persist(bm25_postings(corpus, id_col, text_col))
+    stats pair, the scoring join), so it is persisted — via the shared
+    cachereg registry by default (released after the caller's action), or
+    through the session-scoped :func:`bm25_postings_cached` when
+    ``cache_key`` names the corpus (then several queries over the same
+    corpus tokenize it once)."""
+    if cache_key is not None:
+        postings = bm25_postings_cached(corpus, id_col, text_col, cache_key=cache_key)
+    else:
+        postings = _persist(bm25_postings(corpus, id_col, text_col))
     doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

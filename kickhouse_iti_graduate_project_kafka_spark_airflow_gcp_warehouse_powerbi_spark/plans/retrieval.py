@@ -97,7 +97,9 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spread import spread_for_cpu
 
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
-    return bm25_score_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)
+    return bm25_score_topk(
+        docs, docs.filter(F.col("doc_id") < 5), k=10, cache_key=sf_dir
+    )
 
 
 @register(
@@ -150,9 +152,9 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_for_cpu(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
-    sparse = bm25_score_topk(docs, docs.filter(F.col("doc_id") < 5), k=20).select(
-        "q_id", "n_id", F.col("rank").alias("rank_s")
-    )
+    sparse = bm25_score_topk(
+        docs, docs.filter(F.col("doc_id") < 5), k=20, cache_key=sf_dir
+    ).select("q_id", "n_id", F.col("rank").alias("rank_s"))
     dense = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=20).select(
         "q_id", "n_id", F.col("rank").cast("int").alias("rank_d")
     )
