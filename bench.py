@@ -83,6 +83,9 @@ def main() -> None:
     for spec in selected:
         row_counts[spec.name] = spec.fn(spark, SF_DIR).count()
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
+        bm25 as _bm25,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
         dedup as _dedup,
     )
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans import (
@@ -92,6 +95,7 @@ def main() -> None:
     def _clear_operator_caches() -> None:
         _curation.clear_component_cache()
         _dedup.clear_all_caches()
+        _bm25.clear_postings_cache()
 
     timings: dict[str, float] = {}
     plan_secs: dict[str, float] = {}
@@ -242,6 +246,20 @@ def main() -> None:
                 emb, f"{idx_root}/ivfpq", n_cells=16, cell_iters=2, m=16, ks=64, pq_iters=4
             )
             index_secs["build_ivfpq_index"] = round(time.perf_counter() - t0, 3)
+
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
+                bm25_topk_indexed,
+                build_bm25_index,
+            )
+
+            t0 = time.perf_counter()
+            build_bm25_index(docs, f"{idx_root}/bm25", term_buckets=64)
+            index_secs["build_bm25_index"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            bm25_topk_indexed(
+                spark, f"{idx_root}/bm25", docs.filter(F.col("doc_id") < 5), k=10
+            ).count()
+            index_secs["bm25_topk_indexed"] = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()
@@ -270,6 +288,21 @@ def main() -> None:
         spec.fn(spark, SF_DIR).collect()
         family_shared[spec.name] = round(time.perf_counter() - t0, 3)
     family_shared["_total"] = round(time.perf_counter() - f0, 3)
+    _clear_operator_caches()
+
+    # Same idea for the retrieval family: BM25 and hybrid-RRF share one
+    # postings (tokenize) pass in a production sweep.
+    retrieval = [
+        registry[n]
+        for n in ("docs_bm25_topk", "hybrid_rrf_retrieval")
+        if n in registry
+    ]
+    f0 = time.perf_counter()
+    for spec in retrieval:
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).collect()
+        family_shared[spec.name] = round(time.perf_counter() - t0, 3)
+    family_shared["_retrieval_total"] = round(time.perf_counter() - f0, 3)
     _clear_operator_caches()
 
     if time_oracle:

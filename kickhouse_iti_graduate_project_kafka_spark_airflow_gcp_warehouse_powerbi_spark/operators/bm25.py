@@ -101,29 +101,28 @@ def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _score(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
            query_terms: DataFrame, k: int, k1: float, b: float) -> DataFrame:
-    """Shared scoring tail: semi-filter postings by query terms, compute
-    per-term idf from the surviving postings' df, aggregate per (q_id,
-    doc), rank per query on the rounded score."""
+    """Shared scoring tail: semi-filter postings by the (broadcast) query
+    terms, derive per-term document frequency with a window OVER the
+    term-partitioned surviving postings (reuses the one term shuffle — no
+    separate df aggregate + join-back), aggregate per (q_id, doc), rank
+    per query on the rounded score."""
     q_terms = broadcast(query_terms)
-    # document frequency only for terms some query mentions — the idf
-    # table is then at most |distinct query terms| rows and broadcastable
-    df_tbl = (
-        postings.join(broadcast(query_terms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
     n_avg = stats  # (n_docs long, avgdl double) — 1 row
-    idf_tbl = df_tbl.crossJoin(broadcast(n_avg)).select(
-        "term",
-        F.log1p(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
+    surviving = postings.join(
+        broadcast(query_terms.select("term").distinct()), "term"
+    )
+    w_term = Window.partitionBy("term")
+    with_idf = (
+        surviving.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .crossJoin(broadcast(n_avg))
+        .withColumn(
+            "idf",
+            F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
     )
     matched = (
-        postings.join(q_terms, "term")
-        .join(broadcast(idf_tbl), "term")
+        with_idf.join(q_terms, "term")
         .join(doclen, "doc_id")
-        .crossJoin(broadcast(n_avg))
         .filter(F.col("doc_id") != F.col("q_id"))
     )
     tf = F.col("tf").cast("double")
@@ -196,9 +195,12 @@ def build_bm25_index(
     postings = bm25_postings(corpus, id_col, text_col).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     )
-    postings.repartition("term_bucket").write.partitionBy("term_bucket").mode(
-        "overwrite"
-    ).parquet(f"{path}/postings")
+    # one shuffle partition per bucket: each task writes exactly its own
+    # bucket dir — term_buckets files total, not tasks x buckets tiny files
+    # (at 100 TB, raise term_buckets instead of letting files multiply)
+    postings.repartition(term_buckets, "term_bucket").write.partitionBy(
+        "term_bucket"
+    ).mode("overwrite").parquet(f"{path}/postings")
     spark = corpus.sparkSession
     doclen = spark.read.parquet(f"{path}/postings").groupBy("doc_id").agg(
         F.sum("tf").alias("dl")
