@@ -247,6 +247,20 @@ def main() -> None:
             )
             index_secs["build_ivfpq_index"] = round(time.perf_counter() - t0, 3)
 
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+                append_to_ivfpq_index,
+            )
+
+            build_ivfpq_index(
+                base, f"{idx_root}/ivfpq_inc", n_cells=16, cell_iters=2, m=16,
+                ks=64, pq_iters=4,
+            )
+            t0 = time.perf_counter()
+            append_to_ivfpq_index(
+                spark, f"{idx_root}/ivfpq_inc", emb.filter(F.col("vec_id") % 5 == 0)
+            )
+            index_secs["append_to_ivfpq_index"] = round(time.perf_counter() - t0, 3)
+
             from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
                 bm25_topk_indexed,
                 build_bm25_index,

@@ -535,6 +535,70 @@ def build_ivfpq_index(
     return centroids, books
 
 
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Incremental-ingest leg of the IVF-PQ lifecycle (parity with
+    ``ivf.append_to_ivf_index``): assign an arriving batch against the
+    index's FIXED coarse centroids, encode it with the FIXED codebooks,
+    and append the m-byte codes to the cell-partitioned ``{path}/codes``
+    layout — cost ∝ batch; neither quantizer refits (refitting would
+    move cell boundaries / code meanings out from under every
+    already-written row).
+
+    Replay guard: ids already present in the touched ``cell=``
+    directories are skipped, and ids repeated WITHIN the batch collapse
+    first — at-least-once ingest retries converge, and an appended index
+    answers searches identically to a fresh build over the union (the
+    equivalence the tests pin).
+
+    Quantizer drift is the documented limit, doubly so here: distribution
+    shift degrades BOTH the coarse cells (skewed ``cell=`` row counts)
+    and the codebooks (rising ADC reconstruction error on new batches) —
+    rebuild via ``build_ivfpq_index`` when either signal moves. Returns
+    {n_batch, n_appended, n_replayed}."""
+    from .ivf import assign_cells_df
+
+    _codes_tbl, centroids, books = load_ivfpq_index(spark, path)
+    src = (
+        batch.filter(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+        .dropDuplicates([id_col])
+    )
+    with_cells = assign_cells_df(src, centroids, vec_col=vec_col)
+    encoded = pq_encode(with_cells, books, vec_col, id_col, extra_cols=("cell",)).persist()
+    try:
+        n_batch = encoded.count()
+        touched = encoded.select("cell").distinct()
+        existing = (
+            spark.read.parquet(f"{path}/codes")
+            .join(F.broadcast(touched), "cell", "left_semi")
+            .select("n_id")
+        )
+        fresh = encoded.join(existing, "n_id", "left_anti").persist()
+        try:
+            n_new = fresh.count()
+            if n_new:
+                (
+                    fresh.sortWithinPartitions("cell", "n_id")
+                    .write.partitionBy("cell")
+                    .mode("append")
+                    .parquet(f"{path}/codes")
+                )
+        finally:
+            fresh.unpersist()
+    finally:
+        encoded.unpersist()
+    return {
+        "n_batch": int(n_batch),
+        "n_appended": int(n_new),
+        "n_replayed": int(n_batch - n_new),
+    }
+
+
 # --------------------------------------------------------------------------
 # Index lifecycle: train/encode once at ingest, persist, query many times
 # (parity with build_ivf_index).

@@ -179,6 +179,89 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_quality_classifier",
+    tags=("text", "classifier", "A3"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(trim(text), '\s+'),
+                   x -> x != '')) AS terms
+        FROM documents
+    ), f AS (
+        SELECT doc_id, unnest(terms) AS term FROM t
+    ), w AS (
+        SELECT doc_id,
+               ((CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 1024)
+                * 2654435761) % 1001 - 500 AS wt
+        FROM f
+    ), s AS (
+        SELECT doc_id, COUNT(*) AS n_terms, SUM(wt) AS score FROM w
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_terms, 0) AS BIGINT) AS n_terms,
+           CAST(COALESCE(s.score, 0) AS BIGINT) AS score_milli,
+           ROUND(CASE WHEN COALESCE(s.n_terms, 0) = 0 THEN 0.5
+                      ELSE 1.0 / (1.0 + EXP(-(CAST(s.score AS DOUBLE)
+                                              / (1000.0 * s.n_terms))))
+                 END + 1e-9, 6) AS prob,
+           COALESCE(s.score, 0) >= 0 AS keep
+    FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText/CCNet-style linear
+    classifier stage, as pure DataFrame algebra: hashed bag-of-words
+    features (md5 bucket of each DISTINCT token, 1024 buckets —
+    engine-portable, same contract as the sampling ops), an integer
+    weight per bucket, exact integer score sum, sigmoid probability, and
+    a keep decision taken on the EXACT integer score (sign test — the
+    float sigmoid never feeds the decision, so there is no
+    summation-order boundary hazard).
+
+    The closed-form weight ``w(b) = (b * 2654435761) % 1001 - 500``
+    stands in for learned weights; in production the weight table is a
+    broadcast join (2^20 rows) instead of an expression — every other
+    part of the plan (explode distinct terms, map-side-combined per-doc
+    integer aggregate, narrow sigmoid projection) is the real 100 TB
+    shape: one doc-keyed partial aggregate, no corpus-wide shuffle of
+    anything but (doc_id, 8-byte term hash)."""
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("_toks"))
+    terms = toks.select(
+        "doc_id", F.explode(F.array_distinct("_toks")).alias("term")
+    ).filter(F.col("term") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 1024
+    )
+    wt = (bucket * F.lit(2654435761)) % 1001 - 500
+    s = terms.select("doc_id", wt.alias("wt")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("wt").alias("score")
+    )
+    base = d.select("doc_id")
+    j = base.join(s, "doc_id", "left")
+    n_terms = F.coalesce("n_terms", F.lit(0)).cast("long")
+    score = F.coalesce("score", F.lit(0)).cast("long")
+    logit = F.col("score").cast("double") / (1000.0 * F.col("n_terms"))
+    return j.select(
+        "doc_id",
+        n_terms.alias("n_terms"),
+        score.alias("score_milli"),
+        F.round(
+            F.when(F.coalesce("n_terms", F.lit(0)) == 0, F.lit(0.5)).otherwise(
+                1.0 / (1.0 + F.exp(-logit))
+            )
+            + 1e-9,
+            6,
+        ).alias("prob"),
+        (score >= 0).alias("keep"),
+    )
+
+
+@register(
     "docs_lang_guess_confusion",
     tags=("text", "A1"),
     oracle=r"""

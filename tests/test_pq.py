@@ -226,3 +226,61 @@ def test_ivfpq_null_query_dropped(spark, emb, books, cents):
     out = ivfpq_topk(emb, q, cents, books, k=3, nprobe=8, rerank=20).collect()
     assert all(r["q_id"] != 10**6 for r in out)
     assert {r["q_id"] for r in out} == {0, 1, 2}
+
+
+def test_ivfpq_append_and_replay_converge(spark, emb, tmp_path):
+    """IVF-PQ incremental append: fixed quantizers encode the batch, new
+    codes land in their cells, replays are no-ops, and search over the
+    appended index equals on-the-fly encoding of the full corpus with the
+    SAME centroids + codebooks."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ivfpq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(base, path, n_cells=8, cell_iters=2, m=16, ks=64, pq_iters=4)
+    n_base = spark.read.parquet(f"{path}/codes").count()
+
+    s = append_to_ivfpq_index(spark, path, batch)
+    assert s["n_appended"] == s["n_batch"] and s["n_replayed"] == 0
+    assert spark.read.parquet(f"{path}/codes").count() == n_base + s["n_batch"]
+
+    s2 = append_to_ivfpq_index(spark, path, batch)
+    assert s2 == {"n_batch": s["n_batch"], "n_appended": 0,
+                  "n_replayed": s["n_batch"]}
+    assert spark.read.parquet(f"{path}/codes").count() == n_base + s["n_batch"]
+
+    codes, cents, books = load_ivfpq_index(spark, path)
+    q = emb.filter(F.col("vec_id") < 3)
+    a = ivfpq_topk(
+        emb, q, cents, books, k=5, nprobe=8, rerank=100, codes=codes
+    ).select("q_id", "n_id", "rank")
+    b = ivfpq_topk(
+        emb, q, cents, books, k=5, nprobe=8, rerank=100
+    ).select("q_id", "n_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivfpq_append_duplicate_ids_collapse(spark, emb, tmp_path):
+    """Ids doubled WITHIN a batch collapse before the write; a replayed
+    id never lands twice even across calls."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") >= 100)
+    path = str(tmp_path / "ivfpq_dup")
+    build_ivfpq_index(base, path, n_cells=8, cell_iters=2, m=16, ks=64, pq_iters=4)
+    small = emb.filter(F.col("vec_id") < 10)
+    doubled = small.unionAll(small)
+    s = append_to_ivfpq_index(spark, path, doubled)
+    assert s["n_batch"] == 10 and s["n_appended"] == 10
+    stored = spark.read.parquet(f"{path}/codes").filter(F.col("n_id") < 10)
+    assert stored.count() == 10
+    assert stored.select("n_id").distinct().count() == 10
