@@ -42,8 +42,18 @@ def curate(
     out: str,
     threshold: float = 0.5,
     target_tokens: int = 2000,
+    quality_gate: bool = False,
+    span_rewrite: bool = False,
 ) -> dict:
-    """Run the four stages; returns the stage-by-stage row accounting."""
+    """Run the stages; returns the stage-by-stage row accounting.
+
+    Optional stages (off by default, preserving the four-stage contract):
+    ``quality_gate`` drops classifier-rejected docs after cleaning
+    (operators/quality.py, exact integer sign test); ``span_rewrite``
+    excises corpus-duplicated 8-token runs from the near-dup survivors
+    (operators/dedup.remove_duplicate_spans) and recounts tokens before
+    sharding — the Lee-et-al removal step, so shard budgets see the
+    post-dedup token mass."""
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.text import (
         token_count,
     )
@@ -86,6 +96,16 @@ def curate(
         cleaned_text.alias("text"),
     ).withColumn("n_tok", token_count("text"))
 
+    # 1b. optional model-based quality gate (exact integer sign test)
+    n_quality = None
+    if quality_gate:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.quality import (
+            quality_filter,
+        )
+
+        cleaned = quality_filter(cleaned, "text", "doc_id")
+        n_quality = cleaned.count()
+
     # 2. exact dedup (keeps lowest doc_id per identical normalized text)
     deduped = exact_dedup(cleaned, "text", "doc_id")
     n_exact = deduped.count()
@@ -103,6 +123,28 @@ def curate(
     )
     n_neardup = survivors.count()
 
+    # 3b. optional exact-substring span removal over the survivors
+    removed_tokens = None
+    if span_rewrite:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        rewritten = remove_duplicate_spans(survivors, "text", "doc_id", l=8)
+        removed_tokens = (
+            rewritten.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+        )
+        survivors = (
+            survivors.drop("text", "n_tok")
+            .join(
+                rewritten.select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .withColumn("n_tok", token_count("text"))
+        )
+
     # 4. token-balanced shards, partitioned write (sort leads with the
     # partition column — FileFormatWriter drops trailing sort keys otherwise)
     sharded = token_balanced_shards(
@@ -116,13 +158,18 @@ def curate(
     )
     n_shards = sharded.select("shard_id").distinct().count()
 
-    return {
+    stats = {
         "input_docs": n_input,
         "after_exact_dedup": n_exact,
         "after_neardup_dedup": n_neardup,
         "n_shards": n_shards,
         "out": out,
     }
+    if n_quality is not None:
+        stats["after_quality_gate"] = n_quality
+    if removed_tokens is not None:
+        stats["span_tokens_removed"] = int(removed_tokens)
+    return stats
 
 
 def main() -> None:
@@ -137,10 +184,19 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--target-tokens", type=int, default=2000)
+    ap.add_argument("--quality-gate", action="store_true")
+    ap.add_argument("--span-rewrite", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(app_name="kickhouse-curate")
-    print(json.dumps(curate(spark, args.sf_dir, args.out, args.threshold, args.target_tokens)))
+    print(
+        json.dumps(
+            curate(
+                spark, args.sf_dir, args.out, args.threshold, args.target_tokens,
+                quality_gate=args.quality_gate, span_rewrite=args.span_rewrite,
+            )
+        )
+    )
 
 
 if __name__ == "__main__":

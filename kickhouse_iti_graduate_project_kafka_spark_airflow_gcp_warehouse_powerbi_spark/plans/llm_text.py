@@ -226,39 +226,11 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of the plan (explode distinct terms, map-side-combined per-doc
     integer aggregate, narrow sigmoid projection) is the real 100 TB
     shape: one doc-keyed partial aggregate, no corpus-wide shuffle of
-    anything but (doc_id, 8-byte term hash)."""
-    from ..functions.text import tokens
+    anything but (doc_id, 8-byte term hash). Implementation:
+    operators/quality.py (reused as the curation job's quality gate)."""
+    from ..operators.quality import hashed_quality_scores
 
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", tokens("text").alias("_toks"))
-    terms = toks.select(
-        "doc_id", F.explode(F.array_distinct("_toks")).alias("term")
-    ).filter(F.col("term") != "")
-    bucket = (
-        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 1024
-    )
-    wt = (bucket * F.lit(2654435761)) % 1001 - 500
-    s = terms.select("doc_id", wt.alias("wt")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"), F.sum("wt").alias("score")
-    )
-    base = d.select("doc_id")
-    j = base.join(s, "doc_id", "left")
-    n_terms = F.coalesce("n_terms", F.lit(0)).cast("long")
-    score = F.coalesce("score", F.lit(0)).cast("long")
-    logit = F.col("score").cast("double") / (1000.0 * F.col("n_terms"))
-    return j.select(
-        "doc_id",
-        n_terms.alias("n_terms"),
-        score.alias("score_milli"),
-        F.round(
-            F.when(F.coalesce("n_terms", F.lit(0)) == 0, F.lit(0.5)).otherwise(
-                1.0 / (1.0 + F.exp(-logit))
-            )
-            + 1e-9,
-            6,
-        ).alias("prob"),
-        (score >= 0).alias("keep"),
-    )
+    return hashed_quality_scores(_docs(spark, sf_dir), "text", "doc_id")
 
 
 @register(
