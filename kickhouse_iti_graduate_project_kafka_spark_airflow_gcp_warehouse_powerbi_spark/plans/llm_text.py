@@ -8,7 +8,7 @@ DuckDB oracle where SQL can express the same semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import register
@@ -231,6 +231,95 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import hashed_quality_scores
 
     return hashed_quality_scores(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "docs_bigram_logprob",
+    tags=("text", "lm", "A4"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x != '') AS tk
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM t, UNNEST(range(1, len(tk))) AS u(i)
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    ), v AS (
+        SELECT COUNT(DISTINCT x) AS v
+        FROM (SELECT unnest(tk) AS x FROM t)
+    ), s AS (
+        SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+               SUM(LN(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))) AS lp
+        FROM bg
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY bg.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(COALESCE(s.lp / s.n_bigrams, 0.0) + 1e-9, 6) AS avg_logprob
+    FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring (CCNet shape): an add-one-smoothed
+    bigram language model is fit on the corpus ITSELF (exact integer
+    counts — C(w1,w2), predecessor counts C(w1), vocabulary size V), and
+    each document is scored by its mean bigram log-probability
+    ln((C12+1)/(C1+V)). Low scores flag machine-generated/abnormal word
+    sequences the unigram heuristics miss.
+
+    Plan: one per-doc lead window builds the bigram stream; the model is
+    two hash aggregates over it (vocab²-bounded — broadcastable at any
+    corpus scale) plus a 1-row vocabulary scalar; scoring joins the
+    stream back to the model and reduces per doc. Only (doc_id, word,
+    word) pairs ever shuffle — never text. Docs with fewer than two
+    tokens score (0, 0.0)."""
+    from ..functions.text import tokens as _tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", _tokens("text").alias("_tk"))
+    flat = toks.select("doc_id", F.posexplode("_tk").alias("_pos", "_w")).filter(
+        F.col("_w") != ""
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("_pos")
+    bg = (
+        flat.withColumn("_w2", F.lead("_w", 1).over(w_doc))
+        .filter(F.col("_w2").isNotNull())
+        .select("doc_id", F.col("_w").alias("w1"), F.col("_w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = flat.agg(F.count_distinct("_w").alias("v"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("lp") / F.col("n_bigrams"), F.lit(0.0)) + 1e-9, 6
+            ).alias("avg_logprob"),
+        )
+    )
 
 
 @register(
