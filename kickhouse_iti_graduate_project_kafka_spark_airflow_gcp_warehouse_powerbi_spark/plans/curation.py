@@ -596,6 +596,60 @@ def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_weighted_sample",
+    tags=("sampling", "A9"),
+    oracle=r"""
+    WITH d AS (
+        SELECT source, doc_id,
+               LEN(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents
+    ), k AS (
+        SELECT source, doc_id, n_tok,
+               LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1)
+                  / CAST(4294967296 AS DOUBLE)) / n_tok AS key
+        FROM d
+    )
+    SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY key DESC, doc_id ASC
+           ) AS INTEGER) AS rank
+    FROM k
+    QUALIFY rank <= 5
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, 5 docs per
+    source, selection probability ∝ token count — the Efraimidis-Spirakis
+    reservoir scheme with the random uniform replaced by the md5 hash of
+    doc_id (u = (h32 + 1)/2^32 ∈ (0, 1], key = ln(u)/w; top-k by key).
+    Pure function of the ids: reproducible across engines, retries and
+    repartitioning — the weighted counterpart of docs_per_source_sample.
+
+    At 100 TB the per-source rank is a window over (source)-partitioned
+    rows carrying only (id, weight, key); with very hot sources, swap the
+    full sort for a per-partition top-k + merge (the TakeOrderedAndProject
+    shape) — semantics unchanged, the key is the whole contract."""
+    from ..functions.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "source", "doc_id", token_count("text").alias("n_tok")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    key = F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_tok")
+    w = Window.partitionBy("source").orderBy(
+        key.desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "rank")
+    )
+
+
+@register(
     "docs_distribution_drift",
     tags=("stats", "drift", "A3"),
     oracle=r"""
