@@ -73,6 +73,12 @@ def main() -> None:
         "producer has written any file; otherwise inferred)",
     )
     ap.add_argument(
+        "--quality-gate", action="store_true",
+        help="docs mode: drop classifier-rejected docs (exact integer "
+        "sign test, operators/quality.py) BEFORE the dedup absorb — the "
+        "streaming twin of curate_corpus.py --quality-gate",
+    )
+    ap.add_argument(
         "--reconcile", action="store_true",
         help="embeddings mode: instead of streaming, rebuild the "
         "survivors table as the order-free batch answer over --source "
@@ -88,6 +94,8 @@ def main() -> None:
         ap.error("embeddings mode requires --survivors and --ivf")
     if args.reconcile and args.mode != "embeddings":
         ap.error("--reconcile applies to embeddings mode only")
+    if args.quality_gate and args.mode != "docs":
+        ap.error("--quality-gate applies to docs mode only")
     if not args.reconcile and not args.checkpoint:
         ap.error("--checkpoint is required (except with --reconcile)")
 
@@ -128,10 +136,19 @@ def main() -> None:
     stream = spark.readStream.schema(schema).parquet(args.source)
 
     if args.mode == "docs":
+        prepare = None
+        if args.quality_gate:
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.quality import (
+                quality_filter,
+            )
+
+            def prepare(batch):
+                return quality_filter(batch, args.text_col, args.id_col)
+
         q = maintain_dedup_stream(
             stream, args.index, args.checkpoint, args.text_col,
             args.id_col, args.threshold, trigger=args.trigger,
-            on_batch=emit,
+            prepare=prepare, on_batch=emit,
         )
     else:
         centroids = load_centroids(spark, args.ivf)

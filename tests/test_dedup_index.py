@@ -429,6 +429,49 @@ def test_ingest_gate_cli_both_modes(spark, sf_small, tmpdir):
     assert out.returncode != 0 and "pass --schema" in (out.stderr + out.stdout)
 
 
+def test_ingest_gate_cli_quality_gate(spark, tmpdir):
+    """--quality-gate drops classifier-rejected docs BEFORE the absorb:
+    the gate's batch stats see only classifier-accepted docs, and the
+    rejected doc never reaches the index."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha delta fresh unseen content")],  # classifier score > 0
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, f"{tmpdir}/qidx", "text", "doc_id")
+    spark.createDataFrame(
+        [
+            # exact dup of the indexed doc: passes quality, rejected by dedup
+            (20, "alpha delta fresh unseen content"),
+            # hashed-classifier score < 0 (all strongly negative buckets)
+            (21, "beta gamma omega jumps zeta kappa"),
+            # positive score, novel: the only acceptance
+            (22, "fresh unseen content brand new"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(f"{tmpdir}/qsrc")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "docs",
+         "--source", f"{tmpdir}/qsrc", "--index", f"{tmpdir}/qidx",
+         "--checkpoint", f"{tmpdir}/qckpt", "--trigger", "1 seconds",
+         "--quality-gate", "--drain"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert sum(s["n_batch"] for s in stats) == 2  # doc 21 gated out pre-absorb
+    assert sum(s["n_accepted"] for s in stats) == 1
+    ids = {r["_cid"] for r in spark.read.parquet(f"{tmpdir}/qidx/doc_ids").collect()}
+    assert 22 in ids and 21 not in ids and 20 not in ids
+    # flag misuse fails fast, before JVM startup
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "embeddings",
+         "--source", "x", "--survivors", "s", "--ivf", "i",
+         "--checkpoint", "c", "--quality-gate"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode != 0 and "docs mode" in (out.stderr + out.stdout)
+
+
 def _build_absorbed_index(spark, tmpdir):
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
         absorb_batch_into_index,
