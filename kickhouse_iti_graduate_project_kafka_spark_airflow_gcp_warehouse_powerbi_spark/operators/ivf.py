@@ -562,3 +562,47 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def ivf_cell_stats(spark, path: str, table: str = "vectors") -> dict:
+    """Index-health monitor — the rebuild signal append_to_ivf_index
+    documents, as a concrete operator: per-cell row counts from the
+    cell-partitioned layout (one partition-column aggregate — the scan
+    reads no vector bytes), summarized as
+
+    - ``n_cells`` / ``n_rows`` / ``n_empty_cells`` (cells in the centroid
+      table with no stored rows),
+    - ``max_cell`` / ``mean_cell`` and ``skew_ratio`` = max/mean (i.e.
+      the hottest cell's multiple of its fair share; bounded by n_cells)
+      — the headline number: a fresh k-means build sits near 1-3;
+      sustained growth means arriving data no longer matches the frozen
+      centroids,
+    - ``rebuild_hint`` — True when the hottest cell exceeds 4x its fair
+      share (skew_ratio > 4) or >25% of cells are empty (conservative
+      defaults; thresholds are policy, the numbers are the contract).
+
+    Works on any cell-partitioned index dir: the IVF ``vectors`` table
+    (default) or the IVF-PQ ``codes`` table (``table="codes"``).
+    """
+    counts = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(f"{path}/{table}")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per cell
+    }
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    n_rows = sum(counts.values())
+    n_empty = n_cells - len(counts)
+    max_cell = max(counts.values()) if counts else 0
+    mean_cell = (n_rows / n_cells) if n_cells else 0.0
+    skew = (max_cell / mean_cell) if mean_cell else 0.0
+    return {
+        "n_cells": int(n_cells),
+        "n_rows": int(n_rows),
+        "n_empty_cells": int(n_empty),
+        "max_cell": int(max_cell),
+        "mean_cell": round(mean_cell, 3),
+        "skew_ratio": round(skew, 3),
+        "rebuild_hint": bool(skew > 4.0 or (n_cells and n_empty / n_cells > 0.25)),
+    }

@@ -656,3 +656,61 @@ def load_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     for r in rows:
         books[r["j"], r["c"]] = np.asarray(r["centroid"], dtype="float64")
     return codes, books
+
+
+def pq_reconstruction_error(
+    batch: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Codebook-drift monitor — the companion signal to
+    ``ivf.ivf_cell_stats`` for the PQ tier: mean / p95 squared
+    reconstruction error of ``batch`` under the FIXED codebooks
+    (encode + decode distance, computed in the same Arrow kernel shape
+    as pq_encode; one pass, two doubles per row leave the executors).
+
+    Track the mean per ingest batch: a fresh codebook fit sits at its
+    training error; sustained growth means arriving vectors no longer
+    match the frozen subspace centroids — rebuild via build_pq_index /
+    build_ivfpq_index. Returns {n, mean_sq_err, p95_sq_err}.
+    """
+    m, ks, sub = codebooks.shape
+    spark = batch.sparkSession
+    bc = track_broadcast(spark.sparkContext.broadcast(codebooks))
+    src = batch.select(
+        F.col(id_col).cast("long").alias("n_id"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+
+    schema = StructType([StructField("n_id", LongType()), StructField("err", DoubleType())])
+
+    def gen(batches):
+        import pandas as pd
+
+        cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(
+                [np.asarray(x, dtype="float64") for x in pdf["_v"]]
+            ).reshape(len(pdf), m, sub)
+            err = np.zeros(len(pdf), dtype="float64")
+            cb_sq = (cb * cb).sum(axis=2)
+            for j in range(m):
+                s = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
+                pick = np.argmin(s, axis=1)
+                diff = v[:, j, :] - cb[j][pick]
+                err += (diff * diff).sum(axis=1)
+            yield pd.DataFrame({"n_id": pdf["n_id"], "err": err})
+
+    errs = src.mapInPandas(gen, schema)
+    row = errs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("err").alias("mean"),
+        F.expr("percentile_approx(err, 0.95)").alias("p95"),
+    ).collect()[0]  # 1 row
+    return {
+        "n": int(row["n"]),
+        "mean_sq_err": float(row["mean"]) if row["n"] else 0.0,
+        "p95_sq_err": float(row["p95"]) if row["n"] else 0.0,
+    }

@@ -132,3 +132,37 @@ def test_append_duplicate_ids_within_batch_collapse(spark, tmp_path):
     assert s == {"n_batch": 1, "n_appended": 1, "n_replayed": 0}
     stored = spark.read.parquet(f"{path}/vectors").filter(F.col("n_id") == 100)
     assert stored.count() == 1
+
+
+def test_ivf_cell_stats_health_and_drift(spark, sf_oracle, tmp_path):
+    """Cell stats read only the partition column; a balanced fresh build
+    reports low skew, and a pathological append (every new row in one
+    cell's neighborhood) moves the skew ratio up."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_cell_stats,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    path = str(tmp_path / "health")
+    build_ivf_index(emb, path, n_cells=8, iters=2)
+    s = ivf_cell_stats(spark, path)
+    assert s["n_cells"] == 8
+    assert s["n_rows"] == emb.count()
+    assert s["n_empty_cells"] == 0
+    assert s["skew_ratio"] >= 1.0
+    base_skew = s["skew_ratio"]
+
+    # drift injection: append many copies of one vector region (new ids)
+    one = emb.filter(F.col("vec_id") == 0).collect()[0]
+    drift = spark.createDataFrame(
+        [(100000 + i, one["embedding"], one["label"]) for i in range(600)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append_to_ivf_index(spark, path, drift)
+    s2 = ivf_cell_stats(spark, path)
+    assert s2["n_rows"] == s["n_rows"] + 600
+    assert s2["skew_ratio"] > base_skew
+    # 600 clones land in one cell: hottest cell ~4.8x fair share
+    assert s2["rebuild_hint"]

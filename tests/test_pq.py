@@ -284,3 +284,26 @@ def test_ivfpq_append_duplicate_ids_collapse(spark, emb, tmp_path):
     stored = spark.read.parquet(f"{path}/codes").filter(F.col("n_id") < 10)
     assert stored.count() == 10
     assert stored.select("n_id").distinct().count() == 10
+
+
+def test_pq_reconstruction_error_drift(spark, emb, books):
+    """In-distribution batches sit near the training error; an
+    out-of-distribution batch (vectors far outside the corpus range)
+    reports a much larger reconstruction error — the rebuild signal."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        pq_reconstruction_error,
+    )
+
+    base = pq_reconstruction_error(emb, books)
+    assert base["n"] == emb.count()
+    assert base["mean_sq_err"] >= 0.0
+    assert base["p95_sq_err"] >= base["mean_sq_err"] * 0.1
+
+    dim = len(emb.first()["embedding"])
+    far = spark.createDataFrame(
+        [(i, [100.0 + i % 7] * dim) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    drifted = pq_reconstruction_error(far, books)
+    assert drifted["n"] == 50
+    assert drifted["mean_sq_err"] > base["mean_sq_err"] * 10
