@@ -132,3 +132,28 @@ def test_revenue_share_reuses_single_aggregate(plans):
     p = plans("top_revenue_share_nations")
     assert p.count("Scan parquet") <= 14  # 4 scan nodes across both explain modes
     assert "BroadcastHashJoin" in p
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path_factory):
+    """A dim-filtered broadcast join against a partition-keyed fact must
+    inject a runtime DPP subquery into the fact scan's PartitionFilters —
+    the mechanism that lets a 100 TB month-partitioned fact skip every
+    partition the dim filter rules out, without a static literal."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("dpp"))
+    spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 12).alias("m")
+    ).write.partitionBy("m").mode("overwrite").parquet(f"{d}/fact")
+    fact = spark.read.parquet(f"{d}/fact")
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(12)], "m long, tag string"
+    )
+    joined = fact.join(
+        F.broadcast(dim).filter(F.col("tag") == "keep"), "m"
+    ).groupBy("m").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is correct: only months 0 and 1 survive
+    got = {r["m"]: r["count"] for r in joined.collect()}
+    assert set(got) == {0, 1}
