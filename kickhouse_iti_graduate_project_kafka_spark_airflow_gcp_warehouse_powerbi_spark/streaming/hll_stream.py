@@ -1,0 +1,121 @@
+"""Streaming mergeable-distinct — maintain per-day HLL user sketches
+from an event stream.
+
+The batch query ``events_hll_mergeable_distinct`` proves the sketch
+algebra; this module keeps a per-day SKETCH TABLE current as
+micro-batches arrive (the one-transform-two-drivers discipline of
+``streaming/scd2.py`` / ``semdedup_stream.py``): ``upsert_hll_batch`` is
+the whole algorithm, ``maintain_hll_stream`` wires it into
+``foreachBatch``.
+
+Why HLL is the RIGHT streaming distinct: sketch union is associative,
+commutative and — crucially — **idempotent over values** (a register is
+the max over hashed observations, so re-observing any value, or merging
+a sketch with itself, changes nothing). Spark's foreachBatch gives
+at-least-once delivery; for exact counters that forces a transaction
+log, but an HLL upsert CONVERGES under replays and duplicate deliveries
+with no log at all — the retry merges the same registers again. (The
+serialized blob may legally re-encode between sparse and dense forms,
+so the replay test pins estimate-level equality, which is what
+consumers read.)
+
+Scale posture: per batch, one (day) aggregate over the batch (map-side
+partial sketches — register arrays merge in the combiner, so shuffle
+volume is |days| x 2^lgk bytes, independent of row count), then a merge
+against the stored table, which holds ONE ROW PER DAY — years of data is
+thousands of rows. The merged table is collected (bounded by |days|) to
+sever lineage before the overwrite, the same read-then-rewrite hazard
+discipline the SCD2 stream uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+
+def _read_sketches(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def upsert_hll_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lgk: int = 12,
+) -> dict:
+    """Merge ``batch``'s per-day HLL sketches of ``key_col`` into the
+    sketch table at ``path`` (day binary-sketch rows). Returns
+    {n_batch_rows, n_days_touched, n_days_total}."""
+    n_batch = batch.count()
+    new = (
+        batch.select(F.to_date(ts_col).alias("day"), F.col(key_col))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sk"))
+    )
+    stored = _read_sketches(spark, path)
+    if stored is None:
+        merged = new
+    else:
+        merged = (
+            stored.unionByName(new)
+            .groupBy("day")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+        )
+    # bounded collect: one row per day — sever lineage from the stored
+    # table before overwriting it (read-then-rewrite hazard)
+    rows = merged.collect()
+    out = spark.createDataFrame(rows, merged.schema)
+    out.write.mode("overwrite").parquet(path)
+    return {
+        "n_batch_rows": int(n_batch),
+        "n_days_touched": new.count(),
+        "n_days_total": len(rows),
+    }
+
+
+def daily_estimates(spark: SparkSession, path: str) -> DataFrame:
+    """(day, est) distinct-count estimates from the sketch table, plus the
+    all-days merged estimate as a NULL-day row."""
+    sk = spark.read.parquet(path)
+    per_day = sk.select("day", F.hll_sketch_estimate("sk").alias("est"))
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit(None).cast("date").alias("day"), "est")
+    return per_day.unionByName(total)
+
+
+def maintain_hll_stream(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lgk: int = 12,
+    trigger: str = "5 seconds",
+    on_batch: Callable[[dict], None] | None = None,
+) -> StreamingQuery:
+    """foreachBatch driver for :func:`upsert_hll_batch`."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        stats = upsert_hll_batch(
+            batch_df.sparkSession, batch_df, path, ts_col, key_col, lgk
+        )
+        if on_batch is not None:
+            on_batch(stats)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(processingTime=trigger)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -1,0 +1,95 @@
+"""Streaming per-day HLL sketch maintenance: batch-twin equality, replay
+idempotence, estimate accuracy."""
+
+from pyspark.sql import functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.hll_stream import (
+    daily_estimates,
+    maintain_hll_stream,
+    upsert_hll_batch,
+)
+
+
+def test_upsert_matches_batch_and_is_replay_idempotent(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events").select("ts", "user_id")
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half2 = ev.filter(F.col("user_id") % 2 == 1)
+    path = str(tmp_path / "sk")
+
+    s1 = upsert_hll_batch(spark, half1, path)
+    assert s1["n_batch_rows"] == half1.count()
+    s2 = upsert_hll_batch(spark, half2, path)
+    assert s2["n_days_total"] >= s1["n_days_total"]
+
+    # batch twin: incrementally-merged registers == one-shot batch sketch
+    # (HLL union is associative/commutative), so the estimates are EQUAL,
+    # not merely close
+    batch_daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+    )
+    got = {
+        r["day"]: r["est"]
+        for r in daily_estimates(spark, path).filter(F.col("day").isNotNull()).collect()
+    }
+    for r in batch_daily.collect():
+        assert got[r["day"]] == r["est"]
+
+    # replay: merging the same half again leaves every estimate unchanged
+    # (HLL registers are idempotent over values; the serialized blob may
+    # legally re-encode — sparse vs dense — so the pin is estimate-level)
+    key = lambda t: (t[0] is None, t[0], t[1])
+    before = sorted(
+        ((r["day"], r["est"]) for r in daily_estimates(spark, path).collect()),
+        key=key,
+    )
+    upsert_hll_batch(spark, half2, path)
+    after = sorted(
+        ((r["day"], r["est"]) for r in daily_estimates(spark, path).collect()),
+        key=key,
+    )
+    assert before == after
+
+    # accuracy: every estimate within 5% of exact (lgk=12 ~ 1.6% stderr)
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, est in got.items():
+        assert abs(est - exact[day]) <= exact[day] * 0.05
+
+
+def test_stream_drive_file_source(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events").select("ts", "user_id")
+    src = str(tmp_path / "src")
+    ev.filter(F.col("user_id") % 2 == 0).write.parquet(src)
+    path, ckpt = str(tmp_path / "sk"), str(tmp_path / "ckpt")
+
+    stats = []
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = maintain_hll_stream(
+        stream, path, ckpt, trigger="1 seconds", on_batch=stats.append
+    )
+    try:
+        q.processAllAvailable()
+        # second file lands mid-stream: the next trigger merges it in
+        ev.filter(F.col("user_id") % 2 == 1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(s["n_batch_rows"] for s in stats) == ev.count()
+
+    merged_row = (
+        daily_estimates(spark, path).filter(F.col("day").isNull()).collect()[0]
+    )
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(merged_row["est"] - exact_total) <= exact_total * 0.05
