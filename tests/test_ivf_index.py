@@ -166,3 +166,32 @@ def test_ivf_cell_stats_health_and_drift(spark, sf_oracle, tmp_path):
     assert s2["skew_ratio"] > base_skew
     # 600 clones land in one cell: hottest cell ~4.8x fair share
     assert s2["rebuild_hint"]
+
+
+def test_index_health_cli(spark, sf_oracle, tmp_path):
+    """Subprocess drive of jobs/index_health.py over an IVF-PQ index with
+    a probe batch: one JSON line with cell stats + PQ drift."""
+    import json
+    import subprocess
+    import sys
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+        build_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    path = str(tmp_path / "hidx")
+    build_ivfpq_index(emb, path, n_cells=8, cell_iters=2, m=16, ks=64, pq_iters=4)
+    emb.limit(50).write.parquet(str(tmp_path / "probe"))
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/index_health.py", "--path", path,
+         "--table", "codes", "--probe-batch", str(tmp_path / "probe")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert rep["n_cells"] == 8 and rep["n_rows"] == emb.count()
+    assert rep["pq_probe"]["n"] == 50
+    assert rep["pq_probe"]["mean_sq_err"] >= 0.0
