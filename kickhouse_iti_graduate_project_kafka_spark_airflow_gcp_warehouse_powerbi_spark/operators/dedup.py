@@ -928,8 +928,18 @@ def remove_duplicate_spans(
         .filter(F.col("_rn") > 1)  # rank > 1 exists only for duplicated grams
         .select("_id", "_pos")
     )
+    return _excise_span_starts(df, noncanon, text_col, id_col, l)
+
+
+def _excise_span_starts(
+    df: DataFrame, starts: DataFrame, text_col: str, id_col: str, l: int
+) -> DataFrame:
+    """Shared rewrite tail: given (_id, _pos) span starts to excise,
+    rebuild every input doc from its ORIGINAL token array minus the union
+    of [pos, pos + l) intervals. Returns (id_col, n_tokens,
+    removed_tokens, cleaned_text) for EVERY row of ``df``."""
     removal = (
-        noncanon.select(
+        starts.select(
             "_id",
             F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (l - 1))).alias("_rp"),
         )
@@ -952,6 +962,40 @@ def remove_duplicate_spans(
         F.size("_rem").cast("bigint").alias("removed_tokens"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+def remove_overlap_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    l: int = 5,
+) -> DataFrame:
+    """Decontamination REWRITE — the removal counterpart of
+    ``ngram_containment`` (which only measures): every ``l``-token run in
+    a TRAIN document that also occurs anywhere in the BENCHMARK split is
+    excised (union of [pos, pos+l) intervals), and train docs are
+    re-emitted rebuilt from their original token arrays. This is the
+    GPT-3/Lee-style n-gram decontamination applied as surgery instead of
+    whole-doc dropping: a 10k-token document with one leaked benchmark
+    sentence loses ~l tokens, not the document.
+
+    Scale posture (100 TB train, benchmark ≪ train): the benchmark gram
+    set is DISTINCT 8-byte hashes of a (small) eval suite — broadcastable
+    at any realistic benchmark size; the train gram stream is token
+    volume filtered by a semi-join against it, so only contaminated
+    occurrences ever explode into intervals; the rebuild reuses the
+    span-rewrite tail (per-doc removal arrays join back — train text
+    never reshuffles). Output covers EVERY train doc."""
+    bench_grams = (
+        _positional_gram_stream(benchmark, text_col, id_col, l)
+        .select("_gh")
+        .distinct()
+    )
+    hits = _positional_gram_stream(train, text_col, id_col, l).join(
+        bench_grams, "_gh", "left_semi"
+    ).select("_id", "_pos")
+    return _excise_span_starts(train, hits, text_col, id_col, l)
 
 
 def duplicate_span_stats(

@@ -25,6 +25,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     jaccard_pairs_cached,
     remove_duplicate_spans,
+    remove_overlap_spans,
     simhash_pairs,
 )
 from ..sources.tables import load_table
@@ -175,6 +176,59 @@ def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         stopword_count("text", EN_STOPWORDS_PATTERN).alias("n_stopwords"),
         quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "docs_decontaminate_rewrite",
+    tags=("dedup", "contamination", "spans"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+        FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+    ), ev AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+    ), nc AS (
+        SELECT g.doc_id, g.pos FROM g JOIN ev USING (gram)
+        WHERE g.doc_id % 20 <> 0
+    ), rem AS (
+        SELECT DISTINCT doc_id, rp
+        FROM nc, UNNEST(range(pos, pos + 5)) AS r(rp)
+    ), ragg AS (
+        SELECT doc_id, COUNT(*) AS removed, list(rp) AS rps
+        FROM rem GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens,
+           COALESCE(array_to_string(
+               [t.toks[i] for i in range(1, len(t.toks) + 1)
+                if NOT list_contains(COALESCE(r.rps, CAST([] AS BIGINT[])), i)],
+               ' '), '') AS cleaned_text
+    FROM t LEFT JOIN ragg r ON t.doc_id = r.doc_id
+    WHERE t.doc_id % 20 <> 0
+    """,
+)
+def docs_decontaminate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as SURGERY (operators/dedup.py:
+    remove_overlap_spans): every 5-token run of a train doc that also
+    appears in the held-out 'benchmark' split (doc_id % 20 == 0, the same
+    deterministic split docs_contamination measures) is excised and the
+    doc re-emitted — one leaked benchmark sentence costs ~5 tokens, not
+    the whole document. The oracle replays gram matching, interval union
+    and the positional token filter, so the hash match covers the
+    rebuilt text bytes."""
+    docs = _docs(spark, sf_dir)
+    return remove_overlap_spans(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "text",
+        "doc_id",
+        l=5,
     )
 
 

@@ -426,6 +426,33 @@ def test_remove_duplicate_spans_matches_stats_coverage(spark, sf_small):
         assert n_kept == r.n_tokens - r.removed_tokens
 
 
+def test_remove_overlap_spans_decontaminates(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        remove_overlap_spans,
+    )
+
+    leaked = "question four answer is blue"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words then {leaked} trailing words here"),
+            Row(doc_id=2, text="completely clean training text stays whole"),
+        ],
+        schema="doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text=f"benchmark prompt {leaked} benchmark suffix")],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.cleaned_text)
+        for r in remove_overlap_spans(train, bench, "text", "doc_id", l=5).collect()
+    }
+    # only train docs are emitted; the leaked 5-gram is excised surgically
+    assert set(out) == {1, 2}
+    assert out[1] == (11, 5, "intro words then trailing words here")
+    assert out[2] == (6, 0, "completely clean training text stays whole")
+
+
 def test_persist_lifecycle_and_pair_cache(spark, sf_small):
     """Round-2 verdict #5: persisted shingle intermediates must be
     releasable, and CC consumers must share one persisted pair set."""
