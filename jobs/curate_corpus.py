@@ -44,6 +44,7 @@ def curate(
     target_tokens: int = 2000,
     quality_gate: bool = False,
     span_rewrite: bool = False,
+    benchmark: str | None = None,
 ) -> dict:
     """Run the stages; returns the stage-by-stage row accounting.
 
@@ -53,7 +54,11 @@ def curate(
     excises corpus-duplicated 8-token runs from the near-dup survivors
     (operators/dedup.remove_duplicate_spans) and recounts tokens before
     sharding — the Lee-et-al removal step, so shard budgets see the
-    post-dedup token mass."""
+    post-dedup token mass; ``benchmark`` (a parquet path with the same
+    text/id columns) decontaminates the survivors by excising every
+    5-token run that also occurs in the benchmark table
+    (operators/dedup.remove_overlap_spans) — applied after span_rewrite
+    when both are on, before tokens are recounted."""
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.text import (
         token_count,
     )
@@ -145,6 +150,27 @@ def curate(
             .withColumn("n_tok", token_count("text"))
         )
 
+    # 3c. optional benchmark decontamination over the survivors
+    decontam_tokens = None
+    if benchmark is not None:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+            remove_overlap_spans,
+        )
+
+        bench_df = spark.read.parquet(benchmark)
+        rewritten = remove_overlap_spans(survivors, bench_df, "text", "doc_id", l=5)
+        decontam_tokens = (
+            rewritten.agg(F.sum("removed_tokens")).collect()[0][0] or 0
+        )
+        survivors = (
+            survivors.drop("text", "n_tok")
+            .join(
+                rewritten.select("doc_id", F.col("cleaned_text").alias("text")),
+                "doc_id",
+            )
+            .withColumn("n_tok", token_count("text"))
+        )
+
     # 4. token-balanced shards, partitioned write (sort leads with the
     # partition column — FileFormatWriter drops trailing sort keys otherwise)
     sharded = token_balanced_shards(
@@ -169,6 +195,8 @@ def curate(
         stats["after_quality_gate"] = n_quality
     if removed_tokens is not None:
         stats["span_tokens_removed"] = int(removed_tokens)
+    if decontam_tokens is not None:
+        stats["benchmark_tokens_removed"] = int(decontam_tokens)
     return stats
 
 
@@ -186,6 +214,11 @@ def main() -> None:
     ap.add_argument("--target-tokens", type=int, default=2000)
     ap.add_argument("--quality-gate", action="store_true")
     ap.add_argument("--span-rewrite", action="store_true")
+    ap.add_argument(
+        "--benchmark",
+        help="parquet path of a benchmark/eval table (text, doc_id); "
+        "survivors are decontaminated against it (5-gram span excision)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="kickhouse-curate")
@@ -194,6 +227,7 @@ def main() -> None:
             curate(
                 spark, args.sf_dir, args.out, args.threshold, args.target_tokens,
                 quality_gate=args.quality_gate, span_rewrite=args.span_rewrite,
+                benchmark=args.benchmark,
             )
         )
     )

@@ -82,3 +82,47 @@ def test_curate_with_quality_gate_and_span_rewrite(spark, sf_oracle, tmp_path):
     # this fixture scale
     assert summary["after_quality_gate"] < summary["input_docs"]
     assert n_keep > 0
+
+
+def test_curate_with_benchmark_decontamination(spark, sf_small, tmp_path):
+    """--benchmark excises eval-overlapping 5-gram spans from survivors;
+    a planted leak disappears from the gold output."""
+    leaked = "question four answer is blue exactly"
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(900, f"benchmark prompt {leaked} suffix")], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    # plant the leak into one fixture doc via a side corpus dir
+    import shutil
+
+    side = str(tmp_path / "sf")
+    shutil.copytree(sf_small, side)
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    import os
+
+    os.remove(f"{side}/documents.parquet") if os.path.isfile(
+        f"{side}/documents.parquet"
+    ) else shutil.rmtree(f"{side}/documents.parquet", ignore_errors=True)
+    from pyspark.sql import functions as FF
+
+    planted = docs.withColumn(
+        "text",
+        FF.when(
+            FF.col("doc_id") == 7, FF.concat(FF.col("text"), FF.lit(f" {leaked}"))
+        ).otherwise(FF.col("text")),
+    )
+    planted.coalesce(1).write.parquet(f"{side}/documents.parquet")
+
+    out = str(tmp_path / "gold")
+    summary = curate(spark, side, out, threshold=0.5, target_tokens=2000,
+                     benchmark=bench_path)
+    assert summary["benchmark_tokens_removed"] >= 6
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("text").contains("answer is blue")).count() == 0
+    # doc 7 survives, shorn of the leak, with a consistent token count
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.text import (
+        token_count,
+    )
+
+    assert back.filter(token_count("text") != F.col("n_tok")).count() == 0
