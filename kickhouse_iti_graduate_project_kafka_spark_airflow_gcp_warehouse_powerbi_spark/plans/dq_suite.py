@@ -392,3 +392,78 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@register(
+    "orders_snapshot_diff",
+    tags=("DQ", "J-full", "reconciliation"),
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ), b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice,
+               CASE WHEN o_orderkey % 19 = 0
+                    THEN 'RECHECK' ELSE o_orderpriority END
+                   AS o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), j AS (
+        SELECT
+            CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                 WHEN b.o_orderkey IS NULL THEN 'removed'
+                 WHEN NOT (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice)
+                   OR NOT (a.o_orderpriority
+                           IS NOT DISTINCT FROM b.o_orderpriority)
+                 THEN 'changed' ELSE 'unchanged' END AS status,
+            NOT (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice) AS dp,
+            NOT (a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority)
+                AS dq
+        FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN status = 'changed' AND dp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_diff_o_totalprice,
+           CAST(SUM(CASE WHEN status = 'changed' AND dq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_diff_o_orderpriority
+    FROM j GROUP BY status
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py): classify every order
+    key across two warehouse snapshots as added / removed / changed /
+    unchanged with per-column drift attribution — the audit a gold table
+    gets after each maintenance window. Snapshot B is a deterministic
+    perturbation of the orders table (drop %97 keys, bump price on %13,
+    reprioritize %19, clone %101 under shifted keys) so the oracle can
+    replay the classification; a real pipeline passes yesterday's and
+    today's snapshots. One co-keyed full-outer join, null-safe per-column
+    equality (no cross-engine hashes), tiny status aggregate."""
+    from ..operators.diff import diff_summary
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0)
+    modified = kept.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 19 == 0, F.lit("RECHECK"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    b = modified.unionByName(added)
+    return diff_summary(
+        orders, b, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
+    )

@@ -540,3 +540,32 @@ def test_kmeans_ignores_null_vectors(spark):
     b = kmeans_centroids(with_nulls, n_cells=4, iters=2)
     import numpy as np
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_table_diff_classification(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.diff import (
+        diff_summary,
+        table_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, None, "z"), (4, 40.0, None)],
+        "k long, v double, s string",
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0, "x"),        # unchanged
+         (2, 21.0, "y"),        # changed: v
+         (3, None, "z2"),       # changed: s (null v equal null-safely)
+         (5, 50.0, "new")],     # added; k=4 removed
+        "k long, v double, s string",
+    )
+    rows = {r["k"]: r for r in table_diff(a, b, ["k"], ["v", "s"]).collect()}
+    assert rows[1]["status"] == "unchanged"
+    assert rows[2]["status"] == "changed" and rows[2]["diff_v"] and not rows[2]["diff_s"]
+    assert rows[3]["status"] == "changed" and not rows[3]["diff_v"] and rows[3]["diff_s"]
+    assert rows[4]["status"] == "removed"
+    assert rows[5]["status"] == "added"
+    summ = {r["status"]: r for r in diff_summary(a, b, ["k"], ["v", "s"]).collect()}
+    assert summ["changed"]["n_rows"] == 2
+    assert summ["changed"]["n_diff_v"] == 1 and summ["changed"]["n_diff_s"] == 1
+    assert summ["added"]["n_rows"] == summ["removed"]["n_rows"] == 1
