@@ -970,6 +970,8 @@ def remove_overlap_spans(
     text_col: str,
     id_col: str,
     l: int = 5,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
 ) -> DataFrame:
     """Decontamination REWRITE — the removal counterpart of
     ``ngram_containment`` (which only measures): every ``l``-token run in
@@ -988,7 +990,12 @@ def remove_overlap_spans(
     span-rewrite tail (per-doc removal arrays join back — train text
     never reshuffles). Output covers EVERY train doc."""
     bench_grams = (
-        _positional_gram_stream(benchmark, text_col, id_col, l)
+        _positional_gram_stream(
+            benchmark,
+            bench_text_col if bench_text_col is not None else text_col,
+            bench_id_col if bench_id_col is not None else id_col,
+            l,
+        )
         .select("_gh")
         .distinct()
     )
@@ -996,6 +1003,86 @@ def remove_overlap_spans(
         bench_grams, "_gh", "left_semi"
     ).select("_id", "_pos")
     return _excise_span_starts(train, hits, text_col, id_col, l)
+
+
+def remove_overlap_spans_fixpoint(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    l: int = 5,
+    max_iters: int = 5,
+) -> DataFrame:
+    """:func:`remove_overlap_spans` iterated to a fixpoint.
+
+    A single removal pass can SYNTHESIZE a new contaminated run: excising
+    a span makes previously-distant tokens adjacent, and the new
+    adjacency may itself spell a benchmark ``l``-gram (e.g. benchmark
+    holds "x y z" and "a b c"; train doc "a b x y z c" loses "x y z" and
+    becomes exactly "a b c"). Single-pass is the published recipe and
+    usually suffices; when the output must PROVABLY contain no benchmark
+    run, iterate: each round rewrites only docs that still removed
+    something, until a round removes nothing (or ``max_iters``, a safety
+    bound like the CC loop's round cap — at l-token granularity each
+    round strictly shrinks affected docs, so termination is guaranteed
+    anyway once a doc is shorter than ``l``).
+
+    Driver coordination cost: one bounded action per round (the count of
+    docs still changing); each round's input is ONLY the still-dirty
+    docs — clean docs exit the loop after their first quiet round.
+    Returns the same shape as the single pass: (id_col, n_tokens
+    ORIGINAL, removed_tokens CUMULATIVE, cleaned_text FINAL) for every
+    train doc."""
+    from ..functions.text import token_count
+
+    base = train.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.col(text_col).alias("_cur"),
+    )
+    done_parts: list[DataFrame] = []
+    cur = base.withColumn("_removed", F.lit(0).cast("bigint"))
+    for _ in range(max_iters):
+        step = remove_overlap_spans(
+            cur.select(id_col, F.col("_cur")), benchmark, "_cur", id_col, l,
+            bench_text_col=text_col, bench_id_col=id_col,
+        ).select(
+            id_col,
+            F.col("removed_tokens").alias("_step_removed"),
+            F.col("cleaned_text").alias("_next"),
+        )
+        cur = (
+            cur.join(step, id_col)
+            .select(
+                id_col,
+                "n_tokens",
+                (F.col("_removed") + F.col("_step_removed")).alias("_removed"),
+                F.col("_next").alias("_cur"),
+                (F.col("_step_removed") > 0).alias("_dirty"),
+            )
+        )
+        # per-round persist through the shared cachereg registry: the
+        # returned union's clean parts read these caches, so release is
+        # the CALLER's (release_persisted) once its action has run — the
+        # same contract as the shingle-index persists
+        cur = _persist(cur)
+        n_dirty = cur.filter("_dirty").count()  # bounded: one count per round
+        clean = cur.filter(~F.col("_dirty")).drop("_dirty")
+        done_parts.append(clean)
+        if n_dirty == 0:
+            break
+        cur = cur.filter("_dirty").drop("_dirty")
+    else:
+        done_parts.append(cur)  # max_iters hit: emit still-dirty as-is
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("_removed").cast("bigint").alias("removed_tokens"),
+        F.col("_cur").alias("cleaned_text"),
+    )
 
 
 def duplicate_span_stats(

@@ -569,3 +569,38 @@ def test_table_diff_classification(spark):
     assert summ["changed"]["n_rows"] == 2
     assert summ["changed"]["n_diff_v"] == 1 and summ["changed"]["n_diff_s"] == 1
     assert summ["added"]["n_rows"] == summ["removed"]["n_rows"] == 1
+
+
+def test_remove_overlap_spans_fixpoint_clears_synthesized_grams(spark):
+    """Excision can synthesize a NEW benchmark gram from newly-adjacent
+    tokens; the single pass leaves it, the fixpoint clears it."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        remove_overlap_spans,
+        remove_overlap_spans_fixpoint,
+    )
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="x y z q a b c")],  # holds grams "x y z" AND "a b c"
+        schema="doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b x y z c"),  # removing "x y z" spells "a b c"
+            Row(doc_id=2, text="totally clean words"),
+        ],
+        schema="doc_id long, text string",
+    )
+    single = {
+        r.doc_id: r.cleaned_text
+        for r in remove_overlap_spans(train, bench, "text", "doc_id", l=3).collect()
+    }
+    assert single[1] == "a b c"  # contamination synthesized, still present
+
+    fixed = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.cleaned_text)
+        for r in remove_overlap_spans_fixpoint(
+            train, bench, "text", "doc_id", l=3
+        ).collect()
+    }
+    assert fixed[1] == (6, 6, "")  # second round excised the synthesized gram
+    assert fixed[2] == (3, 0, "totally clean words")
