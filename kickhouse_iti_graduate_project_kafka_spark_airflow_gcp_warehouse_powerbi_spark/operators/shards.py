@@ -226,3 +226,34 @@ def write_token_shards(
     token_balanced_shards(df, weight_col, order_col, target_per_shard).sortWithinPartitions(
         "shard_id", order_col
     ).write.partitionBy("shard_id").mode("overwrite").parquet(path)
+
+
+def rendezvous_shard(id_col: str | F.Column, n_shards: int) -> F.Column:
+    """Rendezvous (highest-random-weight) shard assignment — the ELASTIC
+    alternative to ``pmod`` sharding: every (doc, shard) pair gets an
+    engine-portable md5 score and the doc lives on its argmax shard.
+    Growing n -> n+1 relocates only the docs the NEW shard wins
+    (~1/(n+1) of the corpus, and they ALL move to the new shard) instead
+    of pmod's (n-1)/n reshuffle-almost-everything — the property that
+    lets a training-data layout add shards without rewriting history.
+
+    Column expression only (argmax over an n-element struct array per
+    row — no shuffle at all); structs compare lexicographically in both
+    Spark and the SQL oracle, so ties (2^-32 per pair) break to the
+    higher shard id identically everywhere. Keep n_shards here in the
+    tens-to-hundreds: the expression tree is O(n_shards)."""
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    entries = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(idc.cast("string"), F.lit(f":{s}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return F.array_max(F.array(*entries))["s"]

@@ -650,6 +650,49 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_elastic_reshard",
+    tags=("layout", "sharding"),
+    oracle=r"""
+    WITH r AS (
+        SELECT doc_id,
+               (list_max([{'h': CAST(('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(s AS VARCHAR)), 1, 8)) AS BIGINT),
+                           's': s} for s in range(0, 8)])).s AS sb,
+               (list_max([{'h': CAST(('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':'
+                               || CAST(s AS VARCHAR)), 1, 8)) AS BIGINT),
+                           's': s} for s in range(0, 9)])).s AS sa
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(sb AS INTEGER) AS shard_before,
+           CAST(sa AS INTEGER) AS shard_after,
+           sb <> sa AS moved
+    FROM r
+    """,
+)
+def docs_elastic_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elastic reshard via rendezvous hashing (operators/shards.py:
+    rendezvous_shard): each doc's shard under 8 and under 9 shards, plus
+    the moved flag. The rendezvous property — visible in the data — is
+    that ONLY docs the new shard wins relocate (~1/9 of the corpus, all
+    with shard_after = 8), where pmod resharding would move ~8/9 of it.
+    Pure column expressions, zero shuffle; the oracle replays the
+    struct-argmax bit for bit."""
+    from ..operators.shards import rendezvous_shard
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).cast("int").alias("shard_before"),
+        rendezvous_shard("doc_id", 9).cast("int").alias("shard_after"),
+        (
+            rendezvous_shard("doc_id", 8) != rendezvous_shard("doc_id", 9)
+        ).alias("moved"),
+    )
+
+
+@register(
     "docs_distribution_drift",
     tags=("stats", "drift", "A3"),
     oracle=r"""

@@ -196,3 +196,27 @@ def test_global_shuffle_repartition_stable(spark):
     a = sorted(map(tuple, global_shuffle(df, "doc_id", 4).collect()))
     b = sorted(map(tuple, global_shuffle(df.repartition(13), "doc_id", 4).collect()))
     assert a == b
+
+
+def test_rendezvous_shard_minimal_movement(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        rendezvous_shard,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = df.select(
+        "doc_id",
+        rendezvous_shard("doc_id", 8).alias("s8"),
+        rendezvous_shard("doc_id", 9).alias("s9"),
+    ).collect()
+    moved = [r for r in out if r["s8"] != r["s9"]]
+    # every mover lands on the NEW shard — the rendezvous property
+    assert all(r["s9"] == 8 for r in moved)
+    # ~1/9 of docs move (binomial n=2000 p=1/9: mean ~222, sd ~14)
+    assert 150 <= len(moved) <= 300
+    # both assignments cover all shards roughly uniformly
+    from collections import Counter
+
+    c8 = Counter(r["s8"] for r in out)
+    assert set(c8) == set(range(8))
+    assert max(c8.values()) < 2 * min(c8.values())
