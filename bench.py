@@ -274,6 +274,20 @@ def main() -> None:
                 spark, f"{idx_root}/bm25", docs.filter(F.col("doc_id") < 5), k=10
             ).count()
             index_secs["bm25_topk_indexed"] = round(time.perf_counter() - t0, 3)
+
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
+                append_to_bm25_index,
+            )
+
+            build_bm25_index(
+                docs.filter(F.col("doc_id") % 20 != 0), f"{idx_root}/bm25_inc",
+                term_buckets=64,
+            )
+            t0 = time.perf_counter()
+            append_to_bm25_index(
+                spark, f"{idx_root}/bm25_inc", docs.filter(F.col("doc_id") % 20 == 0)
+            )
+            index_secs["append_to_bm25_index"] = round(time.perf_counter() - t0, 3)
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()

@@ -217,6 +217,96 @@ def build_bm25_index(
             "term_buckets": int(row["term_buckets"])}
 
 
+def append_to_bm25_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental-ingest leg of the BM25 lifecycle (parity with the
+    dedup/IVF/IVF-PQ appends): tokenize an arriving batch, append its
+    postings into the term-bucketed layout and its lengths into doclen,
+    then rewrite the (1-row) meta with the new corpus stats — cost ∝
+    batch; history is never re-tokenized.
+
+    Replay guard: doc ids already present in ``doclen`` are skipped (the
+    doclen table is the index's id registry — one row per doc, so the
+    anti-join probes a compact table instead of the postings, whose rows
+    for one doc scatter across every term bucket); ids repeated WITHIN
+    the batch collapse first. At-least-once retries converge, and the
+    appended index answers queries identically to a fresh build over the
+    union (BM25 has no trained state — unlike the ANN lifecycles there
+    is no drift caveat: idf/avgdl are recomputed exactly from the
+    appended tables).
+
+    Crash posture: doclen is the COMMIT marker (written after postings),
+    so a crash between the two writes leaves duplicated postings rows on
+    retry — the indexed read path dedupes (doc, term) defensively
+    (duplicates are byte-identical, so max(tf) restores exact state),
+    and meta is recomputed unconditionally on EVERY append (so a crash
+    after doclen but before meta also self-heals on the next call).
+    Returns {n_batch, n_appended, n_replayed}."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]  # 1 row
+    n_buckets = int(meta["term_buckets"])
+    src = (
+        batch.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .filter(F.col("doc_id").isNotNull() & F.col("_text").isNotNull())
+        .dropDuplicates(["doc_id"])
+    )
+    existing = spark.read.parquet(f"{path}/doclen").select("doc_id")
+    fresh = src.join(existing, "doc_id", "left_anti").persist()
+    try:
+        n_batch = src.count()
+        n_new = fresh.count()
+        if n_new:
+            # batch-local postings: doclen derives from THESE rows, never
+            # from a re-read of the stored table (a crash-retry may have
+            # duplicated stored rows; batch-local stays exact)
+            postings = _persist(
+                bm25_postings(fresh, "doc_id", "_text").withColumn(
+                    "term_bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+                )
+            )
+            (
+                postings.repartition(n_buckets, "term_bucket")
+                .write.partitionBy("term_bucket")
+                .mode("append")
+                .parquet(f"{path}/postings")
+            )
+            # a doc with no non-empty tokens has no postings but must
+            # still register in doclen (the id registry) with dl=0
+            doclen_new = (
+                fresh.select("doc_id")
+                .join(
+                    postings.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+                    "doc_id",
+                    "left",
+                )
+                .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+            )
+            doclen_new.write.mode("append").parquet(f"{path}/doclen")
+        # meta self-heal: recomputed from doclen on every call, even a
+        # fully-replayed one (closes the doclen-written/meta-stale window)
+        stats = (
+            spark.read.parquet(f"{path}/doclen")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+            .withColumn("term_buckets", F.lit(n_buckets))
+            .collect()  # 1 row — sever lineage before overwriting meta
+        )
+        spark.createDataFrame(
+            stats, "n_docs long, avgdl double, term_buckets int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+    finally:
+        fresh.unpersist()
+    return {
+        "n_batch": int(n_batch),
+        "n_appended": int(n_new),
+        "n_replayed": int(n_batch - n_new),
+    }
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -245,9 +335,16 @@ def bm25_topk_indexed(
             F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
         ).distinct().collect()
     )
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("term_bucket").isin(buckets)
-    ).drop("term_bucket")
+    # defensive (doc, term) dedupe: a crashed-and-retried append may have
+    # duplicated postings rows (byte-identical); max(tf) restores exact
+    # state and is a no-op on a clean index — see append_to_bm25_index's
+    # crash posture
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .groupBy("doc_id", "term")
+        .agg(F.max("tf").alias("tf"))
+    )
     doclen = spark.read.parquet(f"{path}/doclen")
     stats = spark.createDataFrame(
         [(int(meta["n_docs"]), float(meta["avgdl"]))], "n_docs long, avgdl double"

@@ -87,3 +87,49 @@ def test_bm25_index_prunes_term_buckets(spark, tiny, tmp_path):
     assert re.search(
         rf"PartitionFilters: \[[^\]]*term_bucket#\d+ = {bucket}\)", plan
     ), plan
+
+
+def test_bm25_append_equals_fresh_and_replay_converges(spark, tiny, tmp_path):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
+        append_to_bm25_index,
+    )
+
+    base = tiny.filter(F.col("doc_id") < 3)
+    batch = tiny.filter(F.col("doc_id") >= 3)
+    inc = str(tmp_path / "inc")
+    build_bm25_index(base, inc, term_buckets=8)
+
+    s = append_to_bm25_index(spark, inc, batch)
+    assert s == {"n_batch": 2, "n_appended": 2, "n_replayed": 0}
+    s2 = append_to_bm25_index(spark, inc, batch)
+    assert s2 == {"n_batch": 2, "n_appended": 0, "n_replayed": 2}
+
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(tiny, fresh, term_buckets=8)
+    q = spark.createDataFrame(
+        [(100, "spark table"), (101, "ducks quack loudly")],
+        "doc_id long, text string",
+    )
+    a = bm25_topk_indexed(spark, inc, q, k=10).orderBy("q_id", "rank").collect()
+    b = bm25_topk_indexed(spark, fresh, q, k=10).orderBy("q_id", "rank").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+    # meta self-heal recomputed the corpus stats
+    meta = spark.read.parquet(f"{inc}/meta").collect()[0]
+    assert meta["n_docs"] == 5
+
+
+def test_bm25_indexed_read_repairs_duplicated_postings(spark, tiny, tmp_path):
+    """Crash-window simulation: postings appended twice without doclen —
+    the defensive max(tf) read restores exact scores."""
+    idx = str(tmp_path / "dup")
+    build_bm25_index(tiny, idx, term_buckets=8)
+    q = spark.createDataFrame([(100, "spark table")], "doc_id long, text string")
+    clean = bm25_topk_indexed(spark, idx, q, k=10).orderBy("rank").collect()
+
+    # duplicate every postings row (what a retried append after a crash
+    # between the postings and doclen writes leaves behind)
+    p = spark.read.parquet(f"{idx}/postings").localCheckpoint()
+    p.write.partitionBy("term_bucket").mode("append").parquet(f"{idx}/postings")
+
+    repaired = bm25_topk_indexed(spark, idx, q, k=10).orderBy("rank").collect()
+    assert [tuple(r) for r in repaired] == [tuple(r) for r in clean]
