@@ -49,9 +49,15 @@ def main() -> None:
     )
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["build", "query"])
+    ap.add_argument("mode", choices=["build", "query", "append"])
     ap.add_argument("--path", required=True)
     ap.add_argument("--layout", choices=["ivf", "ivfpq"], default="ivf")
+    ap.add_argument(
+        "--batch",
+        help="append mode: parquet of arriving vectors (vec_id, "
+        "embedding); assigned/encoded under the index's FROZEN "
+        "quantizers, replay-guarded",
+    )
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     )
@@ -64,11 +70,28 @@ def main() -> None:
     ap.add_argument("--rerank", type=int, default=50)
     ap.add_argument("--query-ids", type=int, nargs="*", default=[0, 1, 2, 3, 4])
     args = ap.parse_args()
+    if args.mode == "append" and not args.batch:
+        ap.error("append mode requires --batch")
 
     spark = get_spark(app_name=f"kickhouse-ann-{args.mode}")
     emb = load_table(spark, args.sf_dir, "embeddings")
 
-    if args.mode == "build" and args.layout == "ivfpq":
+    if args.mode == "append":
+        batch = spark.read.parquet(args.batch)
+        if args.layout == "ivfpq":
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.pq import (
+                append_to_ivfpq_index,
+            )
+
+            stats = append_to_ivfpq_index(spark, args.path, batch)
+        else:
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+                append_to_ivf_index,
+            )
+
+            stats = append_to_ivf_index(spark, args.path, batch)
+        print(json.dumps({"appended": args.path, "layout": args.layout, **stats}))
+    elif args.mode == "build" and args.layout == "ivfpq":
         centroids, books = build_ivfpq_index(
             emb, args.path, n_cells=args.n_cells, cell_iters=args.iters,
             m=args.m, ks=args.ks,

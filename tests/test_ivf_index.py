@@ -195,3 +195,38 @@ def test_index_health_cli(spark, sf_oracle, tmp_path):
     assert rep["n_cells"] == 8 and rep["n_rows"] == emb.count()
     assert rep["pq_probe"]["n"] == 50
     assert rep["pq_probe"]["mean_sq_err"] >= 0.0
+
+
+def test_ann_index_cli_append_mode(spark, sf_oracle, tmp_path):
+    """Subprocess drive of jobs/ann_index.py append: frozen-quantizer
+    batch ingest with replay stats, both layouts."""
+    import json
+    import subprocess
+    import sys
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    emb.filter(F.col("vec_id") % 5 == 0).write.parquet(str(tmp_path / "batch"))
+
+    for layout, table in (("ivf", "vectors"), ("ivfpq", "codes")):
+        path = str(tmp_path / f"cli_{layout}")
+        out = subprocess.run(
+            [sys.executable, "/root/repo/jobs/ann_index.py", "build",
+             "--path", path, "--layout", layout, "--sf-dir", sf_oracle,
+             "--n-cells", "8", "--iters", "2"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        out = subprocess.run(
+            [sys.executable, "/root/repo/jobs/ann_index.py", "append",
+             "--path", path, "--layout", layout, "--sf-dir", sf_oracle,
+             "--batch", str(tmp_path / "batch")],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        stats = json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        # the build already indexed these ids: everything replays
+        assert stats["n_batch"] == 100 and stats["n_appended"] == 0
+        assert stats["n_replayed"] == 100
+        assert spark.read.parquet(f"{path}/{table}").count() == emb.count()
