@@ -94,6 +94,33 @@ def daily_estimates(spark: SparkSession, path: str) -> DataFrame:
     return per_day.unionByName(total)
 
 
+def rolling_estimates(
+    spark: SparkSession, path: str, window_days: int = 7
+) -> DataFrame:
+    """(day, est) rolling ``window_days``-day distinct-count estimates —
+    the WAU/MAU metric — computed by unioning each day's stored sketch
+    with its window predecessors. Because HLL union is a set union over
+    the observed values, the rolling number double-counts NOTHING when a
+    user is active on several days of the window (the property a naive
+    SUM of daily distincts gets wrong).
+
+    Cost: a self-join of the (one-row-per-day) sketch table against its
+    window — |days| x window rows of 2^lgk-byte blobs, then one
+    ``hll_union_agg`` per end day. Independent of event volume; years of
+    data is thousands of rows."""
+    sk = spark.read.parquet(path)
+    right = sk.select(F.col("day").alias("_d"), F.col("sk").alias("_sk"))
+    joined = sk.select("day").join(
+        right,
+        (F.col("_d") <= F.col("day"))
+        & (F.col("_d") > F.date_sub(F.col("day"), window_days)),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est"))
+    )
+
+
 def maintain_hll_stream(
     stream: DataFrame,
     path: str,

@@ -93,3 +93,45 @@ def test_stream_drive_file_source(spark, sf_small, tmp_path):
     )
     exact_total = ev.select("user_id").distinct().count()
     assert abs(merged_row["est"] - exact_total) <= exact_total * 0.05
+
+
+def test_rolling_estimates_deduplicate_across_days(spark, sf_small, tmp_path):
+    """Rolling 7-day estimates equal the exact rolling distinct within
+    the 5% HLL bound — and are far below the naive sum of daily
+    distincts when users repeat across days."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.hll_stream import (
+        rolling_estimates,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("ts", "user_id")
+    path = str(tmp_path / "sk")
+    upsert_hll_batch(spark, ev, path)
+
+    got = {r["day"]: r["est"] for r in rolling_estimates(spark, path, 7).collect()}
+    days = ev.select(F.to_date("ts").alias("day"), "user_id")
+    exact = {
+        r["day"]: r["n"]
+        for r in days.alias("a")
+        .join(
+            days.alias("b"),
+            (F.col("b.day") <= F.col("a.day"))
+            & (F.col("b.day") > F.date_sub(F.col("a.day"), 7)),
+        )
+        .groupBy("a.day")
+        .agg(F.count_distinct("b.user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, est in got.items():
+        assert abs(est - exact[day]) <= exact[day] * 0.05
+    # dedup across days really matters on this fixture: naive daily sum
+    # over a full window overshoots the rolling distinct
+    daily = {
+        r["day"]: r["n"]
+        for r in days.groupBy("day").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    full_days = [d for d in exact if sum(1 for e in daily if 0 <= (d - e).days < 7) == 7]
+    assert any(
+        sum(v for e, v in daily.items() if 0 <= (d - e).days < 7) > exact[d] * 1.2
+        for d in full_days
+    )
