@@ -133,3 +133,60 @@ def test_bm25_indexed_read_repairs_duplicated_postings(spark, tiny, tmp_path):
 
     repaired = bm25_topk_indexed(spark, idx, q, k=10).orderBy("rank").collect()
     assert [tuple(r) for r in repaired] == [tuple(r) for r in clean]
+
+
+def test_bm25_matches_python_reference_on_random_corpora(spark):
+    """Property test: on arbitrary small corpora (richer vocabulary than
+    the fixture's 31 words), the engine's BM25 scores match a from-
+    scratch Python reference to float tolerance and agree on the
+    candidate sets."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = [f"w{i}" for i in range(50)]
+    doc_strategy = st.lists(
+        st.sampled_from(words), min_size=1, max_size=30
+    ).map(" ".join)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(doc_strategy, min_size=3, max_size=12),
+        q_text=doc_strategy,
+    )
+    def run(docs, q_text):
+        corpus = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        q = spark.createDataFrame([(999, q_text)], "doc_id long, text string")
+        got = {
+            r["n_id"]: r["score"]
+            for r in bm25_score_topk(corpus, q, k=1000).collect()
+        }
+
+        # reference: same formula, straight Python floats
+        tfs = [Counter(t.split()) for t in docs]
+        dls = [sum(c.values()) for c in tfs]
+        n = len(docs)
+        avgdl = sum(dls) / n
+        expect = {}
+        for term in set(q_text.split()):
+            df = sum(1 for c in tfs if term in c)
+            if df == 0:
+                continue
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            for d, c in enumerate(tfs):
+                tf = c.get(term, 0)
+                if tf == 0:
+                    continue
+                tf_norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+                expect[d] = expect.get(d, 0.0) + idf * tf_norm
+        assert set(got) == set(expect)
+        for d, s in expect.items():
+            assert abs(got[d] - round(s + 1e-9, 4)) < 2e-4, (d, got[d], s)
+
+    run()
