@@ -604,3 +604,65 @@ def test_remove_overlap_spans_fixpoint_clears_synthesized_grams(spark):
     }
     assert fixed[1] == (6, 6, "")  # second round excised the synthesized gram
     assert fixed[2] == (3, 0, "totally clean words")
+
+
+def test_remove_duplicate_spans_matches_python_reference(spark):
+    """Property test: on arbitrary small corpora the rewrite equals a
+    from-scratch reference (positional l-grams, first-(doc,pos)-is-
+    canonical rank, union of non-canonical intervals, positional
+    rebuild)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    L = 3
+    words = [f"t{i}" for i in range(6)]  # tiny alphabet -> real collisions
+    doc_strategy = st.lists(
+        st.sampled_from(words), min_size=0, max_size=15
+    ).map(" ".join)
+
+    def reference(texts):
+        toks = [t.split() for t in texts]
+        occ = {}  # gram -> first (doc, pos)
+        for d, tk in enumerate(toks):
+            for p in range(len(tk) - L + 1):
+                g = tuple(tk[p:p + L])
+                occ.setdefault(g, (d, p))
+        removed = [set() for _ in toks]
+        for d, tk in enumerate(toks):
+            for p in range(len(tk) - L + 1):
+                g = tuple(tk[p:p + L])
+                if occ[g] != (d, p):
+                    removed[d].update(range(p, p + L))
+        out = {}
+        for d, tk in enumerate(toks):
+            kept = [w for i, w in enumerate(tk) if i not in removed[d]]
+            out[d] = (len(tk), len(removed[d]), " ".join(kept))
+        return out
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc_strategy, min_size=1, max_size=8))
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.removed_tokens, r.cleaned_text)
+            for r in remove_duplicate_spans(df, "text", "doc_id", l=L).collect()
+        }
+        want = reference(texts)
+        # whitespace tokenizer counts '' as one token on empty text — the
+        # reference's split() drops it; normalize that single edge
+        want = {
+            d: (max(n, 1) if texts[d] == "" else n, r, c)
+            for d, (n, r, c) in want.items()
+        }
+        assert got == want
+
+    run()
