@@ -666,3 +666,59 @@ def test_remove_duplicate_spans_matches_python_reference(spark):
         assert got == want
 
     run()
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Property test: the add-one-smoothed bigram scoring equals a
+    from-scratch reference on arbitrary corpora (model counts, vocab
+    size, per-doc mean log-prob)."""
+    import math
+
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.catalog import (
+        load_all,
+    )
+
+    words = [f"b{i}" for i in range(8)]
+    doc_strategy = st.lists(
+        st.sampled_from(words), min_size=1, max_size=20
+    ).map(" ".join)
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=st.lists(doc_strategy, min_size=2, max_size=8))
+    def run(texts):
+        import tempfile
+
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in load_all()["docs_bigram_logprob"].fn(spark, d).collect()
+        }
+
+        toks = [t.split() for t in texts]
+        bigrams = [(w1, w2) for tk in toks for w1, w2 in zip(tk, tk[1:])]
+        c12, c1 = Counter(bigrams), Counter(w1 for w1, _ in bigrams)
+        v = len({w for tk in toks for w in tk})
+        for i, tk in enumerate(toks):
+            bgs = list(zip(tk, tk[1:]))
+            if not bgs:
+                assert got[i] == (0, 0.0)
+                continue
+            lp = sum(
+                math.log((c12[b] + 1) / (c1[b[0]] + v)) for b in bgs
+            ) / len(bgs)
+            assert got[i][0] == len(bgs)
+            assert abs(got[i][1] - round(lp + 1e-9, 6)) < 2e-6, (i, got[i], lp)
+
+    run()
