@@ -220,3 +220,29 @@ def test_rendezvous_shard_minimal_movement(spark):
     c8 = Counter(r["s8"] for r in out)
     assert set(c8) == set(range(8))
     assert max(c8.values()) < 2 * min(c8.values())
+
+
+def test_rendezvous_shard_matches_md5_reference(spark):
+    """Exact sequential reference: argmax over md5 scores with
+    higher-shard tie-break, replayed in Python per doc."""
+    import hashlib
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.shards import (
+        rendezvous_shard,
+    )
+
+    n = 7
+    ids = [0, 1, 5, 99, 1000, 123456789, 2**40 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", rendezvous_shard("doc_id", n).alias("s")
+        ).collect()
+    }
+    for i in ids:
+        scores = [
+            (int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16), s)
+            for s in range(n)
+        ]
+        assert got[i] == max(scores)[1], i
