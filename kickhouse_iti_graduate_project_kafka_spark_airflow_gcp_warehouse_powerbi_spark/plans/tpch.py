@@ -1306,3 +1306,394 @@ def top_balance_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("totacctbal"),
         )
     )
+
+
+# ==========================================================================
+# Correlated-subquery shapes (round 7): the SQL class a DirectQuery BI layer
+# emits against the reference's star schema (reference README.md:437,462-466
+# — Power BI writes correlated scalar subqueries, EXISTS/NOT EXISTS, and
+# IN-over-HAVING against the gold tables). Each oracle below is the
+# *correlated* BI formulation; each Spark plan is the decorrelated rewrite a
+# 100 TB cluster needs: window aggregates on the already-required shuffle
+# key instead of per-row re-scans, LEFT SEMI/ANTI hash joins instead of
+# nested-loop EXISTS. The fixture has no partsupp table, so the Q2/Q20
+# shapes are re-keyed onto lineitem (same correlation structure: min-per-
+# group lookup resp. correlated HAVING threshold).
+#
+# Determinism contract: every correlated threshold is exact arithmetic —
+# decimal sums/counts compared via integer-scaled inequalities (5*qty*cnt <
+# sum, 8*qty_sp > qty_total) so both engines keep bitwise-identical rows;
+# double columns in outputs are stored values or exact-decimal casts.
+# ==========================================================================
+
+
+@register(
+    "min_price_supplier_per_part",
+    tags=("J5", "tpch", "correlated-scalar", "Q2-shape"),
+    oracle="""
+    SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey,
+           l.l_extendedprice AS min_price
+    FROM part p, supplier s, lineitem l, nation n, region r
+    WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      AND p.p_size = 15
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+    """,
+)
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN lookup — for each size-15 part,
+    the EUROPE-region sale(s) at that part's minimum extended price.
+
+    Decorrelation: the oracle's per-part correlated MIN re-scans lineitem
+    per row; here the region/size filters are applied ONCE (supplier and
+    part dims broadcast), then ``MIN() OVER (PARTITION BY p_partkey)`` rides
+    the single shuffle the grouping needs — no self-join, no second fact
+    scan. The equality filter compares stored doubles against a MIN of the
+    same stored values, so both engines keep identical rows (no arithmetic
+    at the boundary).
+
+    100 TB: one fact shuffle on l_partkey; dims broadcast; result bounded
+    by (filtered parts × ties)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey")
+    )
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .withColumn("_min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_min_price"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "late_order_priority_count",
+    tags=("J-semi", "tpch", "exists", "Q4-shape"),
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-04-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS against the fact — orders in a quarter with at
+    least one lineitem shipped >60 days after the order date (the fixture
+    has no l_commitdate/l_receiptdate, so lateness is ship-vs-order lag).
+
+    Decorrelation: EXISTS becomes a LEFT SEMI hash join on l_orderkey with
+    the cross-table date predicate evaluated as the join's residual
+    condition — one pass over each fact, no per-order re-scan, and the
+    semi join short-circuits on first match (never duplicates orders).
+
+    100 TB: the quarter filter prunes orders before the shuffle; both
+    sides exchange on orderkey once; priority agg is map-side partial."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "small_quantity_order_revenue",
+    tags=("A4", "tpch", "correlated-scalar", "Q17-shape"),
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND 5 * CAST(l.l_quantity AS DECIMAL(14,2))
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(14,2)))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: avg-per-key guard — revenue from brand lineitems
+    whose quantity is below 20% of that part's average quantity.
+
+    The textbook predicate ``qty < 0.2 * AVG(qty)`` hides a float hazard
+    (0.2*avg differs in the last ulp across engines); both sides here use
+    the integer-scaled exact form ``5·qty·cnt < Σqty`` over decimals, so
+    the kept-row set is bitwise identical.
+
+    Decorrelation: the correlated per-part AVG re-scan becomes SUM/COUNT
+    windows over l_partkey AFTER the brand semi-filter — valid because
+    every lineitem of a given partkey shares that part's brand, so the
+    brand filter never removes rows from a surviving part's window. ONE
+    lineitem scan, one shuffle (partkey), dims broadcast; the oracle pays
+    three scans.
+
+    100 TB: window rides the partkey shuffle; final agg is a 1-row
+    reduce."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    qty_dec = F.col("l_quantity").cast("decimal(14,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("_sum_qty", F.sum(qty_dec).over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(w))
+        .filter(F.lit(5) * qty_dec * F.col("_cnt") < F.col("_sum_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "large_order_customers",
+    bench=True,
+    tags=("A1", "J5", "tpch", "in-having", "Q18-shape"),
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped HAVING — customers whose orders
+    total more than 250 units.
+
+    Decorrelation one better: the oracle aggregates lineitem for the IN
+    list and then RE-JOINS lineitem to recompute the same sum; here the
+    per-order decimal sum is computed ONCE, filtered, and carried as
+    total_qty — one lineitem scan instead of two, and the final group-by
+    disappears (orderkey is already unique after the aggregate).
+
+    100 TB: lineitem aggregates map-side then shuffles on orderkey; the
+    surviving big-order set is tiny (tail of the qty distribution), so AQE
+    broadcasts it into the orders join; customer attaches by shuffle or
+    broadcast at AQE's discretion (fixture: broadcast)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "dominant_share_suppliers",
+    tags=("J-semi", "tpch", "correlated-having", "Q20-shape"),
+    oracle="""
+    SELECT s.s_name, s.s_acctbal, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING 8 * SUM(CAST(l.l_quantity AS DECIMAL(14,2))) >
+               (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(14,2)))
+                FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+    """,
+)
+def dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN + correlated HAVING — suppliers shipping
+    more than 1/8 of the total volume of some 'red' part (the fixture has
+    no partsupp/availqty, so the correlated threshold is re-keyed to the
+    part's total shipped volume; the correlation structure — per-group sum
+    vs a per-partkey correlated scalar — is Q20's).
+
+    Decorrelation: the correlated per-part total is a SUM window over the
+    ALREADY-AGGREGATED (suppkey, partkey) frame — exact because a sum of
+    per-supplier decimal sums equals the part total; no second lineitem
+    scan (the oracle pays one per probed part). The share test is the
+    integer-scaled exact form ``8·qty_sp > qty_total``. Qualifying
+    suppkeys are distinct'd (bounded by the supplier dim) and applied as a
+    broadcast LEFT SEMI join.
+
+    100 TB: one fact scan, one shuffle on (suppkey, partkey), window on
+    the aggregated frame, dims broadcast."""
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    per_sp = (
+        li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("_qty_sp"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        per_sp.withColumn("_qty_total", F.sum("_qty_sp").over(w))
+        .filter(F.lit(8) * F.col("_qty_sp") > F.col("_qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "sole_late_supplier_ranking",
+    bench=True,
+    tags=("J-semi", "J-anti", "tpch", "exists", "not-exists", "Q21-shape"),
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND s.s_nationkey = n.n_nationkey
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS + NOT EXISTS against the
+    same fact — late lineitems of finished multi-supplier orders where this
+    supplier was the ONLY late one (lateness = shipped >60 days after
+    order date, the fixture's commitdate stand-in).
+
+    Decorrelation: both correlated subqueries collapse into per-
+    (orderkey, suppkey) aggregates + two windows over orderkey on the
+    aggregated frame — n_supp>1 IS the EXISTS (another supplier in the
+    order), n_late_supp==1 IS the NOT EXISTS (no OTHER late supplier,
+    given this one is late). numwait then sums this supplier's late rows.
+    ONE scan of lineitem and orders each; the oracle's formulation
+    re-probes lineitem twice per row.
+
+    100 TB: lineitem⋈orders shuffles on orderkey once; the (orderkey,
+    suppkey) aggregate and both windows ride that same key prefix;
+    supplier dim broadcasts; final agg is supplier-dim-sized."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("_n_late_rows"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per_os.withColumn("_n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_n_late_supp",
+            F.sum((F.col("_n_late_rows") > 0).cast("int")).over(w),
+        )
+        .filter(
+            (F.col("_n_late_rows") > 0)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late_supp") == 1)
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("_n_late_rows").cast("long").alias("numwait"))
+    )

@@ -157,3 +157,64 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path_fac
     # and the result is correct: only months 0 and 1 survive
     got = {r["m"]: r["count"] for r in joined.collect()}
     assert set(got) == {0, 1}
+
+
+# --------------------------------------------------------------------------
+# Correlated-subquery decorrelation guards (round 7): each oracle is a
+# correlated BI formulation; the Spark plan must be the decorrelated
+# rewrite — window-on-the-required-shuffle / semi-anti hash joins, never a
+# per-row re-scan (extra fact scan), never a nested-loop join.
+# --------------------------------------------------------------------------
+
+def _scan_count(p: str, table: str) -> int:
+    """Fact-scan count across both explain renderings (formatted+simple
+    each render every node once, so one logical scan appears twice)."""
+    return p.count(f"{table}.parquet")
+
+
+def test_q2_shape_min_lookup_is_windowed_not_self_joined(plans):
+    p = plans("min_price_supplier_per_part")
+    # decorrelated: ONE lineitem scan (the correlated MIN re-scan is gone)
+    assert _scan_count(p, "lineitem") <= 2
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q4_shape_exists_is_semi_hash_join(plans):
+    p = plans("late_order_priority_count")
+    assert "LeftSemi" in p
+    assert _scan_count(p, "lineitem") <= 2
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q17_shape_avg_guard_single_fact_scan(plans):
+    p = plans("small_quantity_order_revenue")
+    # oracle pays 3 lineitem scans (probe + 2 correlated); plan pays 1
+    assert _scan_count(p, "lineitem") <= 2
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_shape_no_second_lineitem_scan(plans):
+    p = plans("large_order_customers")
+    # the IN-list aggregate doubles as the total_qty source: one scan
+    assert _scan_count(p, "lineitem") <= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q20_shape_correlated_having_is_window_plus_semi(plans):
+    p = plans("dominant_share_suppliers")
+    assert _scan_count(p, "lineitem") <= 2
+    assert "Window" in p
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_shape_double_correlation_single_scan_each(plans):
+    p = plans("sole_late_supplier_ranking")
+    # EXISTS + NOT EXISTS both collapse into the one aggregated frame:
+    # one lineitem scan, one orders scan, windows ride the orderkey key
+    assert _scan_count(p, "lineitem") <= 2
+    assert _scan_count(p, "orders") <= 2
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
