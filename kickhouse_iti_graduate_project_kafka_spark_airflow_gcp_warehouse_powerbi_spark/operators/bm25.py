@@ -100,12 +100,16 @@ def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _score(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
-           query_terms: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+           query_terms: DataFrame, k: int, k1: float, b: float,
+           exclude_self: bool = True) -> DataFrame:
     """Shared scoring tail: semi-filter postings by the (broadcast) query
     terms, derive per-term document frequency with a window OVER the
     term-partitioned surviving postings (reuses the one term shuffle — no
     separate df aggregate + join-back), aggregate per (q_id, doc), rank
-    per query on the rounded score."""
+    per query on the rounded score. ``exclude_self`` drops candidates
+    whose doc_id equals the query's q_id (right for corpus-as-queries
+    similarity; wrong for external query sets whose id namespace is
+    unrelated — see the public wrappers)."""
     q_terms = broadcast(query_terms)
     n_avg = stats  # (n_docs long, avgdl double) — 1 row
     surviving = postings.join(
@@ -120,11 +124,9 @@ def _score(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
             F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
         )
     )
-    matched = (
-        with_idf.join(q_terms, "term")
-        .join(doclen, "doc_id")
-        .filter(F.col("doc_id") != F.col("q_id"))
-    )
+    matched = with_idf.join(q_terms, "term").join(doclen, "doc_id")
+    if exclude_self:
+        matched = matched.filter(F.col("doc_id") != F.col("q_id"))
     tf = F.col("tf").cast("double")
     tf_norm = (tf * (k1 + 1.0)) / (
         tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
@@ -150,6 +152,7 @@ def bm25_score_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_key: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """BM25 top-k per query, computed directly from the corpus (one
     tokenize pass; see module docstring for the formula and posture).
@@ -157,6 +160,17 @@ def bm25_score_topk(
     Returns (q_id, n_id, score, rank) with rank 1..k per q_id; score is
     rounded to 4 dp and rank is computed over the rounded score with n_id
     as the tie-break (total order, engine-independent).
+
+    ``exclude_self=True`` (default) drops candidates with doc_id == q_id —
+    the right semantics when the queries ARE corpus documents (near-dup /
+    related-doc retrieval, this engine's primary use). For an EXTERNAL
+    query set whose id namespace is unrelated to doc ids (e.g. both
+    auto-increment from 0), pass ``exclude_self=False`` or a colliding id
+    silently loses one legitimate candidate.
+
+    Corpus-stats contract (shared with the indexed path): n_docs/avgdl
+    count documents WITH at least one token; empty/whitespace-only docs
+    contribute no postings and are excluded from the stats on every path.
 
     The postings frame feeds four consumers (df table, doclen, the global
     stats pair, the scoring join), so it is persisted — via the shared
@@ -177,7 +191,7 @@ def bm25_score_topk(
         .select("q_id", F.explode(F.array_distinct("_toks")).alias("term"))
         .filter(F.col("term") != "")
     )
-    return _score(postings, doclen, stats, query_terms, k, k1, b)
+    return _score(postings, doclen, stats, query_terms, k, k1, b, exclude_self)
 
 
 def build_bm25_index(
@@ -191,7 +205,14 @@ def build_bm25_index(
     query's terms prune to their buckets), `{path}/doclen`, and
     `{path}/meta` (n_docs, avgdl). The one tokenize scan a corpus ever
     pays for lexical retrieval; queries afterwards read only postings
-    buckets their terms hash into."""
+    buckets their terms hash into.
+
+    doclen is the index's id REGISTRY: every corpus doc gets a row, with
+    dl=0 for empty/whitespace-only docs (so the append path's replay
+    guard sees them). The meta stats (n_docs, avgdl) count only docs with
+    dl>0 — the same population the direct :func:`bm25_score_topk` path
+    derives from postings — so build, append, and direct scoring all
+    agree even when the corpus contains token-less docs."""
     postings = bm25_postings(corpus, id_col, text_col).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     )
@@ -202,12 +223,25 @@ def build_bm25_index(
         "term_bucket"
     ).mode("overwrite").parquet(f"{path}/postings")
     spark = corpus.sparkSession
-    doclen = spark.read.parquet(f"{path}/postings").groupBy("doc_id").agg(
-        F.sum("tf").alias("dl")
+    ids = (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .filter(F.col("doc_id").isNotNull())
+        .dropDuplicates(["doc_id"])
+    )
+    doclen = (
+        ids.join(
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("dl")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
     )
     doclen.write.mode("overwrite").parquet(f"{path}/doclen")
     stats = (
         spark.read.parquet(f"{path}/doclen")
+        .filter(F.col("dl") > 0)  # stats population: docs with tokens
         .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
         .withColumn("term_buckets", F.lit(term_buckets))
     )
@@ -238,7 +272,9 @@ def append_to_bm25_index(
     appended index answers queries identically to a fresh build over the
     union (BM25 has no trained state — unlike the ANN lifecycles there
     is no drift caveat: idf/avgdl are recomputed exactly from the
-    appended tables).
+    appended tables). Token-less docs register in doclen with dl=0 —
+    registry rows only; like the build path, meta stats count docs with
+    dl>0, so an empty doc in a batch never shifts n_docs/avgdl.
 
     Crash posture: doclen is the COMMIT marker (written after postings),
     so a crash between the two writes leaves duplicated postings rows on
@@ -291,6 +327,7 @@ def append_to_bm25_index(
         # fully-replayed one (closes the doclen-written/meta-stale window)
         stats = (
             spark.read.parquet(f"{path}/doclen")
+            .filter(F.col("dl") > 0)  # stats population: docs with tokens
             .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
             .withColumn("term_buckets", F.lit(n_buckets))
             .collect()  # 1 row — sever lineage before overwriting meta
@@ -316,11 +353,15 @@ def bm25_topk_indexed(
     b: float = B_DEFAULT,
     id_col: str = "doc_id",
     text_col: str = "text",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Query a :func:`build_bm25_index` index. The query terms' hash
     buckets become an IN-list filter on the postings partition column —
     partition pruning for text — before the shared scoring tail runs.
-    Equivalent to :func:`bm25_score_topk` on the indexed corpus."""
+    Equivalent to :func:`bm25_score_topk` on the indexed corpus,
+    including the ``exclude_self`` contract (candidates with doc_id ==
+    q_id are dropped by default; pass False for external query sets whose
+    id namespace can collide with doc ids)."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]  # 1 row
     n_buckets = int(meta["term_buckets"])
     query_terms = (
@@ -349,4 +390,4 @@ def bm25_topk_indexed(
     stats = spark.createDataFrame(
         [(int(meta["n_docs"]), float(meta["avgdl"]))], "n_docs long, avgdl double"
     )
-    return _score(postings, doclen, stats, query_terms, k, k1, b)
+    return _score(postings, doclen, stats, query_terms, k, k1, b, exclude_self)

@@ -190,3 +190,55 @@ def test_bm25_matches_python_reference_on_random_corpora(spark):
             assert abs(got[d] - round(s + 1e-9, 4)) < 2e-4, (d, got[d], s)
 
     run()
+
+
+def test_bm25_exclude_self_opt_out(spark, tiny):
+    """exclude_self=False keeps a candidate whose doc_id collides with the
+    query id — the external-query-namespace case (advice r6)."""
+    q = spark.createDataFrame([(0, "ducks quack")], "doc_id long, text string")
+    # colliding q_id=0 vs doc 0: doc 3 is the only term match either way
+    out = bm25_score_topk(tiny, q, k=5, exclude_self=False).collect()
+    assert {r["n_id"] for r in out} == {3}
+    q2 = spark.createDataFrame([(4, "spark shuffles")], "doc_id long, text string")
+    with_self = {r["n_id"] for r in bm25_score_topk(tiny, q2, k=5, exclude_self=False).collect()}
+    without = {r["n_id"] for r in bm25_score_topk(tiny, q2, k=5).collect()}
+    assert 4 in with_self and 4 not in without
+
+
+def test_bm25_append_with_empty_doc_matches_fresh_build(spark, tiny, tmp_path):
+    """Advice r6 (medium): a zero-token doc in an append batch must not
+    shift n_docs/avgdl — appended index ≡ fresh build over the union,
+    scores included."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
+        append_to_bm25_index,
+    )
+
+    p_app = str(tmp_path / "bm25_app")
+    p_fresh = str(tmp_path / "bm25_fresh")
+    batch = spark.createDataFrame(
+        [(10, "spark joins the table"), (11, "   "), (12, "")],
+        "doc_id long, text string",
+    )
+    build_bm25_index(tiny, p_app, term_buckets=8)
+    append_to_bm25_index(spark, p_app, batch)
+    build_bm25_index(tiny.unionByName(batch), p_fresh, term_buckets=8)
+
+    ma = spark.read.parquet(f"{p_app}/meta").collect()[0]
+    mf = spark.read.parquet(f"{p_fresh}/meta").collect()[0]
+    assert ma["n_docs"] == mf["n_docs"] == 6  # 5 tiny + 1 tokenful batch doc
+    assert ma["avgdl"] == mf["avgdl"]
+
+    q = spark.createDataFrame([(99, "spark table")], "doc_id long, text string")
+    got_a = sorted(map(tuple, bm25_topk_indexed(spark, p_app, q, k=10).collect()))
+    got_f = sorted(map(tuple, bm25_topk_indexed(spark, p_fresh, q, k=10).collect()))
+    assert got_a == got_f
+    # both registries carry the dl=0 rows (replay guard sees empty docs)
+    for p in (p_app, p_fresh):
+        dl0 = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{p}/doclen").filter("dl = 0").collect()
+        }
+        assert dl0 == {11, 12}, p
+    # replaying the same batch appends nothing
+    res = append_to_bm25_index(spark, p_app, batch)
+    assert res["n_appended"] == 0 and res["n_replayed"] == 3
