@@ -52,6 +52,23 @@ def _read_meta(spark: SparkSession, path: str):
         return None
 
 
+def _rm_version_dir(p: str) -> None:
+    """Best-effort removal of a superseded ``sketch_v<N>`` dir, routed
+    through the same scheme-aware FS backend the manifest machinery uses
+    (maintenance._io_for) — a plain shutil.rmtree silently no-ops on
+    HDFS/S3/viewfs lakes and superseded versions would accumulate forever
+    (advice r6). Best-effort stays best-effort: correctness never depends
+    on the cleanup (meta points at the live version), so failures are
+    swallowed."""
+    from .maintenance import _io_for
+
+    try:
+        io, norm = _io_for(p)
+        io.rmtree(norm)
+    except Exception:
+        pass
+
+
 def upsert_cm_sketch_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -65,8 +82,6 @@ def upsert_cm_sketch_batch(
     """Merge ``batch``'s count-min cells into the versioned sketch at
     ``path``; see the module docstring for the exactly-once protocol.
     Returns {batch_id, applied, n_batch_rows, version}."""
-    import shutil
-
     meta = _read_meta(spark, path)
     if meta is not None:
         if (int(meta["depth"]), int(meta["width"]), int(meta["seed"])) != (
@@ -99,9 +114,7 @@ def upsert_cm_sketch_batch(
         "key_cols array<string>",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     if meta is not None:  # best-effort cleanup AFTER the commit
-        shutil.rmtree(
-            f"{path}/sketch_v{int(meta['version'])}", ignore_errors=True
-        )
+        _rm_version_dir(f"{path}/sketch_v{int(meta['version'])}")
     return {
         "batch_id": batch_id, "applied": True,
         "n_batch_rows": int(n_rows), "version": version,

@@ -23,9 +23,14 @@ Scale posture: per batch, one (day) aggregate over the batch (map-side
 partial sketches — register arrays merge in the combiner, so shuffle
 volume is |days| x 2^lgk bytes, independent of row count), then a merge
 against the stored table, which holds ONE ROW PER DAY — years of data is
-thousands of rows. The merged table is collected (bounded by |days|) to
-sever lineage before the overwrite, the same read-then-rewrite hazard
-discipline the SCD2 stream uses.
+thousands of rows. The merge is written to a NEW ``sketch_v<N>``
+directory and ``meta`` flips to it afterwards — the versioned-dir
+pattern ``heavy_stream.py`` uses. That kills the read-then-rewrite
+hazard without the previous driver-side collect of the whole sketch
+table (at lgk=14 over a decade of days that collect moved ~60 MB
+through the driver per batch; the executors now write the merge
+directly). Superseded versions are removed best-effort AFTER the flip,
+through the scheme-aware FS backend.
 """
 
 from __future__ import annotations
@@ -37,12 +42,22 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
+from .heavy_stream import _rm_version_dir
 
-def _read_sketches(spark: SparkSession, path: str) -> DataFrame | None:
+
+def _read_meta(spark: SparkSession, path: str):
     try:
-        return spark.read.parquet(path)
+        return spark.read.parquet(f"{path}/meta").collect()[0]  # 1 row
     except AnalysisException:
         return None
+
+
+def _current_sketches(spark: SparkSession, path: str) -> DataFrame:
+    """The committed sketch table (meta names the live version)."""
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no HLL sketch table committed at {path!r}")
+    return spark.read.parquet(f"{path}/sketch_v{int(meta['version'])}")
 
 
 def upsert_hll_batch(
@@ -54,39 +69,54 @@ def upsert_hll_batch(
     lgk: int = 12,
 ) -> dict:
     """Merge ``batch``'s per-day HLL sketches of ``key_col`` into the
-    sketch table at ``path`` (day binary-sketch rows). Returns
-    {n_batch_rows, n_days_touched, n_days_total}."""
+    versioned sketch table at ``path`` (``sketch_v<N>`` day/binary rows,
+    ``meta`` = live version; see module docstring). Register-max union is
+    replay-idempotent, so unlike the count-min stream no batch-id
+    watermark is needed — a replayed or crashed-and-retried batch
+    converges to the same registers. Returns
+    {n_batch_rows, n_days_touched, n_days_total, version}."""
     n_batch = batch.count()
     new = (
         batch.select(F.to_date(ts_col).alias("day"), F.col(key_col))
         .groupBy("day")
         .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sk"))
     )
-    stored = _read_sketches(spark, path)
-    if stored is None:
-        merged = new
+    meta = _read_meta(spark, path)
+    if meta is None:
+        merged, version = new, 0
     else:
+        if int(meta["lgk"]) != lgk:
+            raise ValueError(
+                f"sketch table at {path!r} was built with lgk={int(meta['lgk'])}"
+            )
+        stored = spark.read.parquet(f"{path}/sketch_v{int(meta['version'])}")
         merged = (
             stored.unionByName(new)
             .groupBy("day")
             .agg(F.hll_union_agg("sk").alias("sk"))
         )
-    # bounded collect: one row per day — sever lineage from the stored
-    # table before overwriting it (read-then-rewrite hazard)
-    rows = merged.collect()
-    out = spark.createDataFrame(rows, merged.schema)
-    out.write.mode("overwrite").parquet(path)
+        version = int(meta["version"]) + 1
+    # new version dir first (reads the stored version, writes a fresh dir —
+    # no read-then-rewrite overlap), then flip meta, then clean up
+    merged.write.mode("overwrite").parquet(f"{path}/sketch_v{version}")
+    spark.createDataFrame(
+        [(version, lgk)], "version long, lgk int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    n_total = spark.read.parquet(f"{path}/sketch_v{version}").count()
+    if meta is not None:  # best-effort cleanup AFTER the commit
+        _rm_version_dir(f"{path}/sketch_v{int(meta['version'])}")
     return {
         "n_batch_rows": int(n_batch),
         "n_days_touched": new.count(),
-        "n_days_total": len(rows),
+        "n_days_total": int(n_total),
+        "version": version,
     }
 
 
 def daily_estimates(spark: SparkSession, path: str) -> DataFrame:
     """(day, est) distinct-count estimates from the sketch table, plus the
     all-days merged estimate as a NULL-day row."""
-    sk = spark.read.parquet(path)
+    sk = _current_sketches(spark, path)
     per_day = sk.select("day", F.hll_sketch_estimate("sk").alias("est"))
     total = sk.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
@@ -108,7 +138,7 @@ def rolling_estimates(
     window — |days| x window rows of 2^lgk-byte blobs, then one
     ``hll_union_agg`` per end day. Independent of event volume; years of
     data is thousands of rows."""
-    sk = spark.read.parquet(path)
+    sk = _current_sketches(spark, path)
     right = sk.select(F.col("day").alias("_d"), F.col("sk").alias("_sk"))
     joined = sk.select("day").join(
         right,

@@ -27,3 +27,31 @@ def sf_small():
 @pytest.fixture(scope="session")
 def sf_oracle():
     return SF_ORACLE
+
+
+@pytest.fixture()
+def stream_tmpdir():
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kickhouse-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def viewfs_root(spark, stream_tmpdir):
+    """A viewfs:// mount over a tmpdir — genuine non-``file``-scheme Hadoop
+    machinery (ViewFileSystem resolution) over local storage, shared by
+    the manifest and sketch-maintenance suites. Yields
+    (viewfs_uri, backing_local_dir)."""
+    import uuid
+
+    # unique mount-table name per test: Hadoop caches FileSystem
+    # instances by (scheme, authority), so reusing one authority would
+    # serve a stale mount table pointing at the previous test's tmpdir
+    name = f"mfstest{uuid.uuid4().hex[:8]}"
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set(f"fs.viewfs.mounttable.{name}.link./store", f"file://{stream_tmpdir}")
+    yield f"viewfs://{name}/store", stream_tmpdir
+    conf.unset(f"fs.viewfs.mounttable.{name}.link./store")

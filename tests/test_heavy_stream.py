@@ -94,3 +94,32 @@ def test_stream_drive_builds_sketch(spark, sf_small, tmp_path):
     assert _cells(load_key_sketch(spark, path).df) == _cells(
         cm_sketch(ev, ["user_id"])
     )
+
+
+def test_superseded_versions_cleaned_on_viewfs(spark, sf_small, viewfs_root):
+    """Advice r6: version cleanup must work on non-``file`` schemes — the
+    old shutil.rmtree silently no-oped there and sketch_v dirs accumulated
+    forever. Drives three upserts through a real viewfs:// mount and
+    checks (via the backing local dir) that only the live version
+    survives."""
+    import os
+
+    uri, backing = viewfs_root
+    ev = load_table(spark, sf_small, "events").select("user_id")
+    path = f"{uri}/cm_vfs"
+    for b, pred in enumerate([0, 1, 2]):
+        upsert_cm_sketch_batch(
+            spark, ev.filter(F.col("user_id") % 3 == pred), path,
+            ["user_id"], batch_id=b,
+        )
+    vdirs = sorted(
+        d for d in os.listdir(os.path.join(backing, "cm_vfs"))
+        if d.startswith("sketch_v")
+    )
+    assert vdirs == ["sketch_v2"], vdirs
+    # the standing sketch still answers exactly
+    total = sum(
+        r["cnt"]
+        for r in load_key_sketch(spark, path).df.filter("i = 0").collect()
+    )
+    assert total == ev.count()

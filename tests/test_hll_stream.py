@@ -135,3 +135,35 @@ def test_rolling_estimates_deduplicate_across_days(spark, sf_small, tmp_path):
         sum(v for e, v in daily.items() if 0 <= (d - e).days < 7) > exact[d] * 1.2
         for d in full_days
     )
+
+
+def test_hll_versioned_upsert_on_viewfs(spark, sf_small, viewfs_root):
+    """r7: the HLL upsert now uses the versioned-dir pattern (no driver
+    collect of the sketch table) and the shared scheme-aware cleanup —
+    drive two upserts through a real viewfs:// mount: estimates stay
+    exact-ish, only the live version dir survives in the backing store."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        load_table,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.hll_stream import (
+        daily_estimates,
+    )
+
+    uri, backing = viewfs_root
+    ev = load_table(spark, sf_small, "events")
+    path = f"{uri}/hll_vfs"
+    s1 = upsert_hll_batch(spark, ev.filter(F.col("user_id") % 2 == 0), path)
+    s2 = upsert_hll_batch(spark, ev.filter(F.col("user_id") % 2 == 1), path)
+    assert (s1["version"], s2["version"]) == (0, 1)
+    vdirs = sorted(
+        d for d in os.listdir(os.path.join(backing, "hll_vfs"))
+        if d.startswith("sketch_v")
+    )
+    assert vdirs == ["sketch_v1"], vdirs
+    exact = ev.select("user_id").distinct().count()
+    total = [
+        r["est"] for r in daily_estimates(spark, path).collect() if r["day"] is None
+    ][0]
+    assert abs(total - exact) / exact < 0.05
