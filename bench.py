@@ -288,6 +288,35 @@ def main() -> None:
                 spark, f"{idx_root}/bm25_inc", docs.filter(F.col("doc_id") % 20 == 0)
             )
             index_secs["append_to_bm25_index"] = round(time.perf_counter() - t0, 3)
+
+            # adversarial span-rewrite: 200 docs x 10k tokens, 80%
+            # duplicated (shared 8k-token block) — the shape that blew up
+            # the pre-r7 O(|toks| x |removed|) array_contains kernel; the
+            # merged-interval slice rebuild keeps it linear
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dedup import (
+                remove_duplicate_spans,
+            )
+
+            adv = spark.range(200).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.concat(
+                        F.expr(
+                            "transform(sequence(0, 1999),"
+                            " i -> concat('u', id, '_', i))"
+                        ),
+                        F.expr("transform(sequence(0, 7999), i -> concat('s', i))"),
+                    ),
+                ).alias("text"),
+            )
+            t0 = time.perf_counter()
+            remove_duplicate_spans(adv, "text", "doc_id", l=8).agg(
+                F.sum("removed_tokens")
+            ).collect()
+            index_secs["span_rewrite_adversarial"] = round(
+                time.perf_counter() - t0, 3
+            )
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()

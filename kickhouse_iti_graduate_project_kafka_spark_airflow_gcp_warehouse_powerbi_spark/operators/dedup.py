@@ -937,29 +937,61 @@ def _excise_span_starts(
     """Shared rewrite tail: given (_id, _pos) span starts to excise,
     rebuild every input doc from its ORIGINAL token array minus the union
     of [pos, pos + l) intervals. Returns (id_col, n_tokens,
-    removed_tokens, cleaned_text) for EVERY row of ``df``."""
-    removal = (
-        starts.select(
-            "_id",
-            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (l - 1))).alias("_rp"),
+    removed_tokens, cleaned_text) for EVERY row of ``df``.
+
+    Kernel (r7 rewrite, VERDICT r6 wart #2): the per-doc removal set is
+    carried as MERGED disjoint intervals, not positions, and the doc is
+    rebuilt by slicing the KEPT gaps out of the original token array —
+    ``zip_with`` over (interval ends ++ [0], interval starts ++ [n])
+    yields one ``slice`` per gap, so per-doc cost is O(|toks| + |iv|)
+    array copying. The previous kernel filtered every token through
+    ``array_contains`` over the removal array — an interpreted
+    O(|toks| x |removed|) HOF that a pathological heavily-duplicated long
+    doc (10k tokens, 80% removed) turned into ~10^8 comparisons; the
+    adversarial benchmark in ``tests/test_operators.py`` pins the new
+    shape. Interval merging is a classic running-max sweep (two windows +
+    one aggregate) over the REMOVAL stream only, which is bounded by
+    duplicated occurrences — corpus text still never reshuffles."""
+    iv = starts.dropDuplicates(["_id", "_pos"]).select(
+        "_id",
+        F.col("_pos").cast("int").alias("_s"),
+        (F.col("_pos") + l).cast("int").alias("_e"),
+    )
+    w = Window.partitionBy("_id").orderBy("_s", "_e")
+    prev_max_e = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        iv.withColumn(
+            "_new",
+            F.when(prev_max_e.isNull() | (F.col("_s") > prev_max_e), 1).otherwise(0),
         )
-        .distinct()
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_rp")).alias("_rem"))
+        .withColumn(
+            "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("_id", "_grp")
+        .agg(F.min("_s").alias("s"), F.max("_e").alias("e"))
+    )
+    removal = merged.groupBy("_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_iv")
     )
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).withColumn("_toks", tokens("_text"))
     joined = base.join(removal, "_id", "left").withColumn(
-        "_rem", F.coalesce("_rem", F.array().cast("array<int>"))
+        "_iv", F.coalesce("_iv", F.array().cast("array<struct<s:int,e:int>>"))
     )
-    kept = F.filter(
-        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_rem"), i)
+    # kept gaps between intervals: [0, s0), [e0, s1), ..., [e_last, n)
+    kept = F.expr(
+        "flatten(zip_with("
+        "  concat(array(0), transform(_iv, x -> x.e)),"
+        "  concat(transform(_iv, x -> x.s), array(size(_toks))),"
+        "  (a, b) -> slice(_toks, a + 1, greatest(b - a, 0))))"
     )
     return joined.select(
         F.col("_id").alias(id_col),
         F.size("_toks").cast("bigint").alias("n_tokens"),
-        F.size("_rem").cast("bigint").alias("removed_tokens"),
+        F.expr("aggregate(_iv, 0, (acc, x) -> acc + (x.e - x.s))")
+        .cast("bigint")
+        .alias("removed_tokens"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
 
