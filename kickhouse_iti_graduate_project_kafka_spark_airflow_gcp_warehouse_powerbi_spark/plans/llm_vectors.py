@@ -87,9 +87,11 @@ def knn_ivf_label_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN with a REAL k-means coarse quantizer (8 cells, 3 Lloyd
     iterations, deterministic hash-spread init) and multi-probe (nprobe=2).
-    No SQL oracle (cell assignment is quantizer-specific): the driver
+    No SQL oracle (cell assignment is Lloyd-trained): the driver
     records a rows-only check; pytest asserts recall >= 0.8 vs brute force
-    and determinism across runs."""
+    and determinism across runs, and the oracled ivf_sampled_cell_shortlist
+    companion replays the identical IVF search machinery (assignment,
+    probe ranking, in-cell shortlist) closed-form in SQL."""
     from ..operators.ivf import ivf_topk, kmeans_centroids
 
     emb = _emb(spark, sf_dir)
@@ -104,8 +106,10 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_lsh_hyperplane", tags=("similarity", "ANN"), oracle=None)
 def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN (8 deterministic seeded planes, bucket-join).
-    Approximate — no SQL oracle (the hyperplanes derive from xxhash64);
-    unit tests assert determinism and recall vs brute force."""
+    Approximate — this entry keeps the cosine column (rows-only row);
+    the oracled lsh_bucket_shortlist companion replays the identical
+    bucketing + ranking closed-form in SQL, and unit tests assert
+    determinism and recall vs brute force."""
     emb = _emb(spark, sf_dir)
     out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=8)
     return out.select(
@@ -1084,3 +1088,160 @@ def semdedup_incremental_keeps_all(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_batch"),
         F.sum(F.col("is_pruned").cast("long")).alias("n_pruned"),
     )
+
+
+# ==========================================================================
+# Round 7: oracled shortlist companions for the two remaining rows-only
+# ANN paths (VERDICT r6 item 6), via the pq_adc_shortlist pattern —
+# deterministic trained state replayed closed-form in SQL.
+# ==========================================================================
+
+
+def _lsh_planes_sql(dim: int = 64, n_planes: int = 8) -> str:
+    """The engine's hyperplane coefficients as SQL literals. The planes
+    are a pure function of (plane, dim, seed=42) — xxhash64-derived values
+    that are exact multiples of 0.001 in (-2.001, 2.001), so their decimal
+    literals parse to the identical doubles the Spark side folds with."""
+    from ..operators.similarity import _plane_coeff
+
+    rows = []
+    for j in range(n_planes):
+        coeffs = ", ".join(repr(_plane_coeff(j, d)) for d in range(dim))
+        rows.append(f"SELECT {j} AS j, [{coeffs}]::DOUBLE[] AS w")
+    return "\n    UNION ALL ".join(rows)
+
+
+@register(
+    "lsh_bucket_shortlist",
+    tags=("similarity", "ANN", "LSH"),
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), p AS (
+    {_lsh_planes_sql()}
+    ), sig AS (
+        -- bucket bit j = sign of the projection on plane j; the bit sum
+        -- is integer arithmetic, order-independent
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_dot_product(e.v, p.w) >= 0
+                             THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN p GROUP BY e.vec_id
+    ), n AS (
+        SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm,
+               s.bucket
+        FROM e JOIN sig s ON e.vec_id = s.vec_id
+    ), q AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket
+        FROM n WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.q_id, c.vec_id AS n_id,
+               list_dot_product(q.qv, c.v) / (q.qn * c.nrm) AS cos
+        FROM n c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.q_id AND q.qn * c.nrm <> 0
+    )
+    SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id ASC) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def lsh_bucket_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH approximation tier itself, fully oracled — the
+    companion that converts knn_lsh_hyperplane's rows-only row into a real
+    set-equality check. The hyperplanes are a pure function of constants
+    (xxhash64(j, d), seed 42 — exact 0.001-multiples), so the oracle
+    carries them as literals and replays bucketing, the bucket join, and
+    the cosine ranking closed-form. Output is the rank-ordered id
+    shortlist (scores are ordinal-verified through the ordering;
+    lsh_ann_containment separately pins score integrity vs brute force).
+    """
+    emb = _emb(spark, sf_dir)
+    out = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=8)
+    return out.select("q_id", "n_id", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "ivf_sampled_cell_shortlist",
+    tags=("similarity", "ANN", "IVF"),
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), cent AS (
+        -- sampled coarse quantizer: the 4 smallest-id vectors, raw
+        SELECT rn - 1 AS cid, v AS c, list_dot_product(v, v) AS csq FROM (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM e ORDER BY vec_id LIMIT 4)
+    ), u AS (
+        -- unit-normalized data vectors (zero vectors pass through), the
+        -- engine's spherical assignment input
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+                    ELSE list_transform(
+                        v, x -> x / sqrt(list_dot_product(v, v)))
+               END AS uv
+        FROM e
+    ), assign AS (
+        -- nearest centroid by -2 u.c + ||c||^2, first-min tie-break
+        SELECT vec_id, cid AS cell FROM (
+            SELECT u.vec_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.vec_id
+                       ORDER BY -2*list_dot_product(u.uv, cent.c) + cent.csq
+                                    ASC,
+                                cent.cid ASC) AS rn
+            FROM u CROSS JOIN cent) WHERE rn = 1
+    ), probes AS (
+        SELECT q_id, cid AS cell FROM (
+            SELECT u.vec_id AS q_id, cent.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY u.vec_id
+                       ORDER BY -2*list_dot_product(u.uv, cent.c) + cent.csq
+                                    ASC,
+                                cent.cid ASC) AS pr
+            FROM u CROSS JOIN cent WHERE u.vec_id < 5) WHERE pr <= 2
+    ), scored AS (
+        SELECT p.q_id, a.vec_id AS n_id,
+               list_dot_product(qu.v, nu.v) / (qu.nrm * nu.nrm) AS cos
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
+        JOIN u qu ON qu.vec_id = p.q_id
+        JOIN u nu ON nu.vec_id = a.vec_id
+        WHERE a.vec_id <> p.q_id AND qu.nrm * nu.nrm <> 0
+    )
+    SELECT q_id, n_id, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT q_id, n_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos DESC, n_id ASC) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ivf_sampled_cell_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-Flat multi-probe tier itself, fully oracled — the companion
+    that converts knn_ivf_kmeans's rows-only row into a real set-equality
+    check, the way pq_adc_shortlist oracles the ADC tier. The sampled
+    quantizer (4 smallest-id vectors, zero Lloyd iterations — bounded
+    4-row collect) is exactly replayable in SQL, so the oracle recomputes
+    spherical cell assignment, nprobe=2 probe ranking, and the in-cell
+    cosine shortlist closed-form. 4 centroids keeps the engine on the
+    plan-literal scoring path (k x dim = 256), the same sequential fold
+    DuckDB evaluates. knn_ivf_kmeans keeps exercising the trained Lloyd
+    quantizer; recall/determinism for it stay pinned in tests."""
+    import numpy as np
+
+    from ..operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()  # bounded: 4 sampled centroid rows
+    )
+    cents = [np.asarray(r["embedding"], dtype="float64") for r in rows]
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=2)
+    return out.select("q_id", "n_id", F.col("rank").cast("int").alias("rank"))
