@@ -557,29 +557,42 @@ def simhash_pairs(
         )
         sim_expr = term if sim_expr is None else sim_expr.bitwiseOR(term)
     sh = votes.select("_id", sim_expr.alias("_sim"))
-    bands = sh.select(
-        "_id",
-        "_sim",
+    return hamming_band_pairs(sh, "_id", "_sim", max_hamming)
+
+
+def hamming_band_pairs(
+    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs among 63-bit hashes (sign bit clear, in a long) by
+    Hamming distance <= ``max_hamming``: candidate generation via 16-bit
+    band equality (4 bands — any pair within distance 3 agrees on >= 1
+    band by pigeonhole, so recall is exact for max_hamming <= 3), then the
+    distance verified with bit_count(xor). Shared by SimHash text dedup
+    and perceptual-hash image dedup (functions/imagehash.py). Returns
+    (a_id, b_id, hamming)."""
+    bands = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_hv"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("_sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias(
-                            "bucket"
-                        ),
+                        F.shiftrightunsigned(F.col(hash_col), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sim", "bb.band", "bb.bucket")
-    left = bands.select(F.col("_id").alias("a_id"), F.col("_sim").alias("_sa"), "band", "bucket")
-    right = bands.select(F.col("_id").alias("b_id"), F.col("_sim").alias("_sb"), "band", "bucket")
+    ).select("_id", "_hv", "bb.band", "bb.bucket")
+    left = bands.select(F.col("_id").alias("a_id"), F.col("_hv").alias("_ha"), "band", "bucket")
+    right = bands.select(F.col("_id").alias("b_id"), F.col("_hv").alias("_hb"), "band", "bucket")
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .select("a_id", "b_id", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
