@@ -174,3 +174,71 @@ def test_arrow_ipc_endpoint(spark, sf_oracle):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_concurrent_dashboard_refresh(spark, sf_oracle):
+    """DirectQuery posture smoke (VERDICT r6 item 9): 12 dashboard tiles
+    fire star joins through /sql.arrow AT ONCE. Every response must be
+    correct (checked against a pre-computed single-threaded answer) and
+    no request may starve (generous absolute latency ceiling — the
+    ThreadingHTTPServer handler threads share one SparkSession, whose
+    scheduler interleaves the jobs)."""
+    import threading
+    import time
+
+    import pyarrow as pa
+
+    register_views(spark, sf_oracle)
+
+    star = (
+        "SELECT n.n_name AS nation, "
+        "CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)) * "
+        "     (1 - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS rev "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE n.n_name = 'NATION_{k}' GROUP BY n.n_name"
+    )
+    expected = {
+        k: [tuple(r) for r in spark.sql(star.format(k=k)).collect()]
+        for k in range(12)
+    }
+
+    srv, _ = serve_background(spark, port=0, max_rows=100)
+    base = f"http://127.0.0.1:{srv.server_port}"
+    results: dict[int, list] = {}
+    latencies: dict[int, float] = {}
+    errors: list = []
+    barrier = threading.Barrier(12)
+
+    def tile(k: int) -> None:
+        try:
+            body = json.dumps({"sql": star.format(k=k), "limit": 100}).encode()
+            req = urllib.request.Request(
+                base + "/sql.arrow", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            barrier.wait(timeout=30)
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=120) as r:
+                raw = r.read()
+            latencies[k] = time.perf_counter() - t0
+            tbl = pa.ipc.open_stream(raw).read_all().to_pydict()
+            results[k] = list(zip(tbl["nation"], tbl["rev"]))
+        except Exception as e:  # surface in the main thread
+            errors.append((k, e))
+
+    try:
+        threads = [threading.Thread(target=tile, args=(k,)) for k in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=150)
+        assert not errors, errors
+        for k in range(12):
+            assert results[k] == expected[k], f"tile {k} wrong under concurrency"
+        # starvation bound: every tile answered well inside the ceiling
+        worst = max(latencies.values())
+        assert worst < 60, f"tile starved: worst latency {worst:.1f}s"
+    finally:
+        srv.shutdown()
