@@ -23,6 +23,19 @@ exits — the batch-backfill twin of the same gate (ST12 discipline:
 one transform, two drivers). ``--schema`` (a DDL string) lets the gate
 start BEFORE its producer has written anything; without it the schema
 is inferred from the existing source files.
+
+Full pipeline (one batch through EVERY ingest stage — quality gate,
+dedup absorb, BM25 append, HLL + count-min maintenance, semdedup, IVF
+and IVF-PQ appends — ``streaming/pipeline.py``):
+
+    python jobs/ingest_gate.py pipeline --source /lake/docs_batch \\
+        --emb-source /lake/emb_batch --state /lake/pipeline \\
+        --batch-id 7 [--crash-after bm25_append]
+
+``--crash-after`` injects a crash at that stage's boundary — the ops
+drill for the at-least-once retry discipline: re-run the SAME command
+without the flag and every stage skips what it already owns
+(``tests/test_pipeline_soak.py`` proves convergence at every boundary).
 """
 
 from __future__ import annotations
@@ -49,9 +62,25 @@ def main() -> None:
         maintain_semdedup_stream,
     )
 
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.pipeline import (
+        STAGES,
+    )
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["docs", "embeddings"])
+    ap.add_argument("mode", choices=["docs", "embeddings", "pipeline"])
     ap.add_argument("--source", required=True, help="parquet dir to tail")
+    ap.add_argument(
+        "--emb-source", help="pipeline mode: embeddings parquet dir"
+    )
+    ap.add_argument(
+        "--state", help="pipeline mode: root dir for all indexes/sketches"
+    )
+    ap.add_argument("--batch-id", type=int, default=0)
+    ap.add_argument(
+        "--crash-after", choices=STAGES,
+        help="pipeline mode: inject a crash at this stage's boundary "
+        "(ops drill for the retry discipline)",
+    )
     ap.add_argument("--checkpoint")
     ap.add_argument("--index", help="dedup index path (docs mode)")
     ap.add_argument("--survivors", help="survivors table path (embeddings mode)")
@@ -88,6 +117,8 @@ def main() -> None:
     )
     args = ap.parse_args()
     # validate mode-conditional args BEFORE paying JVM startup
+    if args.mode == "pipeline" and not (args.emb_source and args.state):
+        ap.error("pipeline mode requires --emb-source and --state")
     if args.mode == "docs" and not args.index:
         ap.error("docs mode requires --index")
     if args.mode == "embeddings" and not (args.survivors and args.ivf):
@@ -96,13 +127,33 @@ def main() -> None:
         ap.error("--reconcile applies to embeddings mode only")
     if args.quality_gate and args.mode != "docs":
         ap.error("--quality-gate applies to docs mode only")
-    if not args.reconcile and not args.checkpoint:
+    if args.mode != "pipeline" and not args.reconcile and not args.checkpoint:
         ap.error("--checkpoint is required (except with --reconcile)")
 
     spark = get_spark(app_name=f"kickhouse-ingest-gate-{args.mode}")
 
     def emit(stats: dict) -> None:
         print(json.dumps(stats), flush=True)
+
+    if args.mode == "pipeline":
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.pipeline import (
+            PipelinePaths,
+            ingest_pipeline_batch,
+        )
+
+        emit(
+            ingest_pipeline_batch(
+                spark,
+                spark.read.parquet(args.source),
+                spark.read.parquet(args.emb_source),
+                PipelinePaths(args.state),
+                args.batch_id,
+                threshold=args.threshold,
+                tau=args.tau,
+                fail_after=args.crash_after,
+            )
+        )
+        return
 
     if args.reconcile:
         from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.semdedup_stream import (

@@ -399,6 +399,40 @@ def cube_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "region_nations_listagg",
+    tags=("A1", "extension", "listagg"),
+    oracle="""
+    SELECT r_name AS region,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def region_nations_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG / string_agg — the BI 'member list in a tooltip'
+    shape. collect_list is unordered in a distributed agg (whichever
+    partition arrives first), so determinism comes from array_sort BEFORE
+    array_join — the aggregation itself stays a single partial-merge
+    shuffle; no window, no global sort. Nation is dim-sized, so the join
+    side broadcasts."""
+    return (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # WF1: moving average with a row frame
 # --------------------------------------------------------------------------

@@ -606,3 +606,39 @@ def test_ingest_gate_cli_reconcile(spark, sf_small, tmpdir):
         capture_output=True, text=True, timeout=300,
     )
     assert out.returncode != 0 and "embeddings mode only" in (out.stderr + out.stdout)
+
+def test_ingest_gate_cli_pipeline_mode(spark, sf_small, tmpdir):
+    """Subprocess drive of the full-pipeline CLI: --crash-after injects a
+    boundary crash (nonzero exit), the flagless retry converges (the soak
+    discipline), and all four indexes + both sketches land under --state."""
+    docs = load_table(spark, sf_small, "documents").filter("doc_id < 40").select(
+        "doc_id", "text", "source",
+        F.to_timestamp(F.lit("2024-03-01 00:00:00")).alias("ts"),
+    )
+    docs.write.parquet(f"{tmpdir}/pdsrc")
+    load_table(spark, sf_small, "embeddings").filter("vec_id < 40").select(
+        "vec_id", "embedding"
+    ).write.parquet(f"{tmpdir}/pesrc")
+
+    base = [
+        sys.executable, "/root/repo/jobs/ingest_gate.py", "pipeline",
+        "--source", f"{tmpdir}/pdsrc", "--emb-source", f"{tmpdir}/pesrc",
+        "--state", f"{tmpdir}/pstate", "--batch-id", "0",
+    ]
+    out = subprocess.run(
+        base + ["--crash-after", "bm25_append"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "injected crash" in (out.stderr + out.stdout)
+
+    out = subprocess.run(base, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(stats) == 1 and set(stats[0]) >= {
+        "quality", "dedup_absorb", "bm25_append", "hll", "countmin",
+        "semdedup", "ivf_append", "ivfpq_append",
+    }
+    for rel in ("dedup_index/doc_ids", "bm25_index/doclen", "sem_survivors",
+                "ivf_index/vectors", "ivfpq_index/codes"):
+        assert spark.read.parquet(f"{tmpdir}/pstate/{rel}").count() > 0
