@@ -1295,12 +1295,26 @@ def absorb_batch_into_index(
             "_id", F.xxhash64("_sh").alias("_h")
         )
     )
+    # forgotten docs (operators/forget.py tombstones, not yet vacuumed)
+    # must stop blocking new arrivals: anti-join the corpus-side tables
+    # against the broadcast-sized tombstones before classification
+    from .forget import read_dedup_tombstones
+
+    id_ts, fp_ts = read_dedup_tombstones(spark, path)
+    fp_tbl = spark.read.parquet(f"{path}/fingerprints")
+    if fp_ts is not None:
+        fp_tbl = fp_tbl.join(F.broadcast(fp_ts), "_fp", "left_anti")
+    sh_tbl = spark.read.parquet(f"{path}/shingles")
+    sz_tbl = spark.read.parquet(f"{path}/sizes")
+    if id_ts is not None:
+        sh_tbl = sh_tbl.join(F.broadcast(id_ts), "_cid", "left_anti")
+        sz_tbl = sz_tbl.join(F.broadcast(id_ts), "_cid", "left_anti")
     cls = _persist(
         _classify_batch(
             src,
-            spark.read.parquet(f"{path}/fingerprints"),
-            spark.read.parquet(f"{path}/shingles"),
-            spark.read.parquet(f"{path}/sizes"),
+            fp_tbl,
+            sh_tbl,
+            sz_tbl,
             "_txt",
             "_id",
             n,
@@ -1350,7 +1364,7 @@ def absorb_batch_into_index(
     )
     if msf is not None:
         stored_cnt = (
-            spark.read.parquet(f"{path}/shingles")
+            sh_tbl  # tombstone-filtered view: forgotten docs free their cap slots
             .join(f_sh.select("_h").distinct(), "_h", "left_semi")
             .groupBy("_h")
             .agg(F.count(F.lit(1)).alias("_sc"))
@@ -1366,6 +1380,15 @@ def absorb_batch_into_index(
         f_sh = f_sh.join(ok, "_h", "left_semi")
     # same lineage severing as `final`: the guard read the stored shingles
     f_sh = f_sh.localCheckpoint(eager=True)
+    # re-accepted content must leave the tombstone tables BEFORE the
+    # appends, else a later vacuum would delete rows the new owners rely
+    # on (an accepted doc whose fingerprint physically survives from a
+    # forgotten predecessor re-livens that row rather than duplicating
+    # it). Cleared-then-crash = the fingerprint-gate posture below.
+    if id_ts is not None or fp_ts is not None:
+        from .forget import clear_tombstones_for
+
+        clear_tombstones_for(spark, path, final, "_txt", "_id")
     # append order = crash posture documented above (fingerprint = gate)
     final.select(fingerprint64("_txt").alias("_fp")).distinct().join(
         spark.read.parquet(f"{path}/fingerprints"), "_fp", "left_anti"
