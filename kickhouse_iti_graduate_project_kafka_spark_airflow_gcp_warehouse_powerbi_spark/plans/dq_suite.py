@@ -467,3 +467,42 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_summary(
         orders, b, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
     )
+
+
+# ---- conditional DISTINCT aggregation (FILTER clause) ---------------------
+@register(
+    "events_daily_conditional_distincts",
+    tags=("A3", "A4", "extension"),
+    oracle="""
+    SELECT DATE '1970-01-01' + CAST(FLOOR(epoch(ts) / 86400) AS INTEGER)
+               AS day,
+           COUNT(DISTINCT user_id) AS dau,
+           COUNT(DISTINCT user_id) FILTER (WHERE event_type = 'error')
+               AS dau_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_conditional_distincts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT(DISTINCT) under a FILTER clause — the BI 'DAU vs affected
+    DAU' shape. Spark has no FILTER syntax on aggregates; the idiom is
+    count_distinct(when(cond, col)) (when() yields NULL outside the
+    condition and distinct-count ignores NULLs — exactly FILTER
+    semantics). One shuffle carries all three aggregates; day buckets by
+    integer epoch-day arithmetic so results are session-timezone-proof
+    (see events_weekly_cohort_retention)."""
+    ev = _events(spark, sf_dir)
+    day = F.date_from_unix_date(
+        F.floor(F.col("ts").cast("double") / 86400).cast("int")
+    ).alias("day")
+    return ev.groupBy(day).agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("dau_error"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchases"
+        ),
+    )

@@ -400,6 +400,35 @@ def cube_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_grouping_id",
+    tags=("A1", "extension", "rollup"),
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with the GROUPING_ID discriminator — how a BI layer tells a
+    subtotal row's NULL apart from a NULL data value (sentinel-coalesce,
+    the docs_grouping_sets_counts approach, breaks when 'ALL' is a real
+    value). Same single Expand+shuffle plan as plain rollup; gid is just
+    a literal per grouping set."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
     "region_nations_listagg",
     tags=("A1", "extension", "listagg"),
     oracle="""
