@@ -1312,7 +1312,9 @@ _IMAGES_HASH_CTE = f"""
     rc AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(8) c),
     hashes AS (
         SELECT d.doc_id,
-               COALESCE(SUM(CASE WHEN rc.c < 7
+               -- CAST: DuckDB SUM(BIGINT) is HUGEINT/decimal128, which the
+               -- driver's compare frame coerces to float64 (type-guard rule)
+               CAST(COALESCE(SUM(CASE WHEN rc.c < 7
                         AND {_eff_bit_sql('rc.r', 'rc.c + 1')}
                         AND NOT {_eff_bit_sql('rc.r', 'rc.c')}
                    THEN (CAST(1 AS BIGINT) << (rc.r*7 + rc.c))
@@ -1321,7 +1323,7 @@ _IMAGES_HASH_CTE = f"""
                         AND {_eff_bit_sql('rc.r + 1', '7')}
                         AND NOT {_eff_bit_sql('rc.r', '7')}
                    THEN (CAST(1 AS BIGINT) << (56 + rc.r))
-                   ELSE 0 END), 0) AS dhash
+                   ELSE 0 END), 0) AS BIGINT) AS dhash
         FROM documents d CROSS JOIN rc GROUP BY d.doc_id)
 """
 
