@@ -237,3 +237,131 @@ def test_streaming_twin_equals_batch_pipeline(spark, sf_small, tmp_path):
     assert _rows(load_key_sketch(spark, sp.countmin).df) == _rows(
         load_key_sketch(spark, bp.countmin).df
     )
+
+
+def test_streaming_twin_restart_from_checkpoint(spark, sf_small, tmp_path):
+    """Kill both pipeline streams between waves and restart them on the
+    same checkpoints: the epoch sequence continues (count-min batch-id
+    watermark stays monotonic) and the final state equals the batch
+    driver's — durability, not just liveness."""
+    docs, embs = _sources(spark, sf_small)
+    docs = docs.filter(F.col("doc_id") < 150)
+    embs = embs.filter(F.col("vec_id") < 150)
+    waves = [
+        (docs.filter(F.col("doc_id") % 2 == w), embs.filter(F.col("vec_id") % 2 == w))
+        for w in range(2)
+    ]
+    bp = PipelinePaths(str(tmp_path / "batch"))
+    for b, (dw, ew) in enumerate(waves):
+        ingest_pipeline_batch(spark, dw, ew, bp, b)
+
+    dsrc, esrc = str(tmp_path / "dsrc"), str(tmp_path / "esrc")
+    sp = PipelinePaths(str(tmp_path / "stream"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def _start():
+        dstream = spark.readStream.schema(
+            spark.read.parquet(dsrc).schema
+        ).parquet(dsrc)
+        estream = spark.readStream.schema(
+            spark.read.parquet(esrc).schema
+        ).parquet(esrc)
+        return maintain_pipeline_streams(
+            dstream, estream, sp, ckpt, trigger="1 seconds"
+        )
+
+    waves[0][0].coalesce(1).write.parquet(dsrc)
+    waves[0][1].coalesce(1).write.parquet(esrc)
+    dq, eq = _start()
+    try:
+        dq.processAllAvailable()
+        eq.processAllAvailable()
+    finally:
+        dq.stop()
+        eq.stop()
+
+    # streams are DOWN while wave 2 lands; the restart must pick it up
+    waves[1][0].coalesce(1).write.mode("append").parquet(dsrc)
+    waves[1][1].coalesce(1).write.mode("append").parquet(esrc)
+    dq, eq = _start()
+    try:
+        dq.processAllAvailable()
+        eq.processAllAvailable()
+    finally:
+        dq.stop()
+        eq.stop()
+
+    for rel, cols in [
+        ("dedup_index/doc_ids", ("_cid",)),
+        ("bm25_index/doclen", ("doc_id", "dl")),
+        ("ivf_index/vectors", ("n_id",)),
+        ("ivfpq_index/codes", ("n_id", "cell")),
+        ("sem_survivors", ("vec_id", "cell")),
+    ]:
+        a = _rows(spark.read.parquet(f"{sp.root}/{rel}"), *cols)
+        b = _rows(spark.read.parquet(f"{bp.root}/{rel}"), *cols)
+        assert a == b, f"{rel}: restarted twin diverged from batch driver"
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.heavy_stream import (
+        load_key_sketch,
+    )
+
+    assert _rows(load_key_sketch(spark, sp.countmin).df) == _rows(
+        load_key_sketch(spark, bp.countmin).df
+    )
+
+
+def test_pipeline_forget_integration(spark, sf_small, tmp_path):
+    """Takedown against a soaked pipeline state: forget a slice of docs
+    and vectors, vacuum, and the BM25 index answers exactly as a fresh
+    build over the surviving accepted set; the vector indexes and
+    survivors drop exactly the forgotten ids."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.bm25 import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.forget import (
+        forget_from_pipeline,
+        vacuum_dedup_index,
+    )
+
+    docs, embs = _sources(spark, sf_small)
+    docs = docs.filter(F.col("doc_id") < 200)
+    embs = embs.filter(F.col("vec_id") < 200)
+    paths = PipelinePaths(str(tmp_path / "state"))
+    ingest_pipeline_batch(spark, docs, embs, paths, 0)
+
+    gone_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    gone_vecs = embs.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    out = forget_from_pipeline(spark, paths, docs=gone_docs, vec_ids=gone_vecs)
+    assert out["dedup"]["n_tombstoned"] > 0
+    vacuum_dedup_index(spark, paths.dedup_index)
+
+    # no forgotten id survives anywhere
+    accepted = {
+        r["_cid"]
+        for r in spark.read.parquet(f"{paths.dedup_index}/doc_ids").collect()
+    }
+    assert not any(i % 7 == 0 for i in accepted)
+    for rel, col in [
+        (f"{paths.bm25_index}/doclen", "doc_id"),
+        (f"{paths.ivf_index}/vectors", "n_id"),
+        (f"{paths.ivfpq_index}/codes", "n_id"),
+        (paths.survivors, "vec_id"),
+    ]:
+        left = {r[col] for r in spark.read.parquet(rel).select(col).collect()}
+        assert not any(i % 7 == 0 for i in left), rel
+
+    # BM25 answers as a fresh build over the surviving accepted docs
+    surv = docs.join(
+        spark.read.parquet(f"{paths.dedup_index}/doc_ids").select(
+            F.col("_cid").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    build_bm25_index(surv, str(tmp_path / "fresh"), term_buckets=16)
+    qs = docs.filter("doc_id IN (1, 2, 3)").select("doc_id", "text")
+    got = _rows(bm25_topk_indexed(spark, paths.bm25_index, qs, k=5))
+    want = _rows(bm25_topk_indexed(spark, str(tmp_path / "fresh"), qs, k=5))
+    assert got == want
