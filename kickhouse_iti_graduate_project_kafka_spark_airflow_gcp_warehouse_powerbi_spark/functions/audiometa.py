@@ -47,10 +47,18 @@ def wav_duration_ms(channels: int, rate: int, bits: int, data_len: int) -> int:
 
 
 def decode_samples(b: bytes):
-    """Sample-level decode needs an audio library (soundfile/librosa), none
-    of which exist in this container. The Spark-side plumbing (schema,
-    Arrow batches, chunk walking) is real; this last step is the only
-    stub."""
+    """Sample-level decode of COMPRESSED codecs (MP3/AAC/Opus/float WAV)
+    needs an audio library (soundfile/librosa), none of which exist in
+    this container. PCM16 WAV, however, decodes with pure NumPy —
+    ``audiohash.decode_pcm16`` is the real path (and the fingerprint /
+    near-dup pipeline on top of it); this stub remains only for the
+    compressed-codec boundary."""
+    from .audiohash import decode_pcm16
+
+    got = decode_pcm16(b)
+    if got is not None:
+        return got
     raise NotImplementedError(
-        "sample decode requires an audio library not present in this environment"
+        "non-PCM16 sample decode requires an audio library not present "
+        "in this environment (PCM16 WAV decodes via audiohash.decode_pcm16)"
     )

@@ -1377,3 +1377,121 @@ def images_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = phash_pairs(_ppm_docs(spark, sf_dir), max_hamming=3)
     return out.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
+# multimodal: acoustic-fingerprint audio dedup over fabricated PCM16 WAVs
+# (the audio twin of the image queries above — same fabrication-vs-decode
+# separation: bytes are built JVM-side from (group, version) parameters,
+# decoded by the pure-NumPy PCM parser, and the oracle replays the hash
+# closed-form from the parameters)
+# --------------------------------------------------------------------------
+
+#: constant 44-byte RIFF header: PCM16, mono, 8 kHz, 128-sample data chunk
+_WAV_HEADER_HEX = (
+    "524946462401000057415645666D7420100000000100010040"
+    "1F0000803E0000020010006461746100010000"
+)
+
+#: sample i for doc (_g, _v): window w = i//2 carries a pseudo-random
+#: energy bit (900-level vs 100-level), +-15 of version noise that the
+#: >>5 quantization provably cannot see; version % 7 == 3 flips window 0
+_WAV_SAMPLE_SQL = (
+    "((CASE WHEN ((((_g*73856093 + (i DIV 2)*19349663) % 83) % 2 = 1)"
+    " != ((i DIV 2) = 0 AND (_v % 7) = 3))"
+    " THEN 900 ELSE 100 END) + ((_v*13 + i*7) % 16))"
+)
+
+
+def _wav_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("_g", F.col("doc_id") % 200)
+        .withColumn("_v", F.expr("doc_id DIV 200"))
+        .withColumn(
+            "payload",
+            F.concat(
+                F.unhex(F.lit(_WAV_HEADER_HEX)),
+                F.unhex(
+                    F.expr(
+                        "concat_ws('', transform(sequence(0, 127), i -> concat("
+                        f"lpad(hex(({_WAV_SAMPLE_SQL}) % 256), 2, '0'), "
+                        f"lpad(hex(({_WAV_SAMPLE_SQL}) DIV 256), 2, '0'))))"
+                    )
+                ),
+            ),
+        )
+    )
+
+
+def _wav_bit_sql(w: str) -> str:
+    """DuckDB: the EFFECTIVE energy bit of window w for doc d."""
+    base = f"((((d.doc_id % 200)*73856093 + ({w})*19349663) % 83) % 2 = 1)"
+    flip = f"(({w}) = 0 AND ((d.doc_id // 200) % 7) = 3)"
+    return f"({base} != {flip})"
+
+
+_AUDIO_HASH_CTE = f"""
+    aw AS (SELECT range AS w FROM range(64)),
+    ahashes AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(SUM(CASE WHEN aw.w < 63
+                        AND {_wav_bit_sql('aw.w + 1')}
+                        AND NOT {_wav_bit_sql('aw.w')}
+                   THEN (CAST(1 AS BIGINT) << aw.w)
+                   ELSE 0 END), 0) AS BIGINT) AS ahash
+        FROM documents d CROSS JOIN aw GROUP BY d.doc_id)
+"""
+
+
+@register(
+    "audio_energy_hash",
+    tags=("multimodal", "phash", "UDF"),
+    oracle=f"""
+    WITH {_AUDIO_HASH_CTE}
+    SELECT doc_id, ahash FROM ahashes
+    """,
+)
+def audio_energy_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip quantized energy-contour hash, fully oracled: real
+    RIFF/PCM16 bytes are fabricated JVM-side, decoded by the pure-NumPy
+    WAV parser (functions/audiohash.py), windowed, quantized and hashed
+    in the Arrow kernel — and the oracle recomputes the 63-bit contour
+    closed-form from the fabrication parameters (the +-15 sample noise
+    must vanish in the 32-unit quantization and the rise/fall bits must
+    land exactly; a hash match proves chunk walk, PCM decode, windowing,
+    quantization and bit layout all at once)."""
+    from ..functions.audiohash import energy_hash_audio
+
+    return energy_hash_audio(_wav_docs(spark, sf_dir))
+
+
+@register(
+    "audio_phash_pairs",
+    tags=("multimodal", "phash", "dedup"),
+    oracle=f"""
+    WITH {_AUDIO_HASH_CTE},
+    bands AS (
+        SELECT h.doc_id, h.ahash, b.range AS band,
+               (h.ahash >> (b.range * 16)) & 65535 AS bucket
+        FROM ahashes h CROSS JOIN range(4) b)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+)
+def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs — the acoustic leg of the dedup
+    family: energy-contour hash + the shared 16-bit Hamming band join
+    (exact recall at distance <= 3). Noise-only variants plant hamming-0
+    pairs in every group; the window-0 flip plants hamming-1 pairs in
+    the groups whose window-1 energy bit is set (a killed rise — the
+    rise-only contour cannot see a flip next to a flat stretch, which
+    the oracle replays identically)."""
+    from ..functions.audiohash import audio_phash_pairs as _pairs
+
+    out = _pairs(_wav_docs(spark, sf_dir), max_hamming=3)
+    return out.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))

@@ -50,9 +50,15 @@ def test_duration_math():
     assert wav_duration_ms(1, 8000, 16, 16000) == 1000
 
 
-def test_sample_decode_is_an_explicit_stub():
+def test_sample_decode_boundary():
+    """PCM16 decodes for real now (audiohash.decode_pcm16 — r7); the
+    NotImplementedError boundary has narrowed to compressed/non-PCM16
+    formats only."""
+    got = decode_samples(_wav())  # PCM16 stereo: 1000 B = 250 silent frames
+    assert got.tolist() == [0] * 250
+    ieee_float = _wav()[:20] + struct.pack("<H", 3) + _wav()[22:]
     with pytest.raises(NotImplementedError):
-        decode_samples(_wav())
+        decode_samples(ieee_float)
 
 
 def test_sub_byte_bit_depth_degrades_to_null_meta():
