@@ -80,11 +80,23 @@ def sample_frames(
     return [(ix, off, sz) for ix, (off, sz) in enumerate(frames) if ix % every == 0]
 
 
-def decode_frame(b: bytes, offset: int, size: int):
-    """Pixel decode requires a codec library (PyAV/opencv), none of which
-    exist in this container. The Spark-side plumbing (schema, Arrow
-    batches, chunk walking, stride sampling) is real; this last step is
-    the only stub."""
+def decode_frame(b: bytes, offset: int, size: int, width: int | None = None,
+                 height: int | None = None):
+    """Pixel decode of COMPRESSED codecs requires a codec library
+    (PyAV/opencv), none of which exist in this container. Uncompressed
+    DIB frames, however, decode with pure NumPy when the caller passes
+    the stream geometry from ``parse_avi_meta`` —
+    ``videohash.decode_dib_frame`` is the real path (and the per-frame
+    dHash / near-dup pipeline on top of it); this stub remains only for
+    the compressed-codec boundary."""
+    if width is not None and height is not None:
+        from .videohash import decode_dib_frame
+
+        got = decode_dib_frame(b, offset, size, width, height)
+        if got is not None:
+            return got
     raise NotImplementedError(
-        "frame decode requires a video codec library not present in this environment"
+        "compressed-frame decode requires a video codec library not present "
+        "in this environment (uncompressed DIB decodes via "
+        "videohash.decode_dib_frame given the avih geometry)"
     )

@@ -561,18 +561,27 @@ def simhash_pairs(
 
 
 def hamming_band_pairs(
-    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    extra_key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-dup pairs among 63-bit hashes (sign bit clear, in a long) by
     Hamming distance <= ``max_hamming``: candidate generation via 16-bit
     band equality (4 bands — any pair within distance 3 agrees on >= 1
     band by pigeonhole, so recall is exact for max_hamming <= 3), then the
-    distance verified with bit_count(xor). Shared by SimHash text dedup
-    and perceptual-hash image dedup (functions/imagehash.py). Returns
-    (a_id, b_id, hamming)."""
+    distance verified with bit_count(xor). Shared by SimHash text dedup,
+    perceptual-hash image dedup (functions/imagehash.py), audio
+    fingerprints (audiohash.py), and per-frame video matching
+    (videohash.py). ``extra_key_cols`` join ALONGSIDE the band key —
+    e.g. a frame position, so only same-position frames pair — and come
+    back in the output. Returns (a_id, b_id, *extra_key_cols, hamming)."""
+    extras = list(extra_key_cols)
     bands = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_hv"),
+        *extras,
         F.explode(
             F.array(
                 *[
@@ -586,13 +595,22 @@ def hamming_band_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_hv", "bb.band", "bb.bucket")
-    left = bands.select(F.col("_id").alias("a_id"), F.col("_hv").alias("_ha"), "band", "bucket")
-    right = bands.select(F.col("_id").alias("b_id"), F.col("_hv").alias("_hb"), "band", "bucket")
+    ).select("_id", "_hv", *extras, "bb.band", "bb.bucket")
+    left = bands.select(
+        F.col("_id").alias("a_id"), F.col("_hv").alias("_ha"), *extras,
+        "band", "bucket",
+    )
+    right = bands.select(
+        F.col("_id").alias("b_id"), F.col("_hv").alias("_hb"), *extras,
+        "band", "bucket",
+    )
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band", "bucket", *extras])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"))
+        .select(
+            "a_id", "b_id", *extras,
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

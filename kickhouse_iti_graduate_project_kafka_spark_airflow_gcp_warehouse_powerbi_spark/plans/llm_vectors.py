@@ -1495,3 +1495,143 @@ def audio_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _pairs(_wav_docs(spark, sf_dir), max_hamming=3)
     return out.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------
+# multimodal: per-frame video dedup over fabricated uncompressed-DIB AVIs
+# (the video leg — same fabrication-vs-decode separation as image/audio)
+# --------------------------------------------------------------------------
+
+#: constant RIFF prefix: AVI with avih (40 ms/frame, 4 frames, 16x16) and
+#: the LIST movi header; frames follow as 00db chunks of 768 raw BGR bytes
+_AVI_PREFIX_HEX = (
+    "524946467C0C0000415649204C495354440000006864726C61766968380000004"
+    "09C00000000000000000000000000000400000000000000010000000000000010"
+    "0000001000000000000000000000000000000000000000"
+    "4C495354240C00006D6F7669"
+)
+_AVI_FRAME_HDR_HEX = "3030646200030000"  # "00db" + LE32(768)
+
+#: pixel value at file position p (bottom-up rows) of frame f for doc
+#: (_g, _v): 8x8 cell checker-ish pattern (200-level vs 40-level) from a
+#: per-(group, frame, cell) bit, +-2 noise the >>4 quantization cannot
+#: see; version % 7 == 3 flips frame 0's (0,0) cell
+_AVI_PIX_SQL = (
+    "((CASE WHEN ((((_g*73856093 + f*40503"
+    " + ((15 - (p DIV 16)) DIV 2)*19349663"
+    " + ((p % 16) DIV 2)*83492791) % 83) % 2 = 1)"
+    " != (f = 0 AND ((15 - (p DIV 16)) DIV 2) = 0"
+    " AND ((p % 16) DIV 2) = 0 AND (_v % 7) = 3))"
+    " THEN 200 ELSE 40 END) + ((_v*13 + p*7 + f*29) % 3))"
+)
+
+
+def _avi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("_g", F.col("doc_id") % 200)
+        .withColumn("_v", F.expr("doc_id DIV 200"))
+        .withColumn(
+            "payload",
+            F.concat(
+                F.unhex(F.lit(_AVI_PREFIX_HEX)),
+                F.unhex(
+                    F.expr(
+                        "concat_ws('', transform(sequence(0, 3), f -> concat("
+                        f"'{_AVI_FRAME_HDR_HEX}', "
+                        "concat_ws('', transform(sequence(0, 255), p -> "
+                        f"repeat(lpad(hex({_AVI_PIX_SQL}), 2, '0'), 3))))))"
+                    )
+                ),
+            ),
+        )
+    )
+
+
+def _avi_bit_sql(f: str, r: str, c: str) -> str:
+    """DuckDB: the EFFECTIVE pattern bit of cell (r, c) in frame f of the
+    video for doc d."""
+    base = (
+        f"((((d.doc_id % 200)*73856093 + ({f})*40503 + ({r})*19349663"
+        f" + ({c})*83492791) % 83) % 2 = 1)"
+    )
+    flip = (
+        f"(({f}) = 0 AND ({r}) = 0 AND ({c}) = 0"
+        f" AND ((d.doc_id // 200) % 7) = 3)"
+    )
+    return f"({base} != {flip})"
+
+
+_VIDEO_HASH_CTE = f"""
+    vf AS (SELECT f FROM (VALUES (0), (2)) t(f)),
+    vrc AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(8) c),
+    vhashes AS (
+        SELECT d.doc_id, CAST(vf.f AS BIGINT) AS frame_idx,
+               CAST(COALESCE(SUM(CASE WHEN vrc.c < 7
+                        AND {_avi_bit_sql('vf.f', 'vrc.r', 'vrc.c + 1')}
+                        AND NOT {_avi_bit_sql('vf.f', 'vrc.r', 'vrc.c')}
+                   THEN (CAST(1 AS BIGINT) << (vrc.r*7 + vrc.c))
+                   ELSE 0 END), 0)
+             + COALESCE(SUM(CASE WHEN vrc.c = 7 AND vrc.r < 7
+                        AND {_avi_bit_sql('vf.f', 'vrc.r + 1', '7')}
+                        AND NOT {_avi_bit_sql('vf.f', 'vrc.r', '7')}
+                   THEN (CAST(1 AS BIGINT) << (56 + vrc.r))
+                   ELSE 0 END), 0) AS BIGINT) AS dhash
+        FROM documents d CROSS JOIN vf CROSS JOIN vrc
+        GROUP BY d.doc_id, vf.f)
+"""
+
+
+@register(
+    "video_frame_dhash",
+    tags=("multimodal", "phash", "UDF"),
+    oracle=f"""
+    WITH {_VIDEO_HASH_CTE}
+    SELECT doc_id, frame_idx, dhash FROM vhashes
+    """,
+)
+def video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sampled-frame quantized dHash of fabricated uncompressed-DIB
+    AVIs, fully oracled: the kernel walks the real RIFF container,
+    stride-samples every 2nd frame (indexes 0 and 2 of 4), NumPy-decodes
+    the bottom-up BGR rows, and hashes with the SHARED image kernel; the
+    oracle recomputes each frame's 63-bit hash closed-form from the
+    fabrication parameters — a match proves container walk, stride
+    sampling, DIB decode, row flip, and hash layout at once."""
+    from ..functions.videohash import video_frame_hashes
+
+    return video_frame_hashes(_avi_docs(spark, sf_dir), every=2)
+
+
+@register(
+    "video_near_dup_pairs",
+    tags=("multimodal", "phash", "dedup"),
+    oracle=f"""
+    WITH {_VIDEO_HASH_CTE},
+    vbands AS (
+        SELECT h.doc_id, h.frame_idx, h.dhash, b.range AS band,
+               (h.dhash >> (b.range * 16)) & 65535 AS bucket
+        FROM vhashes h CROSS JOIN range(4) b),
+    fpairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.frame_idx
+        FROM vbands a JOIN vbands b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3)
+    SELECT a_id, b_id, COUNT(*) AS n_matching
+    FROM fpairs GROUP BY a_id, b_id
+    HAVING COUNT(*) >= CEIL(0.5 * 2)
+    """,
+)
+def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs — frame-position-aligned matching: two
+    videos pair when >= half their sampled frame positions agree within
+    Hamming distance 3 (functions/videohash.py semantics). The oracle
+    replays per-frame hashing, position-keyed banding, the distance
+    verify, and the match-fraction aggregation; planted groups pair at
+    n_matching = 2 (the frame-0 flip stays within distance 3, so both
+    sampled positions match across variant classes)."""
+    from ..functions.videohash import video_near_dup_pairs as _pairs
+
+    return _pairs(_avi_docs(spark, sf_dir), every=2, max_hamming=3)

@@ -72,6 +72,20 @@ def test_sample_frames_stride():
         sample_frames(frames, 0)
 
 
-def test_decode_frame_is_documented_stub():
+def test_decode_frame_boundary():
+    """Without geometry (or for compressed chunks) decode stays the
+    documented boundary; WITH the avih geometry an uncompressed DIB
+    chunk decodes for real (videohash.decode_dib_frame — r7)."""
     with pytest.raises(NotImplementedError):
         decode_frame(b"", 0, 0)
+    import numpy as np
+
+    w = h = 4
+    rows = bytes(range(w * 3)) * h  # 4 rows of the same BGR pattern
+    with pytest.raises(NotImplementedError):  # size lies about geometry
+        decode_frame(rows, 0, 2, w, h)
+    got = decode_frame(rows, 0, len(rows), w, h)
+    assert got.shape == (h, w, 3)
+    # bottom-up BGR -> top-down RGB: first output pixel is the FIRST
+    # stored pixel of the LAST stored row, channel-reversed
+    assert got[0, 0].tolist() == [2, 1, 0]
