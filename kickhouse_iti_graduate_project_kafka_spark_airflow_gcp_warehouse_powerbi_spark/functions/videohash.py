@@ -11,11 +11,12 @@ quantized dHash (the SHARED image kernel,
 ``imagehash.quantized_dhash``) → per-frame-position Hamming band join →
 per-video match aggregation.
 
-Video near-dup semantics: two videos pair when >= ``min_match_frac`` of
-their sampled frame positions match within Hamming distance
-``max_hamming`` — frame-position-aligned matching, the standard shape
-for detecting re-encodes/copies (temporal edits need an alignment join,
-e.g. the as-of family, on top of the same per-frame hashes).
+Video near-dup semantics, two tiers: ``video_near_dup_pairs`` requires
+frame POSITIONS to match (re-encodes/copies);
+``video_shifted_near_dup_pairs`` lets candidate frames pair at any
+offset and keeps the pair whose dominant offset collects enough votes —
+catching head-trimmed copies. Arbitrary edit patterns (multiple cuts)
+would need full sequence alignment and are not claimed.
 
 Scale posture (100 TB of video): the kernel is Arrow-batched
 ``mapInPandas`` (one Python crossing per batch; per video a chunk walk
@@ -128,4 +129,80 @@ def video_near_dup_pairs(
             >= F.ceil(F.least("_na", "_nb") * F.lit(min_match_frac))
         )
         .select("a_id", "b_id", "n_matching")
+    )
+
+
+def video_shifted_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 1,
+    max_hamming: int = 3,
+    min_matches: int = 2,
+) -> DataFrame:
+    """Trim-tolerant video near-dup: instead of requiring frame POSITIONS
+    to agree (``video_near_dup_pairs``), candidate frames join on hash
+    bands alone, each match votes for its temporal offset
+    (a_idx - b_idx), and a pair survives when its BEST single offset
+    collects >= ``min_matches`` frame votes — the dominant-offset
+    alignment that catches a copy with frames trimmed from the head.
+
+    Returns (a_id, b_id, offset, n_matching) for the winning offset
+    (ties broken toward the smallest offset, deterministically).
+
+    Scale shape: the band join is corpus-wide over (band, bucket) — the
+    same inverted-index discipline as every other dedup leg, with the
+    hot-bucket caveat (a static logo frame shared by thousands of videos
+    is a hot shingle; cap bucket sizes the same way). The offset vote is
+    one groupBy over the surviving candidate pairs; nothing joins on
+    raw pixels."""
+    from pyspark.sql import Window
+
+    h = video_frame_hashes(df, payload_col, id_col, every)
+    bands = h.select(
+        F.col(id_col).alias("_id"),
+        F.col("frame_idx").alias("_ix"),
+        F.col("dhash").alias("_hv"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_ix", "_hv", "bb.band", "bb.bucket")
+    left = bands.select(
+        F.col("_id").alias("a_id"), F.col("_ix").alias("a_ix"),
+        F.col("_hv").alias("_ha"), "band", "bucket",
+    )
+    right = bands.select(
+        F.col("_id").alias("b_id"), F.col("_ix").alias("b_ix"),
+        F.col("_hv").alias("_hb"), "band", "bucket",
+    )
+    frame_matches = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "a_ix", "b_ix",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .distinct()  # bands agreeing on several buckets vote once
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    votes = frame_matches.groupBy(
+        "a_id", "b_id", (F.col("a_ix") - F.col("b_ix")).alias("offset")
+    ).agg(F.count(F.lit(1)).alias("n_matching"))
+    w = Window.partitionBy("a_id", "b_id").orderBy(
+        F.col("n_matching").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col("n_matching") >= min_matches))
+        .select("a_id", "b_id", "offset", "n_matching")
     )

@@ -1635,3 +1635,63 @@ def video_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.videohash import video_near_dup_pairs as _pairs
 
     return _pairs(_avi_docs(spark, sf_dir), every=2, max_hamming=3)
+
+
+_VIDEO_ALLFRAME_CTE = f"""
+    vfa AS (SELECT range AS f FROM range(4)),
+    vrca AS (SELECT r.range AS r, c.range AS c FROM range(8) r, range(8) c),
+    vhashes_all AS (
+        SELECT d.doc_id, CAST(vfa.f AS BIGINT) AS frame_idx,
+               CAST(COALESCE(SUM(CASE WHEN vrca.c < 7
+                        AND {_avi_bit_sql('vfa.f', 'vrca.r', 'vrca.c + 1')}
+                        AND NOT {_avi_bit_sql('vfa.f', 'vrca.r', 'vrca.c')}
+                   THEN (CAST(1 AS BIGINT) << (vrca.r*7 + vrca.c))
+                   ELSE 0 END), 0)
+             + COALESCE(SUM(CASE WHEN vrca.c = 7 AND vrca.r < 7
+                        AND {_avi_bit_sql('vfa.f', 'vrca.r + 1', '7')}
+                        AND NOT {_avi_bit_sql('vfa.f', 'vrca.r', '7')}
+                   THEN (CAST(1 AS BIGINT) << (56 + vrca.r))
+                   ELSE 0 END), 0) AS BIGINT) AS dhash
+        FROM documents d CROSS JOIN vfa CROSS JOIN vrca
+        GROUP BY d.doc_id, vfa.f)
+"""
+
+
+@register(
+    "video_shifted_near_dup_pairs",
+    tags=("multimodal", "phash", "dedup"),
+    oracle=f"""
+    WITH {_VIDEO_ALLFRAME_CTE},
+    sbands AS (
+        SELECT h.doc_id, h.frame_idx, h.dhash, b.range AS band,
+               (h.dhash >> (b.range * 16)) & 65535 AS bucket
+        FROM vhashes_all h CROSS JOIN range(4) b),
+    fmatches AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.frame_idx AS a_ix, b.frame_idx AS b_ix
+        FROM sbands a JOIN sbands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+    votes AS (
+        SELECT a_id, b_id, a_ix - b_ix AS "offset", COUNT(*) AS n_matching
+        FROM fmatches GROUP BY 1, 2, 3),
+    best AS (
+        SELECT a_id, b_id, "offset", n_matching,
+               ROW_NUMBER() OVER (PARTITION BY a_id, b_id
+                   ORDER BY n_matching DESC, "offset" ASC) AS rk
+        FROM votes)
+    SELECT a_id, b_id, "offset", n_matching
+    FROM best WHERE rk = 1 AND n_matching >= 2
+    """,
+)
+def video_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trim-tolerant video near-dup (functions/videohash.py): candidate
+    frames band-join at ANY offset, matches vote for their temporal
+    offset, the dominant offset wins per pair. On the aligned fixture
+    the winning offset is 0 everywhere (oracle replays band join, vote,
+    and the deterministic tie-break); the trim-detection behavior itself
+    is unit-tested with planted head-trimmed copies
+    (tests/test_videohash.py)."""
+    from ..functions.videohash import video_shifted_near_dup_pairs as _pairs
+
+    return _pairs(_avi_docs(spark, sf_dir), every=1, max_hamming=3, min_matches=2)

@@ -123,3 +123,35 @@ def test_video_pair_plan_is_banded_not_cartesian(spark):
     plan = video_near_dup_pairs(df)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shifted_pairs_catch_head_trimmed_copy(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.videohash import (
+        video_shifted_near_dup_pairs,
+    )
+
+    base = [_frame_px(s) for s in range(4)]
+    trimmed = base[1:]  # head-trimmed copy: same frames, shifted by one
+    # seeds are mod-7 in the pattern: {4,5,6} stays disjoint from base's
+    # {0,1,2,3} (30..33 would collide: 30 % 7 == 2)
+    other = [_frame_px(s) for s in (4, 5, 6, 4)]
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(_avi_bytes(base))),
+            (1, bytearray(_avi_bytes(trimmed))),
+            (2, bytearray(_avi_bytes(other))),
+        ],
+        "doc_id long, payload binary",
+    )
+    # aligned matching misses the trim (each position differs)...
+    aligned = {
+        (r["a_id"], r["b_id"])
+        for r in video_near_dup_pairs(df, every=1, min_match_frac=0.5).collect()
+    }
+    assert (0, 1) not in aligned
+    # ...the dominant-offset vote finds it at offset 1 with 3 frame votes
+    got = {
+        (r["a_id"], r["b_id"]): (r["offset"], r["n_matching"])
+        for r in video_shifted_near_dup_pairs(df, every=1, min_matches=2).collect()
+    }
+    assert got == {(0, 1): (1, 3)}
