@@ -1255,8 +1255,11 @@ def ivf_sampled_cell_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band join. The pattern is exact integer arithmetic end-to-end, so both
 # the hash and the pair set replay closed-form in SQL.
 #
-# Planted structure: group g = doc_id % 50 fixes the 8x8 cell pattern
-# (pseudo-random bit per cell); variant v = doc_id DIV 50 adds pixel
+# Planted structure: group g = doc_id DIV 10 fixes the 8x8 cell pattern
+# (pseudo-random bit per cell) — BOUNDED groups of 10 versions, so the
+# planted pair count scales LINEARLY with the corpus (groups keyed on
+# doc_id % K would grow with SF and make pair output quadratic — the
+# r7 sf0.1 probe caught exactly that); variant v = doc_id % 10 adds pixel
 # noise in [0, 2] (erased by the hash's 16-level quantization) and, for
 # v % 7 == 3, flips cell (0,0) — which moves exactly the hash bits cell
 # (0,0) participates in (bit 0), planting hamming-1 near-dups alongside
@@ -1265,8 +1268,7 @@ def ivf_sampled_cell_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: pixel value expression inside the fabrication transform (i = R*16+C)
 _PPM_PIX_SQL = (
-    "CASE WHEN (pmod(pmod(_g*73856093 + (i DIV 32)*19349663"
-    " + ((i % 16) DIV 2)*83492791, 83), 2) = 1)"
+    "CASE WHEN (((instr('0123456789abcdef', substr(md5(concat('img-', CAST(_g AS STRING))), (((i DIV 32)*8 + ((i % 16) DIV 2)) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, ((i DIV 32)*8 + ((i % 16) DIV 2)) % 4) AS INT)) % 2 = 1)"
     " != ((i DIV 32) = 0 AND ((i % 16) DIV 2) = 0 AND pmod(_v, 7) = 3)"
     " THEN 200 ELSE 40 END + pmod(_v + (i DIV 16) + pmod(i, 16), 3)"
 )
@@ -1291,8 +1293,8 @@ def _ppm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .withColumn("_g", F.col("doc_id") % 50)
-        .withColumn("_v", F.expr("doc_id DIV 50"))
+        .withColumn("_g", F.expr("doc_id DIV 10"))
+        .withColumn("_v", F.col("doc_id") % 10)
         .withColumn("payload", _ppm_payload_col())
     )
 
@@ -1301,10 +1303,9 @@ def _eff_bit_sql(r: str, c: str) -> str:
     """DuckDB: the EFFECTIVE pattern bit of cell (r, c) for doc d — base
     pseudo-random bit XOR the (0,0) flip for v % 7 == 3 variants."""
     base = (
-        f"((((d.doc_id % 50)*73856093 + ({r})*19349663 + ({c})*83492791)"
-        f" % 83) % 2 = 1)"
+        f"(((instr('0123456789abcdef', substr(md5('img-' || CAST((d.doc_id // 10) AS VARCHAR)), ((({r})*8 + ({c})) // 4) + 1, 1)) - 1) // CAST(POWER(2, (({r})*8 + ({c})) % 4) AS INTEGER)) % 2 = 1)"
     )
-    flip = f"(({r}) = 0 AND ({c}) = 0 AND ((d.doc_id // 50) % 7) = 3)"
+    flip = f"(({r}) = 0 AND ({c}) = 0 AND ((d.doc_id % 10) % 7) = 3)"
     return f"({base} != {flip})"
 
 
@@ -1397,7 +1398,7 @@ _WAV_HEADER_HEX = (
 #: energy bit (900-level vs 100-level), +-15 of version noise that the
 #: >>5 quantization provably cannot see; version % 7 == 3 flips window 0
 _WAV_SAMPLE_SQL = (
-    "((CASE WHEN ((((_g*73856093 + (i DIV 2)*19349663) % 83) % 2 = 1)"
+    "((CASE WHEN ((((instr('0123456789abcdef', substr(md5(concat('aud-', CAST(_g AS STRING))), ((i DIV 2) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, (i DIV 2) % 4) AS INT)) % 2 = 1)"
     " != ((i DIV 2) = 0 AND (_v % 7) = 3))"
     " THEN 900 ELSE 100 END) + ((_v*13 + i*7) % 16))"
 )
@@ -1407,8 +1408,8 @@ def _wav_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .withColumn("_g", F.col("doc_id") % 200)
-        .withColumn("_v", F.expr("doc_id DIV 200"))
+        .withColumn("_g", F.expr("doc_id DIV 10"))
+        .withColumn("_v", F.col("doc_id") % 10)
         .withColumn(
             "payload",
             F.concat(
@@ -1427,8 +1428,8 @@ def _wav_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _wav_bit_sql(w: str) -> str:
     """DuckDB: the EFFECTIVE energy bit of window w for doc d."""
-    base = f"((((d.doc_id % 200)*73856093 + ({w})*19349663) % 83) % 2 = 1)"
-    flip = f"(({w}) = 0 AND ((d.doc_id // 200) % 7) = 3)"
+    base = f"(((instr('0123456789abcdef', substr(md5('aud-' || CAST((d.doc_id // 10) AS VARCHAR)), (({w}) // 4) + 1, 1)) - 1) // CAST(POWER(2, ({w}) % 4) AS INTEGER)) % 2 = 1)"
+    flip = f"(({w}) = 0 AND ((d.doc_id % 10) % 7) = 3)"
     return f"({base} != {flip})"
 
 
@@ -1517,9 +1518,7 @@ _AVI_FRAME_HDR_HEX = "3030646200030000"  # "00db" + LE32(768)
 #: per-(group, frame, cell) bit, +-2 noise the >>4 quantization cannot
 #: see; version % 7 == 3 flips frame 0's (0,0) cell
 _AVI_PIX_SQL = (
-    "((CASE WHEN ((((_g*73856093 + f*40503"
-    " + ((15 - (p DIV 16)) DIV 2)*19349663"
-    " + ((p % 16) DIV 2)*83492791) % 83) % 2 = 1)"
+    "((CASE WHEN ((((instr('0123456789abcdef', substr(md5(concat('vid-', CAST(_g AS STRING), '-', CAST(f AS STRING))), ((((15 - (p DIV 16)) DIV 2)*8 + ((p % 16) DIV 2)) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, (((15 - (p DIV 16)) DIV 2)*8 + ((p % 16) DIV 2)) % 4) AS INT)) % 2 = 1)"
     " != (f = 0 AND ((15 - (p DIV 16)) DIV 2) = 0"
     " AND ((p % 16) DIV 2) = 0 AND (_v % 7) = 3))"
     " THEN 200 ELSE 40 END) + ((_v*13 + p*7 + f*29) % 3))"
@@ -1530,8 +1529,8 @@ def _avi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .withColumn("_g", F.col("doc_id") % 200)
-        .withColumn("_v", F.expr("doc_id DIV 200"))
+        .withColumn("_g", F.expr("doc_id DIV 10"))
+        .withColumn("_v", F.col("doc_id") % 10)
         .withColumn(
             "payload",
             F.concat(
@@ -1553,12 +1552,11 @@ def _avi_bit_sql(f: str, r: str, c: str) -> str:
     """DuckDB: the EFFECTIVE pattern bit of cell (r, c) in frame f of the
     video for doc d."""
     base = (
-        f"((((d.doc_id % 200)*73856093 + ({f})*40503 + ({r})*19349663"
-        f" + ({c})*83492791) % 83) % 2 = 1)"
+        f"(((instr('0123456789abcdef', substr(md5('vid-' || CAST((d.doc_id // 10) AS VARCHAR) || '-' || CAST(({f}) AS VARCHAR)), ((({r})*8 + ({c})) // 4) + 1, 1)) - 1) // CAST(POWER(2, (({r})*8 + ({c})) % 4) AS INTEGER)) % 2 = 1)"
     )
     flip = (
         f"(({f}) = 0 AND ({r}) = 0 AND ({c}) = 0"
-        f" AND ((d.doc_id // 200) % 7) = 3)"
+        f" AND ((d.doc_id % 10) % 7) = 3)"
     )
     return f"({base} != {flip})"
 
