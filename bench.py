@@ -289,6 +289,28 @@ def main() -> None:
             )
             index_secs["append_to_bm25_index"] = round(time.perf_counter() - t0, 3)
 
+            # forget lifecycle (r7): take down a 5% doc slice from the
+            # BM25 index (bucket-pruned rewrite + doclen/meta repair)
+            # and tombstone+vacuum it out of the dedup index
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.forget import (
+                forget_from_bm25_index,
+                forget_from_dedup_index,
+                vacuum_dedup_index,
+            )
+
+            gone = docs.filter(F.col("doc_id") % 20 == 1)
+            t0 = time.perf_counter()
+            forget_from_bm25_index(spark, f"{idx_root}/bm25", gone)
+            index_secs["forget_from_bm25_index"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            forget_from_dedup_index(spark, f"{idx_root}/dedup", gone)
+            vacuum_dedup_index(spark, f"{idx_root}/dedup")
+            index_secs["forget_vacuum_dedup_index"] = round(
+                time.perf_counter() - t0, 3
+            )
+
             # adversarial span-rewrite: 200 docs x 10k tokens, 80%
             # duplicated (shared 8k-token block) — the shape that blew up
             # the pre-r7 O(|toks| x |removed|) array_contains kernel; the

@@ -1760,3 +1760,150 @@ def sole_late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("_n_late_rows").cast("long").alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q5 / Q8 / Q10 shapes — the remaining classic BI join geometries (r7)
+# --------------------------------------------------------------------------
+@register(
+    "local_supplier_revenue",
+    tags=("J5", "tpch"),
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue earned when the supplier and the customer
+    sit in the SAME nation — two fact-sized joins (orders, supplier via
+    lineitem keys) plus the colocation equality pushed as a post-join
+    filter, nation broadcast. The year predicate prunes the orders scan
+    (PushedFilters); at 100 TB AQE handles the two shuffle joins and the
+    nation dim always broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    tags=("A8", "J5", "tpch"),
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           ROUND(CAST(100.0 * SUM(CASE WHEN n.n_name = 'NATION_3'
+                                       THEN {_REVENUE_SQL}
+                                       ELSE CAST(0 AS DECIMAL(14,2)) END)
+                      / SUM({_REVENUE_SQL}) AS DOUBLE) + 1e-9, 4)
+               AS share_pct,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's yearly share of global supplied
+    revenue — the conditional-vs-total ratio over a fact⋈fact⋈dim join.
+    Both sums are exact decimals; one double division + the suite's
+    ROUND(+1e-9, 4) convention at the end. The year never leaves the
+    order row until the final groupBy, so no pre-aggregation is lost to
+    the join order Catalyst picks."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _revenue_dec()
+    target = F.when(F.col("n_name") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(target).alias("_n"), F.sum(rev).alias("_t"))
+        .select(
+            "order_year",
+            F.round(
+                (F.lit(100.0) * F.col("_n") / F.col("_t")).cast("double") + 1e-9, 4
+            ).alias("share_pct"),
+            F.col("_t").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "returned_item_top_customers",
+    tags=("A9", "J5", "O2", "tpch"),
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, ANY_VALUE(c.c_name) AS name,
+           ANY_VALUE(n.n_name) AS nation,
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS lost_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey
+    ORDER BY lost_revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most value in a quarter window
+    — returned-flag filter pushed to the lineitem scan, date window
+    pushed to orders, TakeOrderedAndProject top-20 with the id
+    tie-break that makes LIMIT deterministic cross-engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.any_value("c_name").alias("name"),
+            F.any_value("n_name").alias("nation"),
+            F.sum(_revenue_dec()).cast("double").alias("lost_revenue"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )

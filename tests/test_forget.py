@@ -217,3 +217,36 @@ def test_dedup_forget_near_dup_unblocks(spark, tmp_path):
     forget_from_dedup_index(spark, path, corpus)
     st = absorb_batch_into_index(spark, path, near, "text", "doc_id", 0.5)
     assert st["n_accepted"] == 1
+
+
+def test_forget_cli(spark, sf_small, tmpdir):
+    """Subprocess drive of jobs/forget.py against individual indexes:
+    one JSON stats line, bucket-pruned BM25 delete + dedup tombstone +
+    vacuum in one invocation."""
+    import json
+    import subprocess
+    import sys
+
+    docs = load_table(spark, sf_small, "documents").filter("doc_id < 60").select(
+        "doc_id", "text"
+    )
+    build_bm25_index(docs, f"{tmpdir}/bm25", term_buckets=8)
+    build_dedup_index(docs, f"{tmpdir}/dedup", "text", "doc_id")
+    docs.filter("doc_id % 10 = 0").write.parquet(f"{tmpdir}/takedown")
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/forget.py",
+         "--bm25", f"{tmpdir}/bm25", "--dedup", f"{tmpdir}/dedup",
+         "--docs", f"{tmpdir}/takedown", "--vacuum"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert stats["bm25"]["n_forgotten"] == 6
+    assert stats["dedup"]["n_tombstoned"] == 6
+    assert stats["vacuum"]["vacuumed"] == 6
+    left = {r["doc_id"] for r in spark.read.parquet(f"{tmpdir}/bm25/doclen").collect()}
+    assert not any(i % 10 == 0 for i in left)
+    assert read_dedup_tombstones(spark, f"{tmpdir}/dedup") == (None, None)
