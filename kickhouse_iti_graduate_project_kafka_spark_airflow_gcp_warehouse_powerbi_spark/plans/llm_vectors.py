@@ -1693,3 +1693,43 @@ def video_shifted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.videohash import video_shifted_near_dup_pairs as _pairs
 
     return _pairs(_avi_docs(spark, sf_dir), every=1, max_hamming=3, min_matches=2)
+
+
+@register(
+    "images_phash_gate",
+    tags=("multimodal", "phash", "dedup", "gate"),
+    oracle=f"""
+    WITH {_IMAGES_HASH_CTE},
+    stored AS (SELECT doc_id, dhash FROM hashes WHERE doc_id % 2 = 0),
+    batch  AS (SELECT doc_id, dhash FROM hashes WHERE doc_id % 2 = 1),
+    clean AS (
+        SELECT b.doc_id, b.dhash FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM stored s
+                          WHERE bit_count(xor(s.dhash, b.dhash)) <= 3)),
+    accepted AS (
+        SELECT c.doc_id, c.dhash FROM clean c
+        WHERE NOT EXISTS (SELECT 1 FROM clean d
+                          WHERE d.doc_id < c.doc_id
+                          AND bit_count(xor(d.dhash, c.dhash)) <= 3))
+    SELECT doc_id, dhash AS hash FROM accepted
+    """,
+)
+def images_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest-gate DECISION (operators/phash_index.py,
+    pure form): even-doc images play the stored corpus, odd-doc images
+    the arriving batch; accepted = odd docs within Hamming 3 of no
+    stored hash and not dominated by a lower-id batch survivor. The
+    oracle replays both rules with correlated NOT EXISTS (band recall
+    is exact at distance <= 3, so the banded plan and the direct
+    predicate agree by construction); the persisted-index absorb is
+    equivalence-tested against this algebra in tests/test_phash_index.py."""
+    from ..functions.imagehash import dhash_images
+    from ..operators.phash_index import phash_gate
+
+    d = _ppm_docs(spark, sf_dir)
+    hashes = dhash_images(d)
+    stored = hashes.filter(F.col("doc_id") % 2 == 0)
+    batch = hashes.filter(F.col("doc_id") % 2 == 1)
+    return phash_gate(stored, batch, hash_col="dhash").select(
+        "doc_id", F.col("dhash").alias("hash")
+    )
