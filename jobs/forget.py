@@ -56,6 +56,10 @@ def main() -> None:
     ap.add_argument("--survivors", help="semdedup survivors path")
     ap.add_argument("--ivf", help="IVF index path")
     ap.add_argument("--ivfpq", help="IVF-PQ index path")
+    ap.add_argument(
+        "--phash", help="perceptual-hash gate index path (takes --vec-ids "
+        "or --docs ids — only the id column is read)",
+    )
     ap.add_argument("--docs", help="parquet with (doc_id, text) to forget")
     ap.add_argument("--vec-ids", help="parquet with vec_id rows to forget")
     ap.add_argument(
@@ -63,12 +67,16 @@ def main() -> None:
         help="also physically vacuum the dedup index (maintenance window)",
     )
     args = ap.parse_args()
-    doc_targets = args.state or args.dedup or args.bm25
-    vec_targets = args.state or args.survivors or args.ivf or args.ivfpq
+    doc_targets = args.state or args.dedup or args.bm25 or args.phash
+    vec_targets = (
+        args.state or args.survivors or args.ivf or args.ivfpq or args.phash
+    )
     if args.docs and not doc_targets:
-        ap.error("--docs needs --state, --dedup, or --bm25")
+        ap.error("--docs needs --state, --dedup, --bm25, or --phash")
     if args.vec_ids and not vec_targets:
-        ap.error("--vec-ids needs --state, --survivors, --ivf, or --ivfpq")
+        ap.error(
+            "--vec-ids needs --state, --survivors, --ivf, --ivfpq, or --phash"
+        )
     if not args.docs and not args.vec_ids:
         ap.error("nothing to forget: pass --docs and/or --vec-ids")
 
@@ -98,6 +106,16 @@ def main() -> None:
             out["ivf"] = forget_from_ivf_index(spark, args.ivf, vec_ids)
         if vec_ids is not None and args.ivfpq:
             out["ivfpq"] = forget_from_ivfpq_index(spark, args.ivfpq, vec_ids)
+        if args.phash:
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.phash_index import (
+                forget_from_phash_index,
+            )
+
+            src = vec_ids if vec_ids is not None else docs
+            id_col = "vec_id" if vec_ids is not None else "doc_id"
+            out["phash"] = forget_from_phash_index(
+                spark, args.phash, src, id_col=id_col
+            )
     print(json.dumps(out), flush=True)
 
 

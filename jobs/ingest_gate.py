@@ -24,6 +24,13 @@ one transform, two drivers). ``--schema`` (a DDL string) lets the gate
 start BEFORE its producer has written anything; without it the schema
 is inferred from the existing source files.
 
+Perceptual-hash gate (multimodal near-dup — image/audio/video hashes
+absorbed against the persisted banded index):
+
+    python jobs/ingest_gate.py phash --source /lake/phash_stream \\
+        --index /lake/phash_index --checkpoint /lake/_ckpt/phash_gate \\
+        [--id-col doc_id --hash-col hash]
+
 Full pipeline (one batch through EVERY ingest stage — quality gate,
 dedup absorb, BM25 append, HLL + count-min maintenance, semdedup, IVF
 and IVF-PQ appends — ``streaming/pipeline.py``):
@@ -67,7 +74,7 @@ def main() -> None:
     )
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["docs", "embeddings", "pipeline"])
+    ap.add_argument("mode", choices=["docs", "embeddings", "pipeline", "phash"])
     ap.add_argument("--source", required=True, help="parquet dir to tail")
     ap.add_argument(
         "--emb-source", help="pipeline mode: embeddings parquet dir"
@@ -89,6 +96,7 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--vec-id-col", default="vec_id")
+    ap.add_argument("--hash-col", default="hash")
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--tau", type=float, default=0.95)
     ap.add_argument("--trigger", default="5 seconds")
@@ -121,6 +129,8 @@ def main() -> None:
         ap.error("pipeline mode requires --emb-source and --state")
     if args.mode == "docs" and not args.index:
         ap.error("docs mode requires --index")
+    if args.mode == "phash" and not args.index:
+        ap.error("phash mode requires --index")
     if args.mode == "embeddings" and not (args.survivors and args.ivf):
         ap.error("embeddings mode requires --survivors and --ivf")
     if args.reconcile and args.mode != "embeddings":
@@ -186,7 +196,16 @@ def main() -> None:
             )
     stream = spark.readStream.schema(schema).parquet(args.source)
 
-    if args.mode == "docs":
+    if args.mode == "phash":
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.phash_index import (
+            maintain_phash_stream,
+        )
+
+        q = maintain_phash_stream(
+            stream, args.index, args.checkpoint, args.id_col, args.hash_col,
+            trigger=args.trigger, on_batch=emit,
+        )
+    elif args.mode == "docs":
         prepare = None
         if args.quality_gate:
             from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.quality import (

@@ -145,3 +145,26 @@ def test_absorb_equals_build_over_union(spark, tmp_path):
     sf = absorb_batch_into_phash_index(spark, fresh, probe)
     assert sg == sf
     assert _ids(spark, grown)[-1] == _ids(spark, fresh)[-1] == 32
+
+
+def test_phash_gate_cli(spark, tmp_path):
+    """Subprocess drive of the phash CLI mode (drain twin)."""
+    import json
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    build_phash_index(_df(spark, [(1, H_A)]), path, n_bucket_dirs=8)
+    _df(spark, [(10, H_A1), (11, H_B)]).write.parquet(src)
+    out = subprocess.run(
+        [sys.executable, "/root/repo/jobs/ingest_gate.py", "phash",
+         "--source", src, "--index", path,
+         "--checkpoint", str(tmp_path / "ckpt"),
+         "--trigger", "1 seconds", "--drain"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert sum(s["n_accepted"] for s in stats) == 1
+    assert _ids(spark, path) == [1, 11]
