@@ -206,3 +206,21 @@ def video_shifted_near_dup_pairs(
         .filter((F.col("_rk") == 1) & (F.col("n_matching") >= min_matches))
         .select("a_id", "b_id", "offset", "n_matching")
     )
+
+
+def video_gate_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every: int = 2,
+) -> DataFrame:
+    """One (id, hash) row per video for the perceptual-hash ingest gate
+    (``operators/phash_index.py``): the EARLIEST sampled frame's dHash —
+    deterministic and cheap, catching re-encodes/copies at the door.
+    Head-trimmed copies shift which frame is earliest, so they can slip
+    this front filter; ``video_shifted_near_dup_pairs`` over the full
+    per-frame hashes is the analysis-side sweep that catches them."""
+    h = video_frame_hashes(df, payload_col, id_col, every)
+    return h.groupBy(id_col).agg(
+        F.min_by("dhash", "frame_idx").alias("hash")
+    )

@@ -168,3 +168,32 @@ def test_phash_gate_cli(spark, tmp_path):
     stats = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
     assert sum(s["n_accepted"] for s in stats) == 1
     assert _ids(spark, path) == [1, 11]
+
+
+def test_gate_composes_with_video_hashes(spark, tmp_path):
+    """End-to-end multimodal gate: AVI payloads → per-video gate hash →
+    persisted-index absorb rejects a noisy copy, admits a new video."""
+    from tests.test_videohash import _avi_bytes, _frame_px
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.functions.videohash import (
+        video_gate_hash,
+    )
+
+    stored = spark.createDataFrame(
+        [(1, bytearray(_avi_bytes([_frame_px(s) for s in range(4)])))],
+        "doc_id long, payload binary",
+    )
+    path = str(tmp_path / "idx")
+    build_phash_index(video_gate_hash(stored), path, n_bucket_dirs=8)
+
+    batch = spark.createDataFrame(
+        [
+            # noisy copy of the stored video (same frames, pixel noise)
+            (10, bytearray(_avi_bytes([_frame_px(s, noise=2) for s in range(4)]))),
+            # unrelated video (disjoint mod-7 seed classes)
+            (11, bytearray(_avi_bytes([_frame_px(s) for s in (4, 5, 6, 4)]))),
+        ],
+        "doc_id long, payload binary",
+    )
+    st = absorb_batch_into_phash_index(spark, path, video_gate_hash(batch))
+    assert st["n_rejected_near"] == 1 and st["n_accepted"] == 1
+    assert _ids(spark, path) == [1, 11]
