@@ -1268,7 +1268,7 @@ def ivf_sampled_cell_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: pixel value expression inside the fabrication transform (i = R*16+C)
 _PPM_PIX_SQL = (
-    "CASE WHEN (((instr('0123456789abcdef', substr(md5(concat('img-', CAST(_g AS STRING))), (((i DIV 32)*8 + ((i % 16) DIV 2)) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, ((i DIV 32)*8 + ((i % 16) DIV 2)) % 4) AS INT)) % 2 = 1)"
+    "CASE WHEN (((instr('0123456789abcdef', substr(_h, (((i DIV 32)*8 + ((i % 16) DIV 2)) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, ((i DIV 32)*8 + ((i % 16) DIV 2)) % 4) AS INT)) % 2 = 1)"
     " != ((i DIV 32) = 0 AND ((i % 16) DIV 2) = 0 AND pmod(_v, 7) = 3)"
     " THEN 200 ELSE 40 END + pmod(_v + (i DIV 16) + pmod(i, 16), 3)"
 )
@@ -1295,6 +1295,11 @@ def _ppm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_g", F.expr("doc_id DIV 10"))
         .withColumn("_v", F.col("doc_id") % 10)
+        # one md5 per doc, referenced from inside the pixel lambda (the
+        # per-pixel form recomputed it 256x per row)
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("img-"), F.col("_g").cast("string")))
+        )
         .withColumn("payload", _ppm_payload_col())
     )
 
@@ -1398,7 +1403,7 @@ _WAV_HEADER_HEX = (
 #: energy bit (900-level vs 100-level), +-15 of version noise that the
 #: >>5 quantization provably cannot see; version % 7 == 3 flips window 0
 _WAV_SAMPLE_SQL = (
-    "((CASE WHEN ((((instr('0123456789abcdef', substr(md5(concat('aud-', CAST(_g AS STRING))), ((i DIV 2) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, (i DIV 2) % 4) AS INT)) % 2 = 1)"
+    "((CASE WHEN ((((instr('0123456789abcdef', substr(_h, ((i DIV 2) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, (i DIV 2) % 4) AS INT)) % 2 = 1)"
     " != ((i DIV 2) = 0 AND (_v % 7) = 3))"
     " THEN 900 ELSE 100 END) + ((_v*13 + i*7) % 16))"
 )
@@ -1410,6 +1415,9 @@ def _wav_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_g", F.expr("doc_id DIV 10"))
         .withColumn("_v", F.col("doc_id") % 10)
+        .withColumn(
+            "_h", F.md5(F.concat(F.lit("aud-"), F.col("_g").cast("string")))
+        )
         .withColumn(
             "payload",
             F.concat(
@@ -1518,7 +1526,7 @@ _AVI_FRAME_HDR_HEX = "3030646200030000"  # "00db" + LE32(768)
 #: per-(group, frame, cell) bit, +-2 noise the >>4 quantization cannot
 #: see; version % 7 == 3 flips frame 0's (0,0) cell
 _AVI_PIX_SQL = (
-    "((CASE WHEN ((((instr('0123456789abcdef', substr(md5(concat('vid-', CAST(_g AS STRING), '-', CAST(f AS STRING))), ((((15 - (p DIV 16)) DIV 2)*8 + ((p % 16) DIV 2)) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, (((15 - (p DIV 16)) DIV 2)*8 + ((p % 16) DIV 2)) % 4) AS INT)) % 2 = 1)"
+    "((CASE WHEN ((((instr('0123456789abcdef', substr(element_at(_h, f + 1), ((((15 - (p DIV 16)) DIV 2)*8 + ((p % 16) DIV 2)) DIV 4) + 1, 1)) - 1) DIV CAST(pow(2, (((15 - (p DIV 16)) DIV 2)*8 + ((p % 16) DIV 2)) % 4) AS INT)) % 2 = 1)"
     " != (f = 0 AND ((15 - (p DIV 16)) DIV 2) = 0"
     " AND ((p % 16) DIV 2) = 0 AND (_v % 7) = 3))"
     " THEN 200 ELSE 40 END) + ((_v*13 + p*7 + f*29) % 3))"
@@ -1531,6 +1539,14 @@ def _avi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_g", F.expr("doc_id DIV 10"))
         .withColumn("_v", F.col("doc_id") % 10)
+        # one md5 per (doc, frame), indexed from inside the pixel lambda
+        .withColumn(
+            "_h",
+            F.expr(
+                "transform(sequence(0, 3), f -> "
+                "md5(concat('vid-', CAST(_g AS STRING), '-', CAST(f AS STRING))))"
+            ),
+        )
         .withColumn(
             "payload",
             F.concat(
