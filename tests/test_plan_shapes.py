@@ -218,3 +218,36 @@ def test_q21_shape_double_correlation_single_scan_each(plans):
     assert _scan_count(p, "orders") <= 2
     assert "Window" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_listagg_broadcasts_and_single_agg_exchange(plans):
+    p = plans("region_nations_listagg")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q5_shape_pushes_date_window_and_broadcasts_nation(plans):
+    p = plans("local_supplier_revenue")
+    # order-date window reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q10_shape_pushed_flag_filter_and_topk(plans):
+    p = plans("returned_item_top_customers")
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_phash_gate_is_banded_not_cartesian(plans):
+    p = plans("images_phash_gate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rollup_grouping_id_is_one_expand(plans):
+    # rollup = a single Expand feeding one aggregate, never a union of
+    # per-grouping re-scans
+    p = plans("rollup_grouping_id")
+    assert p.count("Expand") >= 1
+    assert "Union" not in p
