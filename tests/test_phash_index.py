@@ -197,3 +197,47 @@ def test_gate_composes_with_video_hashes(spark, tmp_path):
     st = absorb_batch_into_phash_index(spark, path, video_gate_hash(batch))
     assert st["n_rejected_near"] == 1 and st["n_accepted"] == 1
     assert _ids(spark, path) == [1, 11]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_gate(stored, batch, max_h=3):
+    """Independent Python reference of the two gate rules."""
+    def near(a, b):
+        return bin(a ^ b).count("1") <= max_h
+
+    clean = [
+        (i, h) for i, h in batch
+        if h is not None and not any(near(h, sh) for _, sh in stored)
+    ]
+    return sorted(
+        i for i, h in clean
+        if not any(j < i and near(h, g) for j, g in clean)
+    )
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, (1 << 63) - 1), max_size=6, unique=True),
+    st.lists(st.integers(0, (1 << 63) - 1), min_size=1, max_size=6, unique=True),
+)
+def test_phash_gate_matches_reference(spark, stored_hashes, batch_hashes):
+    stored = [(i, h) for i, h in enumerate(stored_hashes)]
+    batch = [(100 + i, h) for i, h in enumerate(batch_hashes)]
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.phash_index import (
+        phash_gate,
+    )
+
+    got = sorted(
+        r["doc_id"]
+        for r in phash_gate(_df(spark, stored), _df(spark, batch)).collect()
+    )
+    assert got == _ref_gate(stored, batch)
