@@ -1907,3 +1907,162 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("custkey").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 / Q9 / Q15 shapes — the last three of the 22 classic geometries (r8).
+# With these the canon the reference's BI layer draws on (README.md:437,
+# 462-466: star schema + DirectQuery SQL) is covered 22/22.
+# --------------------------------------------------------------------------
+@register(
+    "forecast_revenue_change",
+    bench=False,
+    tags=("A1", "tpch", "Q6-shape"),
+    oracle="""
+    SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                              CAST(l_discount AS DECIMAL(3,2))), 0)
+                AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue a discount-band change would free up — a
+    pure scan-side query. Every predicate (date window, discount band,
+    quantity cap) is scan-pushable; the aggregate is a single global
+    partial+final sum with no grouping shuffle beyond the 1-row exchange.
+    Discount and price are clean 2dp fixtures, so the product is exact in
+    DECIMAL — the sum is bitwise-deterministic under any partitioning.
+    Ref: the reference's discount-sensitivity dashboards aggregate the
+    same band filter warehouse-side (ClickHouse SQL)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice").cast("decimal(14,2)") * disc),
+                F.lit(0).cast("decimal(17,4)"),
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "product_type_profit",
+    bench=True,
+    tags=("J5", "A1", "tpch", "Q9-shape"),
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_REVENUE_SQL} -
+                    CAST(p.p_retailprice AS DECIMAL(14,2)) *
+                    CAST(0.10 AS DECIMAL(3,2)) *
+                    CAST(l.l_quantity AS DECIMAL(14,2)))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type LIKE '%DARD%'
+    GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for one
+    product line. The fixture has no partsupp, so supply cost is stood in
+    by 10% of the part's retail price — the join geometry (fact ⋈ two
+    broadcast dims ⋈ fact ⋈ broadcast nation, LIKE filter contracting the
+    part dim BEFORE it reaches the fact) is exactly Q9's. The part filter
+    halves the fact early via the broadcast hash join; orders joins on the
+    already-filtered residue. All money terms in DECIMAL: the profit sum
+    is order-independent."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type").like("%DARD%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        F.col("p_retailprice").cast("decimal(14,2)")
+        * F.lit(0.10).cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(14,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_revenue_dec() - cost).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "top_supplier_by_revenue",
+    bench=False,
+    tags=("A8", "A9", "tpch", "scalar-max", "Q15-shape"),
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS suppkey,
+               SUM({_REVENUE_SQL}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON r.suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarter revenue —
+    WITH-ties semantics, not LIMIT 1 (a revenue tie must return both
+    rows; DECIMAL revenue makes the tie comparison exact, so ties are
+    well-defined cross-engine). Decorrelated as a rank-1 window over the
+    grouped revenue table: ONE lineitem scan, one grouping shuffle, and a
+    single-partition window over the |suppliers|-sized aggregate — never
+    a second scan for the scalar MAX, never a self-join. The supplier dim
+    joins broadcast, after the rank filter has shrunk the left side."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_revenue_dec()).alias("total_rev")
+    )
+    # |suppliers|-sized input: the empty-frame global window is bounded
+    best = revenue.withColumn(
+        "_rk", F.rank().over(Window.orderBy(F.col("total_rev").desc()))
+    ).filter(F.col("_rk") == 1)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(supp), best.suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )

@@ -251,3 +251,32 @@ def test_rollup_grouping_id_is_one_expand(plans):
     p = plans("rollup_grouping_id")
     assert p.count("Expand") >= 1
     assert "Union" not in p
+
+
+def test_q6_shape_all_predicates_pushed_single_scan(plans):
+    # Q6 is a pure scan query: date window, discount band, and quantity
+    # cap all reach the parquet scan; one scan, no join, no grouping key
+    p = plans("forecast_revenue_change")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    assert _scan_count(p, "lineitem") <= 2
+    assert "Join" not in p
+
+
+def test_q9_shape_part_filter_contracts_before_fact(plans):
+    # the LIKE filter runs on the part dim (contracting it) before the
+    # broadcast join — never as a post-join filter on the fact residue
+    p = plans("product_type_profit")
+    assert "Contains(p_type" in p  # pushed to the part scan
+    assert "BroadcastHashJoin" in p
+    assert _scan_count(p, "lineitem") <= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q15_shape_scalar_max_is_windowed_single_scan(plans):
+    # WITH-ties max: rank-1 window over the grouped revenue table — ONE
+    # lineitem scan (the oracle's scalar-MAX subquery re-scans revenue)
+    p = plans("top_supplier_by_revenue")
+    assert _scan_count(p, "lineitem") <= 2
+    assert "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
