@@ -152,6 +152,44 @@ class _LocalManifestIO:
 
         shutil.rmtree(p, ignore_errors=True)
 
+    def write_exclusive(self, d: str, name: str, text: str) -> bool:
+        """Create ``d/name`` with ``text`` iff it does not exist — the
+        optimistic-concurrency commit primitive (two writers racing on the
+        same version file: exactly one wins). Implemented as write-temp +
+        fsync + ``os.link`` (an atomic create-exclusive that publishes the
+        FULL content — a reader can never observe a torn file, unlike
+        O_EXCL + incremental writes). Returns False when the loser should
+        re-read state and retry."""
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, os.path.join(d, name))
+            except FileExistsError:
+                return False
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+            return True
+        finally:
+            os.unlink(tmp)
+
+    def mtime(self, p: str) -> float:
+        return os.path.getmtime(p)
+
+    def delete(self, p: str) -> None:
+        """Remove a file OR a directory tree (``rmtree`` silently no-ops
+        on plain files under ``ignore_errors``)."""
+        if os.path.isdir(p):
+            self.rmtree(p)
+        elif os.path.exists(p):
+            os.unlink(p)
+
 
 class _HadoopManifestIO:
     """Hadoop ``FileSystem`` I/O for URI paths, driven over py4j from the
@@ -232,6 +270,47 @@ class _HadoopManifestIO:
         jp = self._jpath(p)
         if fs.exists(jp):
             fs.delete(jp, True)
+
+    def write_exclusive(self, d: str, name: str, text: str) -> bool:
+        """Create-if-absent commit primitive: write-temp + plain
+        ``FileSystem.rename``, which REFUSES an existing destination (the
+        exact opposite of ``write_swap``'s Rename.OVERWRITE) — on HDFS an
+        atomic namespace operation, so exactly one of two racing committers
+        wins and the loser's temp is cleaned up. Returns False to signal
+        retry-with-next-version."""
+        base = d.rstrip("/")
+        tmp = f"{base}/.{name}.{uuid.uuid4().hex}.tmp"
+        fs = self._fs(d)
+        dst = self._jpath(f"{base}/{name}")
+        try:
+            if fs.exists(dst):
+                return False
+            out = fs.create(self._jpath(tmp), True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+                try:
+                    out.hsync()
+                except Exception:
+                    out.hflush()
+            finally:
+                out.close()
+            ok = bool(fs.rename(self._jpath(tmp), dst))
+            if not ok:
+                fs.delete(self._jpath(tmp), False)
+            return ok
+        except Exception:
+            try:
+                fs.delete(self._jpath(tmp), False)
+            except Exception:
+                pass
+            raise
+
+    def mtime(self, p: str) -> float:
+        return self._fs(p).getFileStatus(self._jpath(p)).getModificationTime() / 1000.0
+
+    def delete(self, p: str) -> None:
+        """File-or-directory delete (``FileSystem.delete`` handles both)."""
+        self.rmtree(p)
 
 
 def _hadoop_io(spark: SparkSession) -> _HadoopManifestIO:

@@ -1,0 +1,276 @@
+"""Parts-table lifecycle (sources/parts.py) — the MergeTree analogue:
+insert/commit atomicity, replay-safe batches, replacing/summing FINAL,
+time travel, OPTIMIZE prefix-merge correctness, vacuum with orphan TTL,
+optimistic-concurrency races, crash injection, and the real Hadoop
+backend over a viewfs:// mount."""
+
+import json
+import os
+import uuid
+
+import pytest
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources import (
+    parts as P,
+)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_status string, o_total double"
+    )
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "t")
+
+
+def test_create_is_idempotent_and_rejects_mismatch(tbl):
+    meta = P.create_parts_table(tbl, engine="append", order_by=("o_orderkey",))
+    assert P.create_parts_table(tbl, engine="append", order_by=("o_orderkey",)) == meta
+    with pytest.raises(ValueError, match="different metadata"):
+        P.create_parts_table(tbl, engine="append", order_by=("o_custkey",))
+
+
+def test_engine_metadata_validation(tbl):
+    with pytest.raises(ValueError, match="version_col"):
+        P.create_parts_table(tbl, engine="replacing", key_cols=("k",))
+    with pytest.raises(ValueError, match="sum_cols"):
+        P.create_parts_table(tbl, engine="summing", key_cols=("k",))
+    with pytest.raises(ValueError, match="engine"):
+        P.create_parts_table(tbl, engine="collapsing")
+
+
+def test_append_insert_read_and_history(spark, tbl):
+    P.create_parts_table(tbl, engine="append")
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 5.0)]), tbl, batch_id=0)
+    P.insert_into_parts(_orders(spark, [(2, 11, "F", 7.0)]), tbl, batch_id=1)
+    got = {r.o_orderkey for r in P.read_parts(spark, tbl).collect()}
+    assert got == {1, 2}
+    hist = P.table_history(tbl)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[-1]["batch_ids"] == [0, 1]
+    assert hist[-1]["n_parts"] == 2
+
+
+def test_insert_replay_is_noop(spark, tbl):
+    P.create_parts_table(tbl, engine="append")
+    r1 = P.insert_into_parts(_orders(spark, [(1, 10, "O", 5.0)]), tbl, batch_id=7)
+    r2 = P.insert_into_parts(_orders(spark, [(9, 99, "X", 0.0)]), tbl, batch_id=7)
+    assert not r1["replayed"] and r2["replayed"]
+    assert P.current_version(tbl) == 1
+    assert P.read_parts(spark, tbl).count() == 1
+
+
+def test_replacing_final_latest_part_wins_then_version_col(spark, tbl):
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    # part 1: two rows for custkey 10 (orderkey 1,3) -> 3 wins inside part
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0), (3, 10, "O", 3.0)]), tbl)
+    # part 2: lower orderkey for custkey 10 -> still wins (newer part)
+    P.insert_into_parts(_orders(spark, [(2, 10, "F", 2.0), (5, 11, "O", 5.0)]), tbl)
+    fin = {
+        (r.o_custkey, r.o_orderkey, r.o_status)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert fin == {(10, 2, "F"), (11, 5, "O")}
+    # non-final read returns all physical rows
+    assert P.read_parts(spark, tbl).count() == 4
+
+
+def test_summing_final(spark, tbl):
+    P.create_parts_table(tbl, engine="summing", key_cols=("o_custkey",), sum_cols=("o_total",))
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.5), (2, 11, "O", 2.0)]), tbl)
+    P.insert_into_parts(_orders(spark, [(3, 10, "F", 4.0)]), tbl)
+    fin = {(r.o_custkey, r.o_total) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert fin == {(10, 5.5), (11, 2.0)}
+
+
+def test_time_travel_and_vacuumed_version_fails_loudly(spark, tbl):
+    P.create_parts_table(tbl, engine="append")
+    for k in range(3):
+        P.insert_into_parts(_orders(spark, [(k, k, "O", float(k))]), tbl)
+    assert P.read_parts(spark, tbl, version=1).count() == 1
+    assert P.read_parts(spark, tbl, version=2).count() == 2
+    assert P.read_parts(spark, tbl).count() == 3
+    P.vacuum_parts(tbl, keep_versions=1, orphan_ttl_secs=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        P.read_parts(spark, tbl, version=1)
+    assert P.read_parts(spark, tbl).count() == 3
+
+
+def test_optimize_full_merge_collapses_and_time_travel_survives(spark, tbl):
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0)]), tbl)
+    P.insert_into_parts(_orders(spark, [(2, 10, "F", 2.0), (5, 11, "O", 5.0)]), tbl)
+    want = {(r.o_custkey, r.o_orderkey) for r in P.read_parts(spark, tbl, final=True).collect()}
+    res = P.optimize_parts(spark, tbl)
+    assert res["merged"] == 2
+    hist = {h["version"]: h for h in P.table_history(tbl)}
+    assert hist[res["version"]]["collapsed"]
+    # collapsed FINAL = straight scan, same answer
+    got = {(r.o_custkey, r.o_orderkey) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert got == want
+    # physical row count shrank to the collapsed set
+    assert P.read_parts(spark, tbl).count() == 2
+    # pre-optimize version still time-travels (parts not vacuumed yet)
+    assert P.read_parts(spark, tbl, version=2).count() == 3
+
+
+def test_optimize_prefix_merge_keeps_replacing_dominance(spark, tbl):
+    """Merging parts {1,2} while part 3 stays unmerged: the merged part
+    carries seq 2, so part 3's rows still dominate — the seq-contiguity
+    rule that makes partial merges correct."""
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    P.insert_into_parts(_orders(spark, [(9, 10, "A", 1.0)]), tbl)  # seq 1
+    P.insert_into_parts(_orders(spark, [(8, 10, "B", 2.0)]), tbl)  # seq 2
+    P.insert_into_parts(_orders(spark, [(1, 10, "C", 3.0)]), tbl)  # seq 3
+    res = P.optimize_parts(spark, tbl, max_seq=2)
+    assert res["merged"] == 2
+    fin = {(r.o_custkey, r.o_status) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert fin == {(10, "C")}  # seq-3 row beats the merged seq-2 survivor
+    hist = {h["version"]: h for h in P.table_history(tbl)}
+    assert not hist[res["version"]]["collapsed"]
+
+
+def test_partitioned_parts_prune_on_read(spark, tbl):
+    P.create_parts_table(tbl, engine="append", partition_col="o_status")
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0), (2, 11, "F", 2.0)]), tbl)
+    P.insert_into_parts(_orders(spark, [(3, 12, "O", 3.0)]), tbl)
+    df = P.read_parts(spark, tbl).filter("o_status = 'O'")
+    assert {r.o_orderkey for r in df.collect()} == {1, 3}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition filter, not a data filter: pruning reaches the part dirs
+    assert "o_status" in plan
+
+
+def test_commit_race_retries_to_next_version(spark, tbl):
+    """Simulate a concurrent committer by pre-creating the version file
+    the insert will try first: the optimistic loop must land at the next
+    number, preserving BOTH commits."""
+    P.create_parts_table(tbl, engine="append")
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0)]), tbl)
+    # fabricate v2 as a competing committer would: same parts + one alien
+    vdir = os.path.join(tbl, P.VERSIONS_DIR)
+    v1 = json.load(open(os.path.join(vdir, "v1.json")))
+    alien = f"p-{uuid.uuid4().hex}"
+    os.makedirs(os.path.join(tbl, P.PARTS_DIR, alien))
+    import shutil
+
+    src = os.path.join(tbl, P.PARTS_DIR, v1["parts"][0]["name"])
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), os.path.join(tbl, P.PARTS_DIR, alien, f))
+    v2 = {
+        "op": "insert",
+        "parts": v1["parts"] + [{"name": alien, "seq": 2}],
+        "batch_ids": [],
+        "collapsed": False,
+    }
+    with open(os.path.join(vdir, "v2.json"), "w") as f:
+        json.dump(v2, f)
+    res = P.insert_into_parts(_orders(spark, [(3, 12, "F", 3.0)]), tbl)
+    assert res["version"] == 3
+    doc = json.load(open(os.path.join(vdir, "v3.json")))
+    assert len(doc["parts"]) == 3  # both the alien part and ours survived
+    assert P.read_parts(spark, tbl).count() == 3
+
+
+def test_crash_between_part_write_and_commit_is_invisible(spark, tbl, monkeypatch):
+    P.create_parts_table(tbl, engine="append")
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0)]), tbl, batch_id=0)
+
+    real_io_for = P._io_for
+
+    class _Boom:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "write_exclusive":
+                raise RuntimeError("injected crash before version commit")
+            return getattr(self._inner, name)
+
+    def _patched(path):
+        io, base = real_io_for(path)
+        return _Boom(io), base
+
+    monkeypatch.setattr(P, "_io_for", _patched)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        P.insert_into_parts(_orders(spark, [(2, 11, "F", 2.0)]), tbl, batch_id=1)
+    monkeypatch.setattr(P, "_io_for", real_io_for)
+
+    # reader sees only the committed part; the orphan is invisible
+    assert P.read_parts(spark, tbl).count() == 1
+    orphans = set(os.listdir(os.path.join(tbl, P.PARTS_DIR)))
+    assert len(orphans) == 2  # one committed + one orphan on disk
+    # retry completes the batch exactly once
+    P.insert_into_parts(_orders(spark, [(2, 11, "F", 2.0)]), tbl, batch_id=1)
+    assert P.read_parts(spark, tbl).count() == 2
+    # vacuum with TTL=default keeps the fresh orphan; TTL=0 sweeps it
+    assert P.vacuum_parts(tbl, keep_versions=10)["dropped_parts"] == []
+    swept = P.vacuum_parts(tbl, keep_versions=10, orphan_ttl_secs=0)
+    assert len(swept["dropped_parts"]) == 1
+    assert P.read_parts(spark, tbl).count() == 2
+
+
+def test_vacuum_drops_superseded_parts_after_optimize(spark, tbl):
+    P.create_parts_table(tbl, engine="append")
+    for k in range(3):
+        P.insert_into_parts(_orders(spark, [(k, k, "O", float(k))]), tbl)
+    P.optimize_parts(spark, tbl)
+    n_parts_before = len(os.listdir(os.path.join(tbl, P.PARTS_DIR)))
+    assert n_parts_before == 4  # 3 inputs + 1 merged
+    res = P.vacuum_parts(tbl, keep_versions=1, orphan_ttl_secs=0)
+    assert len(res["dropped_parts"]) == 3
+    assert P.read_parts(spark, tbl).count() == 3
+    # committed inputs are deleted immediately (no TTL needed): they were
+    # referenced by an old version, so they are superseded, not in-flight
+
+
+def test_parts_table_diff_between_versions(spark, tbl):
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0), (2, 11, "O", 2.0)]), tbl)
+    P.insert_into_parts(_orders(spark, [(3, 10, "F", 9.0), (4, 12, "O", 4.0)]), tbl)
+    d = P.parts_table_diff(spark, tbl, 1, 2, compare_cols=("o_status", "o_total"))
+    got = {(r.o_custkey, r.status) for r in d.collect()}
+    assert got == {(10, "changed"), (11, "unchanged"), (12, "added")}
+
+
+def test_full_lifecycle_on_viewfs(spark, tmpdir):
+    """The whole lifecycle through the REAL Hadoop backend under a
+    non-``file`` scheme: create, 2 inserts, replay, FINAL, optimize,
+    vacuum — exercising write_exclusive (plain rename), mtime, and
+    delete on ViewFileSystem."""
+    name = f"ptstest{uuid.uuid4().hex[:8]}"
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set(f"fs.viewfs.mounttable.{name}.link./store", f"file://{tmpdir}")
+    try:
+        tbl = f"viewfs://{name}/store/t"
+        P.create_parts_table(
+            tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+        )
+        P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0)]), tbl, batch_id=0)
+        P.insert_into_parts(_orders(spark, [(2, 10, "F", 2.0)]), tbl, batch_id=1)
+        assert P.insert_into_parts(
+            _orders(spark, [(9, 9, "X", 9.0)]), tbl, batch_id=1
+        )["replayed"]
+        fin = {(r.o_custkey, r.o_orderkey) for r in P.read_parts(spark, tbl, final=True).collect()}
+        assert fin == {(10, 2)}
+        res = P.optimize_parts(spark, tbl)
+        assert res["merged"] == 2
+        P.vacuum_parts(tbl, keep_versions=1, orphan_ttl_secs=0)
+        assert P.read_parts(spark, tbl, final=True).count() == 1
+        assert P.current_version(tbl) == 3
+        # only the merged part survives on disk
+        parts_left = os.listdir(os.path.join(str(tmpdir), "t", P.PARTS_DIR))
+        assert len(parts_left) == 1
+    finally:
+        conf.unset(f"fs.viewfs.mounttable.{name}.link./store")
