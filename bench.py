@@ -339,6 +339,40 @@ def main() -> None:
             index_secs["span_rewrite_adversarial"] = round(
                 time.perf_counter() - t0, 3
             )
+
+            # parts-table (MergeTree) lifecycle: 3 insert-commits of the
+            # orders fact, a FINAL read, a full OPTIMIZE, and the
+            # collapsed FINAL that should be a straight scan
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+                create_parts_table,
+                insert_into_parts,
+                optimize_parts,
+                read_parts,
+            )
+
+            ptbl = f"{idx_root}/parts_orders"
+            create_parts_table(
+                ptbl, engine="replacing", key_cols=("o_custkey",),
+                version_col="o_orderkey",
+            )
+            orders = load_table(spark, SF_DIR, "orders")
+            t0 = time.perf_counter()
+            for k in range(3):
+                insert_into_parts(
+                    orders.filter(F.col("o_orderkey") % 3 == k), ptbl, batch_id=k
+                )
+            index_secs["parts_insert_x3"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            read_parts(spark, ptbl, final=True).count()
+            index_secs["parts_final_read"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            optimize_parts(spark, ptbl)
+            index_secs["parts_optimize"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            read_parts(spark, ptbl, final=True).count()
+            index_secs["parts_final_read_collapsed"] = round(
+                time.perf_counter() - t0, 3
+            )
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Job: operate a parts table (the MergeTree lifecycle) from the CLI.
+
+    python jobs/parts_table.py create  --table /lake/t --engine replacing \\
+        --key o_custkey --version-col o_orderkey [--partition-col month]
+    python jobs/parts_table.py insert  --table /lake/t --src batch.parquet \\
+        [--batch-id 7] [--app-id nightly]
+    python jobs/parts_table.py read    --table /lake/t [--version 3] [--final] \\
+        [--out out.parquet] [--limit 20]
+    python jobs/parts_table.py optimize --table /lake/t [--max-seq 5]
+    python jobs/parts_table.py vacuum  --table /lake/t [--keep-versions 1] \\
+        [--orphan-ttl-secs 86400]
+    python jobs/parts_table.py history --table /lake/t
+    python jobs/parts_table.py diff    --table /lake/t --from 1 --to 3
+
+Prints one JSON stats line per operation (the contract every jobs/ CLI
+follows). ``read`` without ``--out`` prints row count + a bounded sample.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark import (
+        get_spark,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+        create_parts_table,
+        insert_into_parts,
+        optimize_parts,
+        parts_table_diff,
+        read_parts,
+        table_history,
+        vacuum_parts,
+    )
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "op",
+        choices=("create", "insert", "read", "optimize", "vacuum", "history", "diff"),
+    )
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--engine", default="append")
+    ap.add_argument("--key", nargs="*", default=[])
+    ap.add_argument("--version-col", default=None)
+    ap.add_argument("--sum-cols", nargs="*", default=[])
+    ap.add_argument("--partition-col", default=None)
+    ap.add_argument("--order-by", nargs="*", default=[])
+    ap.add_argument("--src", default=None, help="parquet path for insert")
+    ap.add_argument("--batch-id", type=int, default=None)
+    ap.add_argument("--app-id", default=None)
+    ap.add_argument("--version", type=int, default=None)
+    ap.add_argument("--final", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--max-seq", type=int, default=None)
+    ap.add_argument("--keep-versions", type=int, default=1)
+    ap.add_argument("--orphan-ttl-secs", type=float, default=24 * 3600.0)
+    ap.add_argument("--from", dest="v_from", type=int, default=None)
+    ap.add_argument("--to", dest="v_to", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.op == "create":
+        meta = create_parts_table(
+            args.table,
+            engine=args.engine,
+            key_cols=tuple(args.key),
+            version_col=args.version_col,
+            sum_cols=tuple(args.sum_cols),
+            partition_col=args.partition_col,
+            order_by=tuple(args.order_by),
+        )
+        print(json.dumps({"op": "create", "table": args.table, "meta": meta}))
+        return
+    if args.op == "history":
+        print(json.dumps({"op": "history", "versions": table_history(args.table)}))
+        return
+    if args.op == "vacuum":
+        res = vacuum_parts(
+            args.table,
+            keep_versions=args.keep_versions,
+            orphan_ttl_secs=args.orphan_ttl_secs,
+        )
+        print(json.dumps({"op": "vacuum", **res}))
+        return
+
+    spark = get_spark(app_name="kickhouse-parts-table")
+    if args.op == "insert":
+        if not args.src:
+            ap.error("insert needs --src")
+        res = insert_into_parts(
+            spark.read.parquet(args.src),
+            args.table,
+            batch_id=args.batch_id,
+            app_id=args.app_id,
+        )
+        print(json.dumps({"op": "insert", **res}))
+    elif args.op == "read":
+        df = read_parts(spark, args.table, version=args.version, final=args.final)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"op": "read", "rows": df.count(), "out": args.out}))
+        else:
+            rows = [r.asDict() for r in df.limit(args.limit).collect()]
+            print(
+                json.dumps(
+                    {"op": "read", "rows": df.count(), "sample": rows}, default=str
+                )
+            )
+    elif args.op == "optimize":
+        res = optimize_parts(spark, args.table, max_seq=args.max_seq)
+        print(json.dumps({"op": "optimize", **res}))
+    elif args.op == "diff":
+        if args.v_from is None or args.v_to is None:
+            ap.error("diff needs --from and --to")
+        from pyspark.sql import functions as F
+
+        d = parts_table_diff(spark, args.table, args.v_from, args.v_to)
+        counts = {
+            r["status"]: r["n"]
+            for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({"op": "diff", "from": args.v_from, "to": args.v_to, "counts": counts}))
+
+
+if __name__ == "__main__":
+    main()

@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         json_flatten,
         llm_text,
         llm_vectors,
+        mergetree,
         retrieval,
         scalars,
         temporal,

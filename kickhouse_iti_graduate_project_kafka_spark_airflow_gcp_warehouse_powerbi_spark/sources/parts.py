@@ -165,12 +165,14 @@ def table_history(path: str) -> list[dict]:
     out = []
     for n in _version_ids(io, base):
         doc = _read_version(io, base, n)
+        txns = doc.get("txns", {})
+        flat = sorted(set(doc.get("batch_ids", [])) | {b for v in txns.values() for b in v})
         out.append(
             {
                 "version": n,
                 "op": doc.get("op"),
                 "n_parts": len(doc["parts"]),
-                "batch_ids": sorted(doc.get("batch_ids", [])),
+                "batch_ids": flat,
                 "collapsed": bool(doc.get("collapsed", False)),
             }
         )
@@ -182,7 +184,9 @@ def table_history(path: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def insert_into_parts(df: DataFrame, path: str, *, batch_id: int | None = None) -> dict:
+def insert_into_parts(
+    df: DataFrame, path: str, *, batch_id: int | None = None, app_id: str | None = None
+) -> dict:
     """Append ``df`` as one new immutable part and commit it.
 
     Two-phase: (1) write the part directory (partitioned + sorted per the
@@ -195,14 +199,24 @@ def insert_into_parts(df: DataFrame, path: str, *, batch_id: int | None = None) 
 
     ``batch_id`` makes the insert replay-safe: ids live in the version
     log's cumulative set, and a committed id turns the retry into a no-op
-    before any data is written."""
+    before any data is written. ``app_id`` namespaces the ids (Delta's
+    ``txnAppId``): a restarted stream whose checkpoint was RESET gets a
+    fresh query id, so its restarted batch 0 is a new transaction, not a
+    silently-skipped replay — the collision maintenance.py fails loudly
+    on cannot corrupt a parts table because every insert lands in its own
+    part directory."""
     io, base = _io_for(path)
     meta = _load_meta(io, base)
+    app = app_id or ""
 
     def _committed_ids(ver: int) -> set[int]:
         if ver == 0:
             return set()
-        return set(_read_version(io, base, ver).get("batch_ids", []))
+        doc = _read_version(io, base, ver)
+        txns = doc.get("txns")
+        if txns is None:  # legacy flat list = the "" namespace
+            return set(doc.get("batch_ids", [])) if app == "" else set()
+        return set(txns.get(app, []))
 
     ver = current_version(path)
     if batch_id is not None and batch_id in _committed_ids(ver):
@@ -229,14 +243,17 @@ def insert_into_parts(df: DataFrame, path: str, *, batch_id: int | None = None) 
             # another writer committed our id while we wrote data: drop the
             # duplicate part as an orphan (vacuum sweeps it) and back off
             return {"version": ver, "replayed": True, "part": None}
-        prev = _read_version(io, base, ver) if ver else {"parts": [], "batch_ids": []}
+        prev = _read_version(io, base, ver) if ver else {"parts": [], "txns": {}}
+        txns = {k: sorted(v) for k, v in prev.get("txns", {}).items()}
+        if prev.get("batch_ids"):  # migrate a legacy flat list
+            txns[""] = sorted(set(txns.get("", [])) | set(prev["batch_ids"]))
+        if batch_id is not None:
+            txns[app] = sorted(set(txns.get(app, [])) | {batch_id})
         seq = 1 + max((p["seq"] for p in prev["parts"]), default=0)
         doc = {
             "op": "insert",
             "parts": prev["parts"] + [{"name": part_name, "seq": seq}],
-            "batch_ids": sorted(
-                set(prev.get("batch_ids", [])) | ({batch_id} if batch_id is not None else set())
-            ),
+            "txns": txns,
             "collapsed": False,
         }
         if io.write_exclusive(
@@ -391,9 +408,11 @@ def optimize_parts(
         new_doc = {
             "op": "optimize",
             "parts": sorted(new_parts, key=lambda q: q["seq"]),
-            "batch_ids": cur.get("batch_ids", []),
+            "txns": cur.get("txns", {}),
             "collapsed": len(new_parts) == 1 and meta["engine"] != "append",
         }
+        if cur.get("batch_ids"):
+            new_doc["batch_ids"] = cur["batch_ids"]
         if io.write_exclusive(
             _join(io, base, VERSIONS_DIR), f"v{ver + 1}.json", json.dumps(new_doc)
         ):

@@ -274,3 +274,96 @@ def test_full_lifecycle_on_viewfs(spark, tmpdir):
         assert len(parts_left) == 1
     finally:
         conf.unset(f"fs.viewfs.mounttable.{name}.link./store")
+
+
+# ---------------------------------------------------------------------------
+# streaming ingestion (parts_stream.parts_sink)
+# ---------------------------------------------------------------------------
+
+
+def test_parts_sink_streams_batches_as_parts(spark, tmpdir):
+    """A file-source stream lands each micro-batch as one committed part;
+    FINAL over the streamed table equals the batch answer; a second
+    stream start over the SAME checkpoint replays nothing."""
+    from pyspark.sql import types as T
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.parts_stream import (
+        parts_sink,
+    )
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    tbl = f"{tmpdir}/t"
+    P.create_parts_table(tbl, engine="replacing", key_cols=("k",), version_col="v")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    with open(f"{src}/a.json", "w") as f:
+        f.write(json.dumps({"k": 1, "v": 1, "s": "a"}) + "\n")
+        f.write(json.dumps({"k": 2, "v": 1, "s": "b"}) + "\n")
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = parts_sink(stream, tbl, f"{tmpdir}/chk", trigger="1 seconds")
+    try:
+        q.processAllAvailable()
+        with open(f"{src}/b.json", "w") as f:
+            f.write(json.dumps({"k": 1, "v": 2, "s": "c"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fin = {(r.k, r.v, r.s) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert fin == {(1, 2, "c"), (2, 1, "b")}
+    ver_after = P.current_version(tbl)
+
+    # restart over the same checkpoint: no new data -> no new version
+    q2 = parts_sink(spark.readStream.schema(schema).json(src), tbl, f"{tmpdir}/chk")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert P.current_version(tbl) == ver_after
+
+
+def test_parts_sink_reset_checkpoint_is_new_txn_namespace(spark, tmpdir):
+    """A RESET checkpoint restarts batch ids at 0 under a fresh query id:
+    the restarted batch 0 must NOT be swallowed by the old stream's batch
+    0 (per-app transaction namespaces), and re-ingestion is the honest,
+    documented outcome."""
+    from pyspark.sql import types as T
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.parts_stream import (
+        parts_sink,
+    )
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    tbl = f"{tmpdir}/t"
+    P.create_parts_table(tbl, engine="append")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    with open(f"{src}/a.json", "w") as f:
+        f.write(json.dumps({"k": 1}) + "\n")
+
+    for chk in ("chk1", "chk2"):  # second stream = reset checkpoint
+        q = parts_sink(spark.readStream.schema(schema).json(src), tbl, f"{tmpdir}/{chk}")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # both streams' batch 0 landed: 2 rows, 2 versions
+    assert P.read_parts(spark, tbl).count() == 2
+    assert P.current_version(tbl) == 2
+
+
+def test_insert_replay_guard_is_per_app(spark, tbl):
+    P.create_parts_table(tbl, engine="append")
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0)]), tbl, batch_id=0, app_id="s1")
+    r = P.insert_into_parts(_orders(spark, [(2, 11, "F", 2.0)]), tbl, batch_id=0, app_id="s2")
+    assert not r["replayed"]
+    r2 = P.insert_into_parts(_orders(spark, [(9, 9, "X", 9.0)]), tbl, batch_id=0, app_id="s1")
+    assert r2["replayed"]
+    assert P.read_parts(spark, tbl).count() == 2
