@@ -29,6 +29,28 @@ the same contract:
   made deterministic (the reference relies on "last in part", which is
   not reproducible cross-engine). ``engine="summing"`` sums ``sum_cols``
   per key. ``engine="append"`` is plain MergeTree.
+- **Collapsing state machine.** ``engine="collapsing"`` is
+  VersionedCollapsingMergeTree: every row carries ``sign_col`` (+1 state /
+  -1 cancel) and ``version_col``; FINAL cancels (+1, -1) pairs per
+  (key, version) and keeps the unmatched side. Determinism contract (the
+  same well-formedness ClickHouse assumes): at most one state and one
+  cancel row per (key, version) over the table's lifetime, so the net
+  sign is always in {-1, 0, +1} and pair-cancellation is associative
+  across arbitrary partial merges.
+- **Mergeable aggregate states.** ``engine="aggregating"`` is
+  AggregatingMergeTree: rows are PARTIAL aggregate states per key (built
+  with :func:`aggregate_states`), merged at FINAL/OPTIMIZE by the
+  per-column functions in ``agg_spec`` (``sum``/``min``/``max`` — each
+  associative and commutative, so part boundaries never change the
+  answer). A continuously-inserted aggregating table is the reference's
+  materialized-view pattern with O(|keys|) read cost however many raw
+  rows ever streamed in.
+- **TTL.** ``ttl_col`` (a NUMERIC epoch-seconds column — deliberately not
+  a timestamp, so no session-timezone cast can shift expiry) +
+  ``ttl_seconds`` expire rows: reads pass an explicit ``as_of`` (never a
+  hidden wall clock — replays and oracles see identical data) and
+  OPTIMIZE physically drops expired rows when given ``as_of``, exactly
+  like ClickHouse applying TTL at merge time.
 - **OPTIMIZE = physical merge.** Rewrites a *seq-contiguous prefix* of the
   live parts into one part with the engine collapse applied, committing a
   new version; the merged part carries the max input sequence, so later
@@ -71,7 +93,8 @@ TABLE_META = "table.json"
 VERSIONS_DIR = "_versions"
 PARTS_DIR = "parts"
 
-_ENGINES = ("append", "replacing", "summing")
+_ENGINES = ("append", "replacing", "summing", "collapsing", "aggregating")
+_AGG_FNS = ("sum", "min", "max")
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +109,10 @@ def create_parts_table(
     key_cols: Sequence[str] = (),
     version_col: str | None = None,
     sum_cols: Sequence[str] = (),
+    sign_col: str | None = None,
+    agg_spec: dict[str, str] | None = None,
+    ttl_col: str | None = None,
+    ttl_seconds: float | None = None,
     partition_col: str | None = None,
     order_by: Sequence[str] = (),
 ) -> dict:
@@ -93,7 +120,13 @@ def create_parts_table(
 
     ``replacing`` requires ``key_cols`` + ``version_col`` (the explicit,
     deterministic tie-break ClickHouse makes optional); ``summing``
-    requires ``key_cols`` + ``sum_cols``. Re-creating with identical
+    requires ``key_cols`` + ``sum_cols``; ``collapsing`` requires
+    ``key_cols`` + ``sign_col`` + ``version_col`` (VersionedCollapsing —
+    the deterministic variant; plain Collapsing's "row order within the
+    insert" tie-break is not reproducible); ``aggregating`` requires
+    ``key_cols`` + ``agg_spec`` mapping each state column to one of
+    ``sum``/``min``/``max``. ``ttl_col`` must be a numeric epoch-seconds
+    column and comes with ``ttl_seconds``. Re-creating with identical
     metadata is a no-op; different metadata raises — table identity is
     immutable, like a ClickHouse DDL mismatch."""
     if engine not in _ENGINES:
@@ -102,11 +135,27 @@ def create_parts_table(
         raise ValueError("replacing engine needs key_cols and version_col")
     if engine == "summing" and (not key_cols or not sum_cols):
         raise ValueError("summing engine needs key_cols and sum_cols")
+    if engine == "collapsing" and (not key_cols or not sign_col or not version_col):
+        raise ValueError("collapsing engine needs key_cols, sign_col and version_col")
+    if engine == "aggregating":
+        if not key_cols or not agg_spec:
+            raise ValueError("aggregating engine needs key_cols and agg_spec")
+        bad = {c: f for c, f in agg_spec.items() if f not in _AGG_FNS}
+        if bad:
+            raise ValueError(f"agg_spec functions must be one of {_AGG_FNS}, got {bad}")
+    if (ttl_col is None) != (ttl_seconds is None):
+        raise ValueError("ttl_col and ttl_seconds must be set together")
+    if ttl_seconds is not None and not ttl_seconds > 0:
+        raise ValueError("ttl_seconds must be positive")
     meta = {
         "engine": engine,
         "key_cols": list(key_cols),
         "version_col": version_col,
         "sum_cols": list(sum_cols),
+        "sign_col": sign_col,
+        "agg_spec": dict(agg_spec) if agg_spec else None,
+        "ttl_col": ttl_col,
+        "ttl_seconds": ttl_seconds,
         "partition_col": partition_col,
         "order_by": list(order_by),
     }
@@ -115,7 +164,11 @@ def create_parts_table(
     io.mkdirs(_join(io, base, PARTS_DIR))
     existing = io.read_text(_join(io, base, TABLE_META))
     if existing is not None:
-        if json.loads(existing) != meta:
+        # tables created before an engine was added lack its meta keys —
+        # normalize with the defaults before comparing
+        old = dict.fromkeys(("sign_col", "agg_spec", "ttl_col", "ttl_seconds"))
+        old.update(json.loads(existing))
+        if old != meta:
             raise ValueError(f"parts table at {path} exists with different metadata")
         return meta
     io.write_swap(base, TABLE_META, json.dumps(meta, sort_keys=True))
@@ -274,10 +327,19 @@ def read_parts(
     *,
     version: int | None = None,
     final: bool = False,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). ``final=True``
-    applies the engine's collapse (ReplacingMergeTree FINAL / summing);
-    for an ``append`` table it is a no-op.
+    applies the engine's collapse (ReplacingMergeTree FINAL / summing /
+    collapsing pair-cancellation / aggregating state merge); for an
+    ``append`` table it is a no-op.
+
+    ``as_of`` (epoch seconds) applies the table's TTL: rows whose
+    ``ttl_col + ttl_seconds <= as_of`` are excluded, BEFORE the collapse
+    (expired versions must not win a replacing window). It is an explicit
+    parameter, never a hidden ``now()`` — reads stay deterministic and
+    replayable. Without ``as_of`` a TTL table reads un-expired (the
+    ClickHouse posture before a merge runs).
 
     Each part is read as plain parquet and tagged with its commit
     sequence via a literal column — the union stays a metadata operation;
@@ -301,10 +363,22 @@ def read_parts(
     df = legs[0]
     for leg in legs[1:]:
         df = df.unionByName(leg)
+    df = _apply_ttl(df, meta, as_of)
 
     if not final or meta["engine"] == "append" or doc.get("collapsed", False):
         return df.drop("_part_seq")
     return _collapse(df, meta).drop("_part_seq")
+
+
+def _apply_ttl(df: DataFrame, meta: dict, as_of: float | None) -> DataFrame:
+    """Filter expired rows. ``ttl_col`` is numeric epoch seconds by
+    contract — integer arithmetic, no timestamp casts, so expiry never
+    shifts with the session timezone."""
+    if as_of is None or not meta.get("ttl_col"):
+        return df
+    return df.filter(
+        F.col(meta["ttl_col"]) + F.lit(meta["ttl_seconds"]) > F.lit(as_of)
+    )
 
 
 def _collapse(df: DataFrame, meta: dict) -> DataFrame:
@@ -319,6 +393,16 @@ def _collapse(df: DataFrame, meta: dict) -> DataFrame:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    if meta["engine"] == "collapsing":
+        return _collapse_signs(df, meta)
+    if meta["engine"] == "aggregating":
+        spec = meta["agg_spec"]
+        aggs = [getattr(F, fn)(c).alias(c) for c, fn in spec.items()]
+        others = [
+            c for c in df.columns if c not in keys and c not in spec and c != "_part_seq"
+        ]
+        aggs += [F.max_by(c, F.col("_part_seq")).alias(c) for c in others]
+        return df.groupBy(*keys).agg(*aggs).withColumn("_part_seq", F.lit(0))
     # summing: sum the value columns, keep any single representative for the
     # rest (deterministic: there are no other non-key columns by contract)
     sums = [F.sum(c).alias(c) for c in meta["sum_cols"]]
@@ -331,9 +415,57 @@ def _collapse(df: DataFrame, meta: dict) -> DataFrame:
     return df.groupBy(*keys).agg(*aggs).withColumn("_part_seq", F.lit(0))
 
 
+def _collapse_signs(df: DataFrame, meta: dict) -> DataFrame:
+    """VersionedCollapsing pair-cancellation, one groupBy per FINAL.
+
+    Per (key, version): net = Σ sign. net == 0 → the (+1, -1) pair
+    cancels; otherwise the unmatched side survives, represented by its
+    newest-part row (``max_by`` over the part sequence — the ``when``
+    makes the other sign's rows order-NULL, which max_by skips). Net sign
+    is in {-1, 0, +1} under the well-formedness contract (one state + at
+    most one cancel per (key, version)), so the collapse is associative:
+    any prefix merge leaves a row later parts can still cancel."""
+    keys, sign, ver = meta["key_cols"], meta["sign_col"], meta["version_col"]
+    plus_seq = F.when(F.col(sign) == 1, F.col("_part_seq"))
+    minus_seq = F.when(F.col(sign) == -1, F.col("_part_seq"))
+    others = [
+        c for c in df.columns if c not in keys and c not in (ver, sign, "_part_seq")
+    ]
+    aggs = [F.sum(sign).alias("_net"), F.max(plus_seq).alias("_sp"), F.max(minus_seq).alias("_sm")]
+    aggs += [F.max_by(c, plus_seq).alias(f"_p_{c}") for c in others]
+    aggs += [F.max_by(c, minus_seq).alias(f"_m_{c}") for c in others]
+    g = df.groupBy(*keys, ver).agg(*aggs).filter(F.col("_net") != 0)
+    won = F.col("_net") > 0
+    cols = [F.col(c) for c in keys] + [F.col(ver)]
+    sign_type = df.schema[sign].dataType
+    cols.append(F.when(won, F.lit(1)).otherwise(F.lit(-1)).cast(sign_type).alias(sign))
+    cols += [
+        F.when(won, F.col(f"_p_{c}")).otherwise(F.col(f"_m_{c}")).alias(c)
+        for c in others
+    ]
+    cols.append(F.when(won, F.col("_sp")).otherwise(F.col("_sm")).alias("_part_seq"))
+    return g.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # optimize (physical merge)
 # ---------------------------------------------------------------------------
+
+
+def aggregate_states(
+    df: DataFrame, key_cols: Sequence[str], agg_spec: dict[str, str]
+) -> DataFrame:
+    """Pre-aggregate raw rows into the partial-state rows an
+    ``aggregating`` table stores — the ``-State`` half of ClickHouse's
+    AggregateFunction pair (``_collapse`` is the ``-Merge`` half, and it
+    applies the SAME functions: sum/min/max are their own combiners).
+    Call this on every insert batch; counts ride as a ``sum`` column,
+    averages as a (sum, count) pair finished at read time."""
+    bad = {c: f for c, f in agg_spec.items() if f not in _AGG_FNS}
+    if bad:
+        raise ValueError(f"agg_spec functions must be one of {_AGG_FNS}, got {bad}")
+    aggs = [getattr(F, fn)(c).alias(c) for c, fn in agg_spec.items()]
+    return df.groupBy(*key_cols).agg(*aggs)
 
 
 def optimize_parts(
@@ -342,6 +474,7 @@ def optimize_parts(
     *,
     max_seq: int | None = None,
     target_files: int = 1,
+    as_of: float | None = None,
 ) -> dict:
     """Merge the live parts with ``seq <= max_seq`` (default: all) into one
     new part with the engine collapse applied — ClickHouse's background
@@ -353,7 +486,11 @@ def optimize_parts(
     everything merges, the committed version is marked ``collapsed`` and
     FINAL reads become straight scans until the next insert. Old versions
     keep referencing the input parts — time travel across an OPTIMIZE
-    works until vacuum."""
+    works until vacuum.
+
+    ``as_of`` (epoch seconds) additionally drops rows expired under the
+    table's TTL — the merge-time TTL application ClickHouse performs; it
+    is caller-supplied so maintenance stays deterministic and testable."""
     io, base = _io_for(path)
     meta = _load_meta(io, base)
     ver = current_version(path)
@@ -362,7 +499,10 @@ def optimize_parts(
     doc = _read_version(io, base, ver)
     parts = sorted(doc["parts"], key=lambda q: q["seq"])
     merge = [p for p in parts if max_seq is None or p["seq"] <= max_seq]
-    if len(merge) < 2 and not (len(merge) == 1 and meta["engine"] != "append"):
+    ttl_rewrite = as_of is not None and bool(meta.get("ttl_col"))
+    if len(merge) < 2 and not (
+        len(merge) == 1 and (meta["engine"] != "append" or ttl_rewrite)
+    ):
         return {"version": ver, "merged": 0}
 
     legs = [
@@ -374,24 +514,30 @@ def optimize_parts(
     df = legs[0]
     for leg in legs[1:]:
         df = df.unionByName(leg)
+    df = _apply_ttl(df, meta, as_of)
     if meta["engine"] != "append":
         df = _collapse(df, meta)
     df = df.drop("_part_seq")
 
-    part_name = f"p-{uuid.uuid4().hex}"
-    part_path = _join(io, base, PARTS_DIR, part_name)
-    pcol = meta["partition_col"]
-    order_by = meta["order_by"]
-    if pcol:
-        df = df.repartition(F.col(pcol))
-        if order_by:
-            df = df.sortWithinPartitions(pcol, *order_by)
-        df.write.mode("error").partitionBy(pcol).parquet(part_path)
+    part_name: str | None = f"p-{uuid.uuid4().hex}"
+    if df.isEmpty():
+        # TTL expiry / pair-cancellation consumed every row: the merge
+        # result is NO part at all (ClickHouse drops fully-expired parts)
+        part_name = None
     else:
-        df = df.coalesce(target_files)
-        if order_by:
-            df = df.sortWithinPartitions(*order_by)
-        df.write.mode("error").parquet(part_path)
+        part_path = _join(io, base, PARTS_DIR, part_name)
+        pcol = meta["partition_col"]
+        order_by = meta["order_by"]
+        if pcol:
+            df = df.repartition(F.col(pcol))
+            if order_by:
+                df = df.sortWithinPartitions(pcol, *order_by)
+            df.write.mode("error").partitionBy(pcol).parquet(part_path)
+        else:
+            df = df.coalesce(target_files)
+            if order_by:
+                df = df.sortWithinPartitions(*order_by)
+            df.write.mode("error").parquet(part_path)
 
     merged_seq = max(p["seq"] for p in merge)
     while True:
@@ -402,7 +548,8 @@ def optimize_parts(
         live_names = {p["name"] for p in cur_parts}
         if not all(p["name"] in live_names for p in merge):
             raise RuntimeError("concurrent optimize replaced the merge inputs; re-run")
-        new_parts = [{"name": part_name, "seq": merged_seq}] + [
+        survivors = [{"name": part_name, "seq": merged_seq}] if part_name else []
+        new_parts = survivors + [
             p for p in cur_parts if p["name"] not in {q["name"] for q in merge}
         ]
         new_doc = {

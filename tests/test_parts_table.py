@@ -38,8 +38,20 @@ def test_engine_metadata_validation(tbl):
         P.create_parts_table(tbl, engine="replacing", key_cols=("k",))
     with pytest.raises(ValueError, match="sum_cols"):
         P.create_parts_table(tbl, engine="summing", key_cols=("k",))
+    with pytest.raises(ValueError, match="sign_col"):
+        P.create_parts_table(tbl, engine="collapsing", key_cols=("k",))
+    with pytest.raises(ValueError, match="agg_spec"):
+        P.create_parts_table(tbl, engine="aggregating", key_cols=("k",))
+    with pytest.raises(ValueError, match="sum"):
+        P.create_parts_table(
+            tbl, engine="aggregating", key_cols=("k",), agg_spec={"v": "avg"}
+        )
     with pytest.raises(ValueError, match="engine"):
-        P.create_parts_table(tbl, engine="collapsing")
+        P.create_parts_table(tbl, engine="exotic")
+    with pytest.raises(ValueError, match="ttl"):
+        P.create_parts_table(tbl, engine="append", ttl_col="ts")
+    with pytest.raises(ValueError, match="positive"):
+        P.create_parts_table(tbl, engine="append", ttl_col="ts", ttl_seconds=0)
 
 
 def test_append_insert_read_and_history(spark, tbl):
@@ -86,6 +98,141 @@ def test_summing_final(spark, tbl):
     P.insert_into_parts(_orders(spark, [(3, 10, "F", 4.0)]), tbl)
     fin = {(r.o_custkey, r.o_total) for r in P.read_parts(spark, tbl, final=True).collect()}
     assert fin == {(10, 5.5), (11, 2.0)}
+
+
+def _cstate(spark, rows):
+    return spark.createDataFrame(
+        rows, "uid long, ver long, sign int, status string"
+    )
+
+
+def test_collapsing_final_cancels_pairs_keeps_unmatched(spark, tbl):
+    P.create_parts_table(
+        tbl, engine="collapsing", key_cols=("uid",), sign_col="sign", version_col="ver"
+    )
+    # part 1: states for uid 1 (v1) and uid 2 (v1)
+    P.insert_into_parts(_cstate(spark, [(1, 1, 1, "A"), (2, 1, 1, "A")]), tbl)
+    # part 2: cancel uid1 v1, restate uid1 v2; cancel uid2 v1 (no restate)
+    P.insert_into_parts(
+        _cstate(spark, [(1, 1, -1, "A"), (1, 2, 1, "B"), (2, 1, -1, "A")]), tbl
+    )
+    fin = {
+        (r.uid, r.ver, r.sign, r.status)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert fin == {(1, 2, 1, "B")}  # uid2 fully cancelled, uid1 at v2
+    assert P.read_parts(spark, tbl).count() == 5  # non-final sees all rows
+
+
+def test_collapsing_prefix_merge_then_late_cancel(spark, tbl):
+    """A cancel arriving AFTER its state was merged away must still land:
+    the merged survivor keeps its (key, version) identity so the later
+    part's -1 pairs with it at the next FINAL/merge."""
+    P.create_parts_table(
+        tbl, engine="collapsing", key_cols=("uid",), sign_col="sign", version_col="ver"
+    )
+    P.insert_into_parts(_cstate(spark, [(1, 1, 1, "A")]), tbl)  # seq 1
+    P.insert_into_parts(_cstate(spark, [(2, 1, 1, "A")]), tbl)  # seq 2
+    res = P.optimize_parts(spark, tbl, max_seq=2)
+    assert res["merged"] == 2
+    P.insert_into_parts(_cstate(spark, [(1, 1, -1, "A")]), tbl)  # late cancel
+    fin = {(r.uid, r.ver) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert fin == {(2, 1)}
+    # a full optimize physically removes the cancelled pair
+    P.optimize_parts(spark, tbl)
+    assert P.read_parts(spark, tbl).count() == 1
+
+
+def test_collapsing_unmatched_cancel_survives_partial_merge(spark, tbl):
+    """A -1 whose +1 lives in a LATER (unmerged) part must survive the
+    prefix merge with its sign intact — dropping it would resurrect the
+    state row at the next FINAL."""
+    P.create_parts_table(
+        tbl, engine="collapsing", key_cols=("uid",), sign_col="sign", version_col="ver"
+    )
+    P.insert_into_parts(_cstate(spark, [(7, 1, -1, "A")]), tbl)  # seq 1 (early cancel)
+    P.insert_into_parts(_cstate(spark, [(8, 1, 1, "B")]), tbl)  # seq 2
+    res = P.optimize_parts(spark, tbl, max_seq=1)  # merges only the -1 part
+    assert res["merged"] == 0 or res["merged"] == 1  # single-part merge allowed
+    P.insert_into_parts(_cstate(spark, [(7, 1, 1, "A")]), tbl)  # seq 3: the +1
+    fin = {(r.uid, r.ver) for r in P.read_parts(spark, tbl, final=True).collect()}
+    # ClickHouse's documented caveat: a cancel PRECEDING its state is
+    # broken data — but our net-sign rule still cancels the pair here
+    assert fin == {(8, 1)}
+
+
+def test_aggregating_final_merges_states(spark, tbl):
+    spec = {"n": "sum", "total": "sum", "lo": "min", "hi": "max"}
+    P.create_parts_table(tbl, engine="aggregating", key_cols=("uid",), agg_spec=spec)
+    raw1 = spark.createDataFrame(
+        [(1, 10.0), (1, 4.0), (2, 7.0)], "uid long, v double"
+    ).selectExpr("uid", "1 AS n", "v AS total", "v AS lo", "v AS hi")
+    raw2 = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0)], "uid long, v double"
+    ).selectExpr("uid", "1 AS n", "v AS total", "v AS lo", "v AS hi")
+    P.insert_into_parts(P.aggregate_states(raw1, ("uid",), spec), tbl)
+    P.insert_into_parts(P.aggregate_states(raw2, ("uid",), spec), tbl)
+    # each part holds one PARTIAL state row per key it saw
+    assert P.read_parts(spark, tbl).count() == 4
+    fin = {
+        (r.uid, r.n, r.total, r.lo, r.hi)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert fin == {(1, 3, 15.0, 1.0, 10.0), (2, 2, 16.0, 7.0, 9.0)}
+    # full optimize: same answer through the collapsed fast path
+    P.optimize_parts(spark, tbl)
+    got = {
+        (r.uid, r.n, r.total, r.lo, r.hi)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert got == fin
+    assert P.read_parts(spark, tbl).count() == 2
+
+
+def test_ttl_read_filter_and_optimize_drop(spark, tbl):
+    P.create_parts_table(
+        tbl,
+        engine="append",
+        ttl_col="born",
+        ttl_seconds=100.0,
+    )
+    rows = spark.createDataFrame(
+        [(1, 50), (2, 150), (3, 260)], "id long, born long"
+    )
+    P.insert_into_parts(rows, tbl)
+    # no as_of: everything visible (deterministic default, no wall clock)
+    assert P.read_parts(spark, tbl).count() == 3
+    # as_of 200: row born at 50 expired (50+100 <= 200)
+    assert {r.id for r in P.read_parts(spark, tbl, as_of=200).collect()} == {2, 3}
+    # merge-time TTL application physically drops the expired row
+    res = P.optimize_parts(spark, tbl, as_of=200)
+    assert res["merged"] == 1
+    assert {r.id for r in P.read_parts(spark, tbl).collect()} == {2, 3}
+    # expiring EVERYTHING removes the part instead of writing an empty one
+    res2 = P.optimize_parts(spark, tbl, as_of=10_000)
+    assert res2["part"] is None
+    with pytest.raises(FileNotFoundError, match="empty"):
+        P.read_parts(spark, tbl)
+
+
+def test_ttl_expired_version_cannot_win_replacing_window(spark, tbl):
+    """TTL applies BEFORE the replacing collapse: when the newest version
+    of a key is expired, the older un-expired version must win FINAL."""
+    P.create_parts_table(
+        tbl,
+        engine="replacing",
+        key_cols=("uid",),
+        version_col="ver",
+        ttl_col="born",
+        ttl_seconds=100.0,
+    )
+    rows = spark.createDataFrame(
+        [(1, 1, 500, "old"), (1, 2, 50, "new-but-expired")],
+        "uid long, ver long, born long, tag string",
+    )
+    P.insert_into_parts(rows, tbl)
+    fin = {(r.uid, r.tag) for r in P.read_parts(spark, tbl, final=True, as_of=200).collect()}
+    assert fin == {(1, "old")}
 
 
 def test_time_travel_and_vacuumed_version_fails_loudly(spark, tbl):
