@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources.parts import create_parts_table, insert_into_parts, read_parts
+from ..sources.parts import (
+    aggregate_states,
+    create_parts_table,
+    insert_into_parts,
+    optimize_parts,
+    read_parts,
+)
 from ..sources.tables import load_table
 
 _BUILT: dict[tuple[str, str], str] = {}
@@ -160,3 +166,225 @@ def orders_parts_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         df = df.unionByName(leg)
     return df.select("version", "n_rows", "revenue")
+
+
+def _collapsing_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a VersionedCollapsing table — a CDC-style mutation
+    history: batch 1 states every order at version 1; batch 2 cancels the
+    ``orderkey % 5 == 0`` slice and restates it at version 2 (status 'R',
+    price doubled); batch 3 cancels the ``orderkey % 7 == 1`` slice at
+    its then-current version, with no restate (a delete)."""
+    key = (sf_dir, "collapsing")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_collapsing"
+        create_parts_table(
+            path,
+            engine="collapsing",
+            key_cols=("orderkey",),
+            sign_col="sign",
+            version_col="ver",
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        v = lambda n: F.lit(n).cast("long").alias("ver")  # noqa: E731
+        s = lambda n: F.lit(n).cast("int").alias("sign")  # noqa: E731
+        insert_into_parts(
+            o.select("orderkey", v(1), s(1), "status", "price"), path, batch_id=0
+        )
+        repl = o.filter(F.col("orderkey") % 5 == 0)
+        insert_into_parts(
+            repl.select("orderkey", v(1), s(-1), "status", "price").unionByName(
+                repl.select(
+                    "orderkey",
+                    v(2),
+                    s(1),
+                    F.lit("R").alias("status"),
+                    (F.col("price") * 2).alias("price"),
+                )
+            ),
+            path,
+            batch_id=1,
+        )
+        gone = o.filter(F.col("orderkey") % 7 == 1)
+        insert_into_parts(
+            gone.select(
+                "orderkey",
+                F.when(F.col("orderkey") % 5 == 0, F.lit(2))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("ver"),
+                s(-1),
+                "status",
+                "price",
+            ),
+            path,
+            batch_id=2,
+        )
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_collapsing_final",
+    bench=True,
+    tags=("S10", "A6", "mergetree", "collapsing-final"),
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS ver,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE o_orderkey % 7 <> 1
+    """,
+)
+def orders_parts_collapsing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL through the persisted lifecycle
+    (CDC updates AND deletes over parts): updated keys surface only their
+    version-2 restate, deleted keys disappear entirely — the oracle
+    replays the whole mutation history closed-form from the mod-5 / mod-7
+    batch recipe. Doubling a double is exact (one bit of exponent), so
+    the restated price is bitwise-comparable cross-engine."""
+    path = _collapsing_table(spark, sf_dir)
+    return read_parts(spark, path, final=True).select(
+        "orderkey", "ver", "status", "price"
+    )
+
+
+_AGG_SPEC = {
+    "n_orders": "sum",
+    "total_spend": "sum",
+    "min_price": "min",
+    "max_price": "max",
+}
+
+
+def _aggregating_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-customer order stats as an aggregating table: three insert
+    batches sliced by ORDER key (so the same customer's partial states
+    land in several parts and must genuinely merge), each pre-aggregated
+    to state rows with aggregate_states."""
+    key = (sf_dir, "aggregating")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_aggregating"
+        create_parts_table(
+            path, engine="aggregating", key_cols=("custkey",), agg_spec=_AGG_SPEC
+        )
+        raw = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.lit(1).cast("long").alias("n_orders"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("total_spend"),
+            F.col("o_totalprice").alias("min_price"),
+            F.col("o_totalprice").alias("max_price"),
+        )
+        for k in range(3):
+            states = aggregate_states(
+                raw.filter(F.col("orderkey") % 3 == k), ("custkey",), _AGG_SPEC
+            )
+            insert_into_parts(states, path, batch_id=k)
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_aggregating_final",
+    bench=False,
+    tags=("S10", "A4", "mergetree", "aggregating-final"),
+    oracle="""
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_spend,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+               AS avg_spend
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def orders_parts_aggregating_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree FINAL: partial (count, decimal-sum, min, max)
+    states written per part merge into exactly the GROUP BY over the raw
+    rows — the incremental-materialized-view pattern where read cost is
+    O(|customers| x |parts|) however many raw orders ever streamed in.
+    The average is finished at read time from the merged (sum, count)
+    pair — one IEEE division of two exact operands."""
+    path = _aggregating_table(spark, sf_dir)
+    fin = read_parts(spark, path, final=True)
+    return fin.select(
+        "custkey",
+        "n_orders",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        "min_price",
+        "max_price",
+        (F.col("total_spend").cast("double") / F.col("n_orders")).alias("avg_spend"),
+    )
+
+
+#: TTL = 1095 days; as-of = 2000-01-01T00:00:00Z. Orders are 1995-2001, so
+#: the cut lands mid-corpus (survivors = ordered after 1996-12-31).
+_TTL_SECONDS = 1095 * 86400.0
+_TTL_AS_OF = 946684800.0
+
+
+def _ttl_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders under a 3-year TTL on the order date, inserted as two parts,
+    then OPTIMIZE'd at a fixed as-of so expiry is applied PHYSICALLY —
+    the catalog row reads the post-merge table with no as_of filter."""
+    key = (sf_dir, "ttl")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_ttl"
+        create_parts_table(
+            path, engine="append", ttl_col="born", ttl_seconds=_TTL_SECONDS
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+            # NTZ timestamp -> tz-free date -> integer epoch seconds (order
+            # dates are midnights, so days*86400 == DuckDB's epoch())
+            (
+                F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+                .cast("double")
+                * 86400
+            ).alias("born"),
+        )
+        for k in range(2):
+            insert_into_parts(o.filter(F.col("orderkey") % 2 == k), path, batch_id=k)
+        optimize_parts(spark, path, as_of=_TTL_AS_OF)
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_ttl_expiry",
+    bench=False,
+    tags=("S10", "A1", "mergetree", "ttl"),
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE epoch(o_orderdate) + {_TTL_SECONDS} > {_TTL_AS_OF}
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_parts_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-time TTL: rows older than 3 years at a FIXED as-of epoch are
+    physically dropped by OPTIMIZE (the ClickHouse `TTL ... DELETE`
+    posture), so a plain read — no as_of filter — already excludes them.
+    The TTL column is numeric epoch seconds by contract, so no session-
+    timezone cast can shift the expiry boundary between engines."""
+    path = _ttl_table(spark, sf_dir)
+    return (
+        read_parts(spark, path)
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("revenue"),
+        )
+    )
