@@ -506,3 +506,164 @@ def events_daily_conditional_distincts(
             "n_purchases"
         ),
     )
+
+
+@register(
+    "events_limit_by",
+    tags=("O2", "WF2", "clickhouse-surface", "limit-by"),
+    oracle="""
+    SELECT user_id, event_id, event_type, epoch(ts) AS ts_epoch
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 2
+    """,
+)
+def events_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT 2 BY user_id`` — the per-group head the
+    reference's warehouse dialect offers as first-class syntax (each
+    user's first two events in time order, event_id tiebreak for
+    determinism). Spark-first this is one ranking window per key — the
+    same single shuffle ClickHouse pays to group by the LIMIT BY key;
+    never a per-group collect. Timestamps leave as exact fractional epoch
+    seconds (both engines read the same micros)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.col("ts").cast("double").alias("ts_epoch"),
+        )
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    tags=("A2", "clickhouse-surface", "with-fill"),
+    oracle="""
+    WITH spans AS (
+        SELECT event_type,
+               MIN(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)) AS h0,
+               MAX(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)) AS h1
+        FROM events GROUP BY event_type
+    ), grid AS (
+        SELECT s.event_type, g.h AS hour_epoch
+        FROM spans s, LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS h) g
+    ), counts AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_epoch,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour_epoch, COALESCE(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c
+      ON c.event_type = g.event_type AND c.hour_epoch = g.hour_epoch
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY hour WITH FILL`` — gap-filled hourly series
+    per event type: every hour between a type's first and last event
+    appears, zero when silent (a dashboard that skips empty buckets draws
+    a misleading line — the reference's Grafana panels fill exactly so).
+    Spark-first: the per-type [min,max] span is one aggregate, the dense
+    grid is a ``sequence()`` explode of that span (rows ∝ hours, never a
+    driver loop), and observed counts left-join onto it. Integer
+    epoch-hour buckets keep every engine timezone-proof."""
+    ev = _events(spark, sf_dir)
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("long")
+    counts = ev.groupBy(
+        "event_type", hour.alias("hour_epoch")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour_epoch").alias("h0"), F.max("hour_epoch").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("hour_epoch"),
+        )
+    )
+    return grid.join(counts, ["event_type", "hour_epoch"], "left").select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+@register(
+    "events_window_funnel",
+    tags=("WF2", "funnel", "clickhouse-surface"),
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    l2 AS (
+        SELECT DISTINCT v.user_id, v.ts AS vts, s.ts AS sts
+        FROM v JOIN events s
+          ON s.user_id = v.user_id AND s.event_type = 'signup'
+         AND s.ts > v.ts AND epoch(s.ts) <= epoch(v.ts) + 21600
+    ),
+    l3 AS (
+        SELECT DISTINCT l2.user_id
+        FROM l2 JOIN events p
+          ON p.user_id = l2.user_id AND p.event_type = 'purchase'
+         AND p.ts > l2.sts AND epoch(p.ts) <= epoch(l2.vts) + 21600
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN v.user_id IN (SELECT user_id FROM l3) THEN 3
+                     WHEN v.user_id IN (SELECT DISTINCT user_id FROM l2) THEN 2
+                     ELSE 1 END AS INT) AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM v) v
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(21600)(ts, view, signup, purchase)`` —
+    the deepest strictly-ordered chain view -> signup -> purchase
+    completed within six hours OF THE CHAIN'S FIRST STEP, per user (the
+    sliding-window funnel, stricter than events_funnel_signup_purchase's
+    adjacent-pair test: the whole chain must fit the window anchored at
+    the view). Spark-first: two per-user time-bounded joins — existence
+    tests, not sequential scans, so users parallelize freely; per-user
+    event counts bound the join fan-out (at 100 TB, hot users would route
+    through the shared count-min ``should_salt`` gate like the other
+    user-keyed joins)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("e")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", F.col("e").alias("v"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("e").alias("s")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("e").alias("p")
+    )
+    l2 = (
+        views.join(signups, "user_id")
+        .filter((F.col("s") > F.col("v")) & (F.col("s") <= F.col("v") + 21600))
+        .select("user_id", "v", "s")
+        .distinct()
+    )
+    l3 = (
+        l2.join(purchases, "user_id")
+        .filter((F.col("p") > F.col("s")) & (F.col("p") <= F.col("v") + 21600))
+        .select("user_id")
+        .distinct()
+        .withColumn("is3", F.lit(True))
+    )
+    l2u = l2.select("user_id").distinct().withColumn("is2", F.lit(True))
+    l1 = views.select("user_id").distinct()
+    return (
+        l1.join(l2u, "user_id", "left")
+        .join(l3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("is3"), F.lit(3))
+            .when(F.col("is2"), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("funnel_level"),
+        )
+    )
