@@ -1103,3 +1103,125 @@ def events_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id")
     return heavy_hitters(ev, ["user_id"], min_count=80)
+
+
+_DSIR_B = 1024  #: hashed-unigram feature buckets (DSIR, Xie et al. 2023)
+
+
+@register(
+    "docs_dsir_importance_sample",
+    tags=("sampling", "dsir", "importance", "text"),
+    oracle=r"""
+    WITH occ AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(t.term), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM documents, UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    ct AS (SELECT b, COUNT(*) AS ct FROM occ WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, COUNT(*) AS cr FROM occ WHERE lang <> 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM occ WHERE lang = 'en') AS nt,
+                   (SELECT COUNT(*) FROM occ WHERE lang <> 'en') AS nr),
+    wt AS (
+        SELECT COALESCE(ct.b, cr.b) AS b,
+               CAST(ROUND(1000.0 * ln(
+                   ((COALESCE(ct, 0) + 1.0) / (nt + 1024))
+                   * ((nr + 1024) / (COALESCE(cr, 0) + 1.0))) + 1e-9, 0)
+                    AS BIGINT) AS wt
+        FROM ct FULL JOIN cr ON ct.b = cr.b, tot
+    ),
+    scored AS (
+        SELECT occ.doc_id, COUNT(*) AS n_toks, SUM(wt.wt) AS score_milli
+        FROM occ JOIN wt ON occ.b = wt.b
+        WHERE occ.lang <> 'en'
+        GROUP BY occ.doc_id
+    ),
+    pool AS (
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(s.n_toks, 0) AS BIGINT) AS n_toks,
+               CAST(COALESCE(s.score_milli, 0) AS BIGINT) AS score_milli
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        WHERE d.lang <> 'en'
+    )
+    SELECT doc_id, lang, n_toks, score_milli
+    FROM pool
+    QUALIFY ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id)
+            <= (SELECT FLOOR(COUNT(*) * 0.1) FROM pool)
+    """,
+)
+def docs_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+    the targeted-curation stage that upweights raw documents resembling a
+    quality target corpus. Target distribution = the 'en' split; raw pool
+    = everything else; features = hashed unigrams (the engine-portable
+    md5 bucket contract every sampling op shares, 1024 buckets). The
+    per-bucket log-likelihood ratio ln(p_target(b)/q_raw(b)) (add-one
+    smoothed, bucket-count normalizers) is frozen ONCE into an integer
+    milli-weight table — ≤1024 rows, broadcast — so each document's score
+    is an EXACT integer sum over its token occurrences: no float
+    summation-order hazard crosses engines (only the per-bucket ln is
+    float, nudge-rounded once, the docs_bigram_logprob discipline). The
+    top 10% of the pool by (score, doc_id) is selected via
+    TakeOrderedAndProject — never a global sort. 100 TB: one token-bucket
+    shuffle for the histograms, one broadcast join + per-doc partial
+    aggregate for scoring; the weight table is O(buckets) state that
+    ships to any later batch, so steady-state selection costs the batch,
+    not the corpus."""
+    docs = _docs(spark, sf_dir)
+    from ..functions.text import tokens
+
+    occ = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % _DSIR_B
+            ).alias("b"),
+        )
+    )
+    tgt = occ.filter(F.col("lang") == "en")
+    raw = occ.filter(F.col("lang") != "en")
+    ct = tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    cr = raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tgt.agg(F.count(F.lit(1)).alias("nt")).crossJoin(
+        raw.agg(F.count(F.lit(1)).alias("nr"))
+    )
+    llr = (
+        (F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B)
+        * (F.col("nr") + _DSIR_B)
+        / (F.col("cr") + 1.0)
+    )
+    wt = (
+        ct.join(cr, "b", "full")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(1000.0 * F.log(llr) + 1e-9, 0).cast("long").alias("wt"),
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("wt").alias("score_milli"))
+    )
+    pool = (
+        docs.filter(F.col("lang") != "en")
+        .select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce("score_milli", F.lit(0)).cast("long").alias("score_milli"),
+        )
+    )
+    k = int(pool.count() * 0.1)  # one bounded driver scalar, like the metas
+    return pool.orderBy(F.col("score_milli").desc(), "doc_id").limit(k)
