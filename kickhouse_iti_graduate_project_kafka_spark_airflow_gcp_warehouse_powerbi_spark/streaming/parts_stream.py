@@ -28,10 +28,12 @@ write + one tiny version-file commit; nothing rewrites history.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..sources.parts import insert_into_parts
+from ..sources.parts import aggregate_states, insert_into_parts
 from .maintenance import _checkpoint_query_id
 
 
@@ -50,6 +52,43 @@ def parts_sink(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         app = app_id if app_id is not None else _checkpoint_query_id(checkpoint)
         insert_into_parts(batch_df, path, batch_id=int(batch_id), app_id=app or "")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .trigger(processingTime=trigger)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def aggregating_parts_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    agg_spec: dict[str, str],
+    trigger: str = "5 seconds",
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Streaming materialized view onto an ``aggregating`` parts table —
+    the reference's ClickHouse `MV -> AggregatingMergeTree` pattern
+    (insert block in, aggregate STATES out), Spark-first.
+
+    Each micro-batch is pre-aggregated to partial-state rows
+    (:func:`..sources.parts.aggregate_states`) and lands as ONE part;
+    ``read_parts(final=True)`` merges states at O(|keys| x |parts|)
+    whatever the raw-row history, and periodic ``optimize_parts`` keeps
+    |parts| bounded. Exactly-once EFFECTIVE: the table's (app_id,
+    batch_id) transaction dedup makes a crash-retried batch a no-op, and
+    because each batch's contribution is one immutable part, a replay can
+    never double-count a state (the additive hazard count-min has —
+    heavy_stream.py — does not exist here). The stream must already be
+    projected to the state-column shape (e.g. ``n=1, total=v, hi=v``)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        app = app_id if app_id is not None else _checkpoint_query_id(checkpoint)
+        states = aggregate_states(batch_df, key_cols, agg_spec)
+        insert_into_parts(states, path, batch_id=int(batch_id), app_id=app or "")
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -514,3 +514,83 @@ def test_insert_replay_guard_is_per_app(spark, tbl):
     r2 = P.insert_into_parts(_orders(spark, [(9, 9, "X", 9.0)]), tbl, batch_id=0, app_id="s1")
     assert r2["replayed"]
     assert P.read_parts(spark, tbl).count() == 2
+
+
+def test_aggregating_parts_sink_is_a_streaming_mv(spark, tmpdir):
+    """The MV -> AggregatingMergeTree pattern: a raw stream lands partial
+    states per micro-batch; FINAL equals the batch GROUP BY over ALL raw
+    rows; a replayed batch cannot double-count; OPTIMIZE preserves the
+    answer through the collapsed fast path."""
+    from pyspark.sql import types as T
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.parts_stream import (
+        aggregating_parts_sink,
+    )
+
+    spec = {"n": "sum", "total": "sum", "hi": "max"}
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    tbl = f"{tmpdir}/t"
+    P.create_parts_table(tbl, engine="aggregating", key_cols=("k",), agg_spec=spec)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    with open(f"{src}/a.json", "w") as f:
+        f.write(json.dumps({"k": 1, "v": 5.0}) + "\n")
+        f.write(json.dumps({"k": 1, "v": 3.0}) + "\n")
+        f.write(json.dumps({"k": 2, "v": 7.0}) + "\n")
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .json(src)
+            .selectExpr("k", "1 AS n", "v AS total", "v AS hi")
+        )
+
+    q = aggregating_parts_sink(_stream(), tbl, f"{tmpdir}/chk", ("k",), spec, "1 seconds")
+    try:
+        q.processAllAvailable()
+        with open(f"{src}/b.json", "w") as f:
+            f.write(json.dumps({"k": 1, "v": 10.0}) + "\n")
+            f.write(json.dumps({"k": 3, "v": 1.0}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = {(1, 3, 18.0, 10.0), (2, 1, 7.0, 7.0), (3, 1, 1.0, 1.0)}
+    fin = {
+        (r.k, r.n, r.total, r.hi)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert fin == want
+    ver = P.current_version(tbl)
+
+    # restart over the same checkpoint: nothing new -> nothing lands
+    q2 = aggregating_parts_sink(_stream(), tbl, f"{tmpdir}/chk", ("k",), spec)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert P.current_version(tbl) == ver
+
+    # a crash-retried batch (same app/batch id) is a no-op, never additive
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.maintenance import (
+        _checkpoint_query_id,
+    )
+
+    app = _checkpoint_query_id(f"{tmpdir}/chk")
+    replay = spark.createDataFrame([(1, 1, 99.0, 99.0)], "k long, n long, total double, hi double")
+    r = P.insert_into_parts(replay, tbl, batch_id=1, app_id=app or "")
+    assert r["replayed"]
+    assert {
+        (x.k, x.n, x.total, x.hi)
+        for x in P.read_parts(spark, tbl, final=True).collect()
+    } == want
+
+    # OPTIMIZE: collapsed fast path, same merged answer, fewer rows
+    P.optimize_parts(spark, tbl)
+    assert {
+        (x.k, x.n, x.total, x.hi)
+        for x in P.read_parts(spark, tbl, final=True).collect()
+    } == want
+    assert P.read_parts(spark, tbl).count() == 3
