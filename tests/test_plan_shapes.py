@@ -280,3 +280,41 @@ def test_q15_shape_scalar_max_is_windowed_single_scan(plans):
     assert _scan_count(p, "lineitem") <= 2
     assert "Window" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_limit_by_is_one_ranking_window(plans):
+    p = plans("events_limit_by")
+    assert "CartesianProduct" not in p
+    # one window per key, not a per-group collect: a single row_number
+    assert p.count("Window") >= 1 and "row_number" in p
+
+
+def test_gapfill_grid_is_explode_no_nested_loop(plans):
+    p = plans("events_hourly_gapfill")
+    # the dense grid comes from sequence()+explode (Generate), and the
+    # counts attach via a hash join — never a nested-loop range join
+    assert "Generate" in p and "explode" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_window_funnel_joins_stay_keyed(plans):
+    p = plans("events_window_funnel")
+    # every join is equi on user_id (time bounds are post-join filters);
+    # a nested-loop fallback would be the per-user cross product trap
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_dsir_weight_table_broadcasts(plans):
+    p = plans("docs_dsir_importance_sample")
+    # the <=1024-row milli-weight table must broadcast onto occurrences,
+    # and the selection must be top-k, not a global sort
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_collapsing_final_is_single_key_shuffle(plans):
+    p = plans("orders_parts_collapsing_final")
+    # pair-cancellation = ONE hash aggregate keyed (orderkey, ver): no
+    # window, no join, no repeated scans of the part union
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "max_by" in p or "partial_max_by" in p
