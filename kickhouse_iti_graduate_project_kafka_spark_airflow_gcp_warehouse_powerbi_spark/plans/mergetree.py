@@ -388,3 +388,64 @@ def orders_parts_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("revenue"),
         )
     )
+
+
+_PROJ_SPEC = {
+    "by_prio_status": {
+        "key_cols": ("priority", "status"),
+        "agg_spec": {"n_orders": "sum", "revenue": "sum"},
+    }
+}
+
+
+def _projected_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders as an append table carrying a (priority, status) projection,
+    inserted as two parts so projection states must merge across parts."""
+    key = (sf_dir, "projected")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_projected"
+        create_parts_table(path, engine="append", projections=_PROJ_SPEC)
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(1).cast("long").alias("n_orders"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("revenue"),
+        )
+        for k in range(2):
+            insert_into_parts(o.filter(F.col("orderkey") % 2 == k), path, batch_id=k)
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_projection_rollup",
+    bench=False,
+    tags=("S10", "A1", "mergetree", "projection"),
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_parts_projection_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse projection answering a BI rollup: the routing helper
+    picks the (priority, status) projection for a GROUP BY priority, and
+    the read merges per-part pre-aggregated states re-keyed to the
+    coarser grouping — cost ∝ projection state rows (|priority×status| ×
+    parts), never the base orders. The oracle is the plain GROUP BY over
+    the raw rows the projection must equal; decimal sum states keep the
+    merge order-independent."""
+    from ..sources.parts import read_projection, route_projection
+
+    path = _projected_table(spark, sf_dir)
+    name = route_projection(path, ("priority",), ("n_orders", "revenue"))
+    assert name == "by_prio_status", name
+    proj = read_projection(spark, path, name, group_cols=("priority",))
+    return proj.select(
+        "priority",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+    )

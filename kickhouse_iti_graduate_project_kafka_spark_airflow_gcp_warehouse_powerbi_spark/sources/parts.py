@@ -115,6 +115,7 @@ def create_parts_table(
     ttl_seconds: float | None = None,
     partition_col: str | None = None,
     order_by: Sequence[str] = (),
+    projections: dict[str, dict] | None = None,
 ) -> dict:
     """Create (or idempotently re-create) a parts table at ``path``.
 
@@ -147,6 +148,26 @@ def create_parts_table(
         raise ValueError("ttl_col and ttl_seconds must be set together")
     if ttl_seconds is not None and not ttl_seconds > 0:
         raise ValueError("ttl_seconds must be positive")
+    if projections:
+        # projections aggregate rows AS INSERTED. Under replacing/
+        # collapsing/TTL semantics superseded or expired rows would leak
+        # into the projection answer (the same reason ClickHouse restricts
+        # projections with FINAL), and under summing/aggregating a merge
+        # collapses rows BEFORE the projection recompute, so min/max
+        # projections would silently change meaning — append only.
+        if engine != "append" or ttl_col:
+            raise ValueError("projections require the append engine without TTL")
+        for pname, spec in projections.items():
+            if not spec.get("key_cols") or not spec.get("agg_spec"):
+                raise ValueError(f"projection {pname!r} needs key_cols and agg_spec")
+            bad = {
+                c: f for c, f in spec["agg_spec"].items() if f not in _AGG_FNS
+            }
+            if bad:
+                raise ValueError(
+                    f"projection {pname!r} agg functions must be one of "
+                    f"{_AGG_FNS}, got {bad}"
+                )
     meta = {
         "engine": engine,
         "key_cols": list(key_cols),
@@ -158,6 +179,11 @@ def create_parts_table(
         "ttl_seconds": ttl_seconds,
         "partition_col": partition_col,
         "order_by": list(order_by),
+        "projections": {
+            k: {"key_cols": list(v["key_cols"]), "agg_spec": dict(v["agg_spec"])}
+            for k, v in (projections or {}).items()
+        }
+        or None,
     }
     io, base = _io_for(path)
     io.mkdirs(_join(io, base, VERSIONS_DIR))
@@ -166,7 +192,9 @@ def create_parts_table(
     if existing is not None:
         # tables created before an engine was added lack its meta keys —
         # normalize with the defaults before comparing
-        old = dict.fromkeys(("sign_col", "agg_spec", "ttl_col", "ttl_seconds"))
+        old = dict.fromkeys(
+            ("sign_col", "agg_spec", "ttl_col", "ttl_seconds", "projections")
+        )
         old.update(json.loads(existing))
         if old != meta:
             raise ValueError(f"parts table at {path} exists with different metadata")
@@ -289,6 +317,7 @@ def insert_into_parts(
         if order_by:
             writer_df = writer_df.sortWithinPartitions(*order_by)
         writer_df.write.mode("error").parquet(part_path)
+    _write_projections(io, df, part_path, meta)
 
     while True:
         ver = current_version(path)
@@ -314,6 +343,17 @@ def insert_into_parts(
         ):
             return {"version": ver + 1, "replayed": False, "part": part_name}
         # lost the race — re-read and retry the commit only
+
+
+def _write_projections(io, df: DataFrame, part_path: str, meta: dict) -> None:
+    """Materialize each declared projection INSIDE the part directory
+    (``_proj_<name>`` — the underscore prefix hides it from the base
+    part's file listing, the ``_delta_log`` convention). Written before
+    the version commit, so base rows and projection states become visible
+    ATOMICALLY — exactly ClickHouse's part-level projection contract."""
+    for pname, spec in (meta.get("projections") or {}).items():
+        states = aggregate_states(df, spec["key_cols"], spec["agg_spec"])
+        states.write.mode("error").parquet(_join(io, part_path, f"_proj_{pname}"))
 
 
 # ---------------------------------------------------------------------------
@@ -447,6 +487,78 @@ def _collapse_signs(df: DataFrame, meta: dict) -> DataFrame:
     return g.select(*cols)
 
 
+def read_projection(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    *,
+    version: int | None = None,
+    group_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Answer an aggregate query from a projection instead of the base
+    rows — read cost ∝ Σ per-part state rows, not raw rows.
+
+    Unions every live part's ``_proj_<name>`` states and merges them with
+    the projection's own functions (sum/min/max are their own combiners).
+    ``group_cols`` may be a SUBSET of the projection keys: states
+    re-aggregate associatively to coarser keys, so one projection serves
+    every rollup of its key set — the routing rule :func:`route_projection`
+    implements."""
+    io, base = _io_for(path)
+    meta = _load_meta(io, base)
+    spec = (meta.get("projections") or {}).get(name)
+    if spec is None:
+        raise KeyError(f"no projection {name!r} on parts table {path}")
+    keys = spec["key_cols"]
+    if group_cols is not None and not set(group_cols) <= set(keys):
+        raise ValueError(
+            f"group_cols {list(group_cols)} not a subset of projection keys {keys}"
+        )
+    ver = current_version(path) if version is None else version
+    if ver == 0:
+        raise FileNotFoundError(f"parts table at {path} has no committed version")
+    doc = _read_version(io, base, ver)
+    if not doc["parts"]:
+        raise FileNotFoundError(f"version {ver} of {path} is empty")
+    legs = [
+        spark.read.parquet(
+            _join(io, base, PARTS_DIR, p["name"], f"_proj_{name}")
+        )
+        for p in sorted(doc["parts"], key=lambda q: q["seq"])
+    ]
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg)
+    out_keys = list(group_cols) if group_cols is not None else list(keys)
+    aggs = [getattr(F, fn)(c).alias(c) for c, fn in spec["agg_spec"].items()]
+    return df.groupBy(*out_keys).agg(*aggs)
+
+
+def route_projection(
+    path: str, group_cols: Sequence[str], agg_cols: Sequence[str]
+) -> str | None:
+    """Pick the cheapest projection that can answer a
+    ``GROUP BY group_cols`` over ``agg_cols`` — ClickHouse's automatic
+    projection selection, surfaced as an explicit helper: a projection
+    qualifies when its keys cover the grouping and its states carry every
+    requested aggregate column; among qualifiers the fewest-keys one wins
+    (fewest state rows to scan). Returns None when the base table must
+    answer."""
+    io, base = _io_for(path)
+    meta = _load_meta(io, base)
+    best: str | None = None
+    best_width = None
+    for pname, spec in (meta.get("projections") or {}).items():
+        if not set(group_cols) <= set(spec["key_cols"]):
+            continue
+        if not set(agg_cols) <= set(spec["agg_spec"]):
+            continue
+        width = len(spec["key_cols"])
+        if best is None or width < best_width:
+            best, best_width = pname, width
+    return best
+
+
 # ---------------------------------------------------------------------------
 # optimize (physical merge)
 # ---------------------------------------------------------------------------
@@ -538,6 +650,10 @@ def optimize_parts(
             if order_by:
                 df = df.sortWithinPartitions(*order_by)
             df.write.mode("error").parquet(part_path)
+        # the merged part's projections are recomputed from the merged
+        # rows — append-engine merges only concatenate, so this equals
+        # merging the input parts' projection states
+        _write_projections(io, df, part_path, meta)
 
     merged_seq = max(p["seq"] for p in merge)
     while True:

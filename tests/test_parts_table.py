@@ -594,3 +594,81 @@ def test_aggregating_parts_sink_is_a_streaming_mv(spark, tmpdir):
         for x in P.read_parts(spark, tbl, final=True).collect()
     } == want
     assert P.read_parts(spark, tbl).count() == 3
+
+
+def test_projections_answer_aggregates_atomically(spark, tbl):
+    """ClickHouse projections: per-part pre-aggregated states live INSIDE
+    the part dir (atomic with the base commit), merge associatively
+    across parts, re-aggregate to coarser keys, and survive OPTIMIZE."""
+    projs = {
+        "by_cust": {
+            "key_cols": ("o_status", "o_custkey"),
+            "agg_spec": {"n": "sum", "spend": "sum", "hi": "max"},
+        },
+        "by_status": {"key_cols": ("o_status",), "agg_spec": {"n": "sum"}},
+    }
+    P.create_parts_table(tbl, engine="append", projections=projs)
+    rows1 = [(1, 10, "O", 5.0), (2, 10, "O", 3.0), (3, 11, "F", 7.0)]
+    rows2 = [(4, 10, "O", 9.0), (5, 12, "F", 1.0)]
+
+    def _shaped(rows):
+        return _orders(spark, rows).selectExpr(
+            "o_custkey", "o_status", "1 AS n", "o_total AS spend", "o_total AS hi"
+        )
+
+    P.insert_into_parts(_shaped(rows1), tbl, batch_id=0)
+    P.insert_into_parts(_shaped(rows2), tbl, batch_id=1)
+
+    # the base read must NOT see the _proj_* subdirs
+    assert P.read_parts(spark, tbl).count() == 5
+
+    got = {
+        (r.o_status, r.o_custkey, r.n, r.spend, r.hi)
+        for r in P.read_projection(spark, tbl, "by_cust").collect()
+    }
+    assert got == {("O", 10, 3, 17.0, 9.0), ("F", 11, 1, 7.0, 7.0), ("F", 12, 1, 1.0, 1.0)}
+
+    # coarser-key routing: states re-aggregate to a subset of the keys
+    coarse = {
+        (r.o_status, r.n, r.spend)
+        for r in P.read_projection(
+            spark, tbl, "by_cust", group_cols=("o_status",)
+        ).collect()
+    }
+    assert coarse == {("O", 3, 17.0), ("F", 2, 8.0)}
+
+    # routing picks the narrowest qualifying projection
+    assert P.route_projection(tbl, ("o_status",), ("n",)) == "by_status"
+    assert P.route_projection(tbl, ("o_status",), ("n", "spend")) == "by_cust"
+    assert P.route_projection(tbl, ("o_custkey",), ("n",)) == "by_cust"
+    assert P.route_projection(tbl, ("o_orderkey",), ("n",)) is None
+
+    # OPTIMIZE recomputes the merged part's projections — same answers
+    res = P.optimize_parts(spark, tbl)
+    assert res["merged"] == 2
+    assert {
+        (r.o_status, r.o_custkey, r.n, r.spend, r.hi)
+        for r in P.read_projection(spark, tbl, "by_cust").collect()
+    } == got
+    assert P.read_parts(spark, tbl).count() == 5
+
+    with pytest.raises(KeyError, match="no projection"):
+        P.read_projection(spark, tbl, "nope")
+    with pytest.raises(ValueError, match="subset"):
+        P.read_projection(spark, tbl, "by_status", group_cols=("o_custkey",))
+
+
+def test_projections_rejected_on_non_append_engines(tbl):
+    projs = {"p": {"key_cols": ("k",), "agg_spec": {"n": "sum"}}}
+    with pytest.raises(ValueError, match="append engine"):
+        P.create_parts_table(
+            tbl, engine="replacing", key_cols=("k",), version_col="v", projections=projs
+        )
+    with pytest.raises(ValueError, match="append engine"):
+        P.create_parts_table(
+            tbl, engine="append", ttl_col="t", ttl_seconds=5.0, projections=projs
+        )
+    with pytest.raises(ValueError, match="key_cols"):
+        P.create_parts_table(
+            tbl, engine="append", projections={"p": {"agg_spec": {"n": "sum"}}}
+        )
