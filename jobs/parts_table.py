@@ -3,11 +3,21 @@
 
     python jobs/parts_table.py create  --table /lake/t --engine replacing \\
         --key o_custkey --version-col o_orderkey [--partition-col month]
+    python jobs/parts_table.py create  --table /lake/t --engine collapsing \\
+        --key uid --sign-col sign --version-col ver
+    python jobs/parts_table.py create  --table /lake/t --engine aggregating \\
+        --key uid --agg-spec n=sum total=sum hi=max
+    python jobs/parts_table.py create  --table /lake/t \\
+        [--ttl-col born --ttl-seconds 94608000] \\
+        [--projection by_status:status:n=sum,spend=sum]
     python jobs/parts_table.py insert  --table /lake/t --src batch.parquet \\
         [--batch-id 7] [--app-id nightly]
     python jobs/parts_table.py read    --table /lake/t [--version 3] [--final] \\
-        [--out out.parquet] [--limit 20]
-    python jobs/parts_table.py optimize --table /lake/t [--max-seq 5]
+        [--as-of 946684800] [--out out.parquet] [--limit 20]
+    python jobs/parts_table.py read    --table /lake/t --projection by_status \\
+        [--group-cols status]
+    python jobs/parts_table.py optimize --table /lake/t [--max-seq 5] \\
+        [--as-of 946684800]
     python jobs/parts_table.py vacuum  --table /lake/t [--keep-versions 1] \\
         [--orphan-ttl-secs 86400]
     python jobs/parts_table.py history --table /lake/t
@@ -37,9 +47,23 @@ def main() -> None:
         optimize_parts,
         parts_table_diff,
         read_parts,
+        read_projection,
         table_history,
         vacuum_parts,
     )
+
+    def _agg_spec(pairs: list[str]) -> dict[str, str]:
+        return dict(p.split("=", 1) for p in pairs)
+
+    def _projections(specs: list[str]) -> dict | None:
+        out = {}
+        for s in specs:
+            name, keys, aggs = s.split(":", 2)
+            out[name] = {
+                "key_cols": keys.split(","),
+                "agg_spec": _agg_spec(aggs.split(",")),
+            }
+        return out or None
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -51,6 +75,18 @@ def main() -> None:
     ap.add_argument("--key", nargs="*", default=[])
     ap.add_argument("--version-col", default=None)
     ap.add_argument("--sum-cols", nargs="*", default=[])
+    ap.add_argument("--sign-col", default=None)
+    ap.add_argument("--agg-spec", nargs="*", default=[], help="col=sum|min|max")
+    ap.add_argument("--ttl-col", default=None)
+    ap.add_argument("--ttl-seconds", type=float, default=None)
+    ap.add_argument(
+        "--projection",
+        action="append",
+        default=[],
+        help="name:key1,key2:col1=sum,col2=max (repeatable)",
+    )
+    ap.add_argument("--as-of", type=float, default=None, help="TTL as-of epoch secs")
+    ap.add_argument("--group-cols", nargs="*", default=None)
     ap.add_argument("--partition-col", default=None)
     ap.add_argument("--order-by", nargs="*", default=[])
     ap.add_argument("--src", default=None, help="parquet path for insert")
@@ -74,8 +110,13 @@ def main() -> None:
             key_cols=tuple(args.key),
             version_col=args.version_col,
             sum_cols=tuple(args.sum_cols),
+            sign_col=args.sign_col,
+            agg_spec=_agg_spec(args.agg_spec) or None,
+            ttl_col=args.ttl_col,
+            ttl_seconds=args.ttl_seconds,
             partition_col=args.partition_col,
             order_by=tuple(args.order_by),
+            projections=_projections(args.projection),
         )
         print(json.dumps({"op": "create", "table": args.table, "meta": meta}))
         return
@@ -103,7 +144,22 @@ def main() -> None:
         )
         print(json.dumps({"op": "insert", **res}))
     elif args.op == "read":
-        df = read_parts(spark, args.table, version=args.version, final=args.final)
+        if args.projection:
+            df = read_projection(
+                spark,
+                args.table,
+                args.projection[0],
+                version=args.version,
+                group_cols=tuple(args.group_cols) if args.group_cols else None,
+            )
+        else:
+            df = read_parts(
+                spark,
+                args.table,
+                version=args.version,
+                final=args.final,
+                as_of=args.as_of,
+            )
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"op": "read", "rows": df.count(), "out": args.out}))
@@ -115,7 +171,7 @@ def main() -> None:
                 )
             )
     elif args.op == "optimize":
-        res = optimize_parts(spark, args.table, max_seq=args.max_seq)
+        res = optimize_parts(spark, args.table, max_seq=args.max_seq, as_of=args.as_of)
         print(json.dumps({"op": "optimize", **res}))
     elif args.op == "diff":
         if args.v_from is None or args.v_to is None:

@@ -672,3 +672,43 @@ def test_projections_rejected_on_non_append_engines(tbl):
         P.create_parts_table(
             tbl, engine="append", projections={"p": {"agg_spec": {"n": "sum"}}}
         )
+
+
+def test_parts_table_cli_new_engine_flags(spark, tmpdir):
+    """The CLI speaks the round's new surface: create with --projection,
+    insert from parquet, read --projection with coarser --group-cols —
+    one JSON line per op (the jobs/ contract)."""
+    import subprocess
+    import sys
+
+    src = f"{tmpdir}/batch.parquet"
+    spark.createDataFrame(
+        [(10, "O", 1, 5.0), (10, "O", 1, 3.0), (11, "F", 1, 7.0)],
+        "custkey long, status string, n long, spend double",
+    ).write.parquet(src)
+    tbl = f"{tmpdir}/t"
+
+    def _run(*argv):
+        out = subprocess.run(
+            [sys.executable, "/root/repo/jobs/parts_table.py", *argv],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    meta = _run(
+        "create", "--table", tbl,
+        "--projection", "by_status:status:n=sum,spend=sum",
+    )
+    assert meta["meta"]["projections"]["by_status"]["agg_spec"] == {
+        "n": "sum", "spend": "sum",
+    }
+    ins = _run("insert", "--table", tbl, "--src", src, "--batch-id", "0")
+    assert not ins["replayed"]
+    got = _run("read", "--table", tbl, "--projection", "by_status",
+               "--group-cols", "status")
+    assert got["rows"] == 2
+    by = {r["status"]: (r["n"], r["spend"]) for r in got["sample"]}
+    assert by == {"O": (2, 8.0), "F": (1, 7.0)}
