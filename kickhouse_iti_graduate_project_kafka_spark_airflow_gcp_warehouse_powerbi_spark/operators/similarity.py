@@ -207,3 +207,57 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op: per
+    query (anchor), the k most-similar corpus vectors whose
+    ``group_col`` DIFFERS (same-group rows are potential positives, so
+    they are excluded, not ranked). The highest-cosine different-group
+    neighbors are exactly the "hard" negatives a triplet/InfoNCE
+    sampler wants. Same cost shape as brute_force_topk: broadcast the
+    anchor set, scan the corpus once, one per-query window; at scale
+    the corpus side prunes through the IVF cell layout first (mine
+    within the anchor's probed cells), which only makes the negatives
+    easier, never invalid."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(vec_col).alias("q_nrm"),
+        F.col(group_col).alias("q_grp"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        norm(vec_col).alias("n_nrm"),
+        F.col(group_col).alias("n_grp"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_id") != F.col("n_id"))
+            & ~F.col("q_grp").eqNullSafe(F.col("n_grp")),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            "n_grp",
+            F.try_divide(
+                dot("q_vec", "n_vec"), F.col("q_nrm") * F.col("n_nrm")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos").isNotNull())
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "n_grp", "cos", "rank")
+    )

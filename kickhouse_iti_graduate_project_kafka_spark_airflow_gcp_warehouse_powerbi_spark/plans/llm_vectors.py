@@ -1749,3 +1749,41 @@ def images_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_gate(stored, batch, hash_col="dhash").select(
         "doc_id", F.col("dhash").alias("hash")
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    tags=("similarity", "contrastive", "mining"),
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8)
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_grp,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) + 1e-9, 4) AS cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+    FROM embeddings c JOIN q
+      ON c.label <> q.label AND c.vec_id <> q.vec_id
+    QUALIFY rank <= 3
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (triplet/InfoNCE
+    samplers): per anchor (vec_id < 8), the 3 most-similar vectors with a
+    DIFFERENT label — the near-miss negatives that actually move an
+    embedding model. Broadcast anchors, one corpus scan, one per-anchor
+    window; the label-mismatch predicate rides the join condition so
+    same-label rows never reach the ranking."""
+    from ..operators.similarity import hard_negative_topk
+
+    emb = _emb(spark, sf_dir)
+    out = hard_negative_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+    return out.select(
+        "q_id",
+        "n_id",
+        "n_grp",
+        F.round(F.col("cos") + 1e-9, 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
