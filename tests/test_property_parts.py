@@ -67,18 +67,19 @@ def test_collapsing_any_split_any_prefix_merge_is_one_shot(
     max_seq = max(1, int(round(max_seq_frac * n_parts)))
     P.optimize_parts(spark, tbl, max_seq=max_seq)
 
-    got = {
-        (r.k, r.ver, r.payload)
-        for r in P.read_parts(spark, tbl, final=True).filter("sign = 1").collect()
-    }
-    assert got == expected
-    # a FULL merge then plain read (collapsed fast path) agrees too
+    def _final() -> set:
+        # a fully-cancelled table may have optimized down to NO parts —
+        # that IS the empty state
+        try:
+            df = P.read_parts(spark, tbl, final=True)
+        except FileNotFoundError:
+            return set()
+        return {(r.k, r.ver, r.payload) for r in df.filter("sign = 1").collect()}
+
+    assert _final() == expected
+    # a FULL merge then the collapsed fast path agrees too
     P.optimize_parts(spark, tbl)
-    flat = {
-        (r.k, r.ver, r.payload)
-        for r in P.read_parts(spark, tbl, final=True).filter("sign = 1").collect()
-    }
-    assert flat == expected
+    assert _final() == expected
 
 
 @SLOW
