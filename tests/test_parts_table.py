@@ -712,3 +712,52 @@ def test_parts_table_cli_new_engine_flags(spark, tmpdir):
     assert got["rows"] == 2
     by = {r["status"]: (r["n"], r["spend"]) for r in got["sample"]}
     assert by == {"O": (2, 8.0), "F": (1, 7.0)}
+
+
+def test_parts_sink_cdc_into_collapsing_table(spark, tmpdir):
+    """CDC ingestion: a stream of (+1 state / -1 cancel) mutation events
+    through the generic parts_sink into a collapsing table is a streaming
+    upsert-and-delete pipeline — FINAL shows the net state."""
+    from pyspark.sql import types as T
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.parts_stream import (
+        parts_sink,
+    )
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    tbl = f"{tmpdir}/t"
+    P.create_parts_table(
+        tbl, engine="collapsing", key_cols=("k",), sign_col="sign", version_col="ver"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("sign", T.IntegerType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    with open(f"{src}/a.json", "w") as f:  # inserts
+        f.write(json.dumps({"k": 1, "ver": 1, "sign": 1, "payload": "a1"}) + "\n")
+        f.write(json.dumps({"k": 2, "ver": 1, "sign": 1, "payload": "b1"}) + "\n")
+
+    q = parts_sink(spark.readStream.schema(schema).json(src), tbl, f"{tmpdir}/chk", "1 seconds")
+    try:
+        q.processAllAvailable()
+        with open(f"{src}/b.json", "w") as f:  # update k=1, delete k=2
+            f.write(json.dumps({"k": 1, "ver": 1, "sign": -1, "payload": "a1"}) + "\n")
+            f.write(json.dumps({"k": 1, "ver": 2, "sign": 1, "payload": "a2"}) + "\n")
+            f.write(json.dumps({"k": 2, "ver": 1, "sign": -1, "payload": "b1"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fin = {
+        (r.k, r.ver, r.payload)
+        for r in P.read_parts(spark, tbl, final=True).filter("sign = 1").collect()
+    }
+    assert fin == {(1, 2, "a2")}
+    # background-merge analogue keeps FINAL cost flat
+    P.optimize_parts(spark, tbl)
+    assert P.read_parts(spark, tbl).count() == 1
