@@ -306,10 +306,27 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8808)
     ap.add_argument("--max-rows", type=int, default=10_000)
+    ap.add_argument(
+        "--parts",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="register a parts table's FINAL read as view NAME — the "
+        "v_fact_event_latest posture: dashboards always see collapsed "
+        "latest-state, never raw part rows (repeatable)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="kickhouse-bi-serve")
     register_views(spark, args.sf_dir)
+    if args.parts:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+            read_parts,
+        )
+
+        for spec in args.parts:
+            name, path = spec.split("=", 1)
+            read_parts(spark, path, final=True).createOrReplaceTempView(name)
     srv = make_server(spark, args.host, args.port, args.max_rows)
     print(json.dumps({"serving": f"http://{args.host}:{srv.server_port}", "sf": args.sf_dir}))
     srv.serve_forever()

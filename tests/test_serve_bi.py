@@ -242,3 +242,36 @@ def test_concurrent_dashboard_refresh(spark, sf_oracle):
         assert worst < 60, f"tile starved: worst latency {worst:.1f}s"
     finally:
         srv.shutdown()
+
+
+def test_parts_final_view_served_over_http(spark, tmp_path):
+    """A parts table registered as a FINAL view (the v_fact_event_latest
+    posture): dashboards query latest-state through plain SQL while raw
+    part rows stay invisible."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+        create_parts_table,
+        insert_into_parts,
+        read_parts,
+    )
+
+    tbl = str(tmp_path / "t")
+    create_parts_table(tbl, engine="replacing", key_cols=("k",), version_col="v")
+    insert_into_parts(
+        spark.createDataFrame([(1, 1, "old"), (2, 1, "keep")], "k long, v long, s string"),
+        tbl,
+    )
+    insert_into_parts(
+        spark.createDataFrame([(1, 2, "new")], "k long, v long, s string"), tbl
+    )
+    read_parts(spark, tbl, final=True).createOrReplaceTempView("dim_latest")
+
+    srv, _ = serve_background(spark, port=0, max_rows=50)
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        out = _post(
+            base + "/sql",
+            {"sql": "SELECT k, s FROM dim_latest ORDER BY k", "limit": 10},
+        )
+        assert out["rows"] == [[1, "new"], [2, "keep"]]
+    finally:
+        srv.shutdown()
