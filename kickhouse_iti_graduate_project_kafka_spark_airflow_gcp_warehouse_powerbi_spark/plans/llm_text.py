@@ -997,3 +997,53 @@ def docs_word_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hapax_frac"
         ),
     )
+
+
+@register(
+    "docs_unicode_normalize",
+    tags=("text", "cleaning", "UDF", "unicode"),
+    oracle=r"""
+    WITH dirty AS (
+        SELECT doc_id, lang,
+               chr(1) || CASE WHEN doc_id % 3 = 0
+                   THEN replace(replace(text, 'e', 'e' || chr(769)),
+                                ' ', chr(160))
+                   ELSE replace(text, 'e', 'e' || chr(769)) END AS t
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(nfc_normalize(t), chr(1), '', 'g'),
+                       chr(160), ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean
+        FROM dirty
+    )
+    SELECT doc_id, lang, md5(clean) AS clean_md5,
+           CAST(LENGTH(clean) AS BIGINT) AS n_chars_clean
+    FROM norm
+    """,
+)
+def docs_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization — the ingest stage every LLM pipeline runs
+    before tokenization: NFC composition (decomposed e+COMBINING ACUTE ->
+    \u00e9), control-char stripping, exotic-whitespace mapping (NBSP ->
+    space) and run collapsing, as ONE Arrow kernel pass
+    (functions/textnorm.py; Spark has no NFC builtin). The fixture text
+    is ASCII-clean, so the fabricate-then-parse discipline applies: a
+    pure Column expression soils every doc deterministically, the oracle
+    replays the identical soiling in SQL and normalizes with DuckDB's own
+    nfc_normalize — the md5 of the cleaned BYTES matching across engines
+    proves both normalizers agree character for character."""
+    from ..functions.textnorm import fabricate_dirty_text, normalize_text_column
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dirty = docs.withColumn("text", fabricate_dirty_text())
+    out = normalize_text_column(dirty, "text", "clean")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("long").alias("n_chars_clean"),
+    )
