@@ -1225,3 +1225,60 @@ def docs_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = int(pool.count() * 0.1)  # one bounded driver scalar, like the metas
     return pool.orderBy(F.col("score_milli").desc(), "doc_id").limit(k)
+
+
+@register(
+    "docs_weighted_length_percentiles",
+    tags=("stats", "percentiles", "weighted"),
+    oracle=r"""
+    WITH w AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v,
+               CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT) AS wt
+        FROM documents
+    ),
+    grp AS (SELECT lang, v, SUM(wt) AS wt FROM w GROUP BY lang, v),
+    cum AS (
+        SELECT lang, v,
+               SUM(wt) OVER (PARTITION BY lang ORDER BY v) AS cw,
+               SUM(wt) OVER (PARTITION BY lang) AS tw
+        FROM grp
+    )
+    SELECT lang,
+           MIN(CASE WHEN cw * 10 >= 5 * tw THEN v END) AS w_p50,
+           MIN(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS w_p90,
+           MAX(tw) AS total_weight
+    FROM cum
+    GROUP BY lang
+    """,
+)
+def docs_weighted_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles (ClickHouse quantileExactWeighted): per
+    language, the token-weighted p50/p90 of document length — 'how long
+    is the doc containing the median TOKEN', the curation statistic that
+    plain per-doc percentiles misstate when long docs dominate the token
+    budget. Exact and engine-portable by construction: the lower weighted
+    quantile (smallest v with cumweight >= q.W) is decided with INTEGER
+    arithmetic (cw*10 >= q10*tw) — no float interpolation to drift. One
+    (lang, v) pre-aggregate bounds the window input to distinct lengths
+    per language, so the cumulative scan is tiny at any corpus size."""
+    from ..functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("v"),
+        token_count("text").alias("wt"),
+    )
+    grp = w.groupBy("lang", "v").agg(F.sum("wt").alias("wt"))
+    win = Window.partitionBy("lang").orderBy("v")
+    cum = grp.select(
+        "lang",
+        "v",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("lang")).alias("tw"),
+    )
+    return cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cw") * 10 >= 5 * F.col("tw"), F.col("v"))).alias("w_p50"),
+        F.min(F.when(F.col("cw") * 10 >= 9 * F.col("tw"), F.col("v"))).alias("w_p90"),
+        F.max("tw").alias("total_weight"),
+    )

@@ -449,3 +449,50 @@ def orders_parts_projection_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         "n_orders",
         F.col("revenue").cast("double").alias("revenue"),
     )
+
+
+def _sampled_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders as an append table declaring SAMPLE BY custkey."""
+    key = (sf_dir, "sampled")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_sampled"
+        create_parts_table(path, engine="append", sample_col="custkey")
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+        )
+        for k in range(2):
+            insert_into_parts(o.filter(F.col("orderkey") % 2 == k), path, batch_id=k)
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_sample_read",
+    bench=False,
+    tags=("S10", "A1", "mergetree", "sample-by"),
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          < 1073741824
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_parts_sample_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SAMPLE 1/4`` through the parts lifecycle: the sample
+    key is TABLE metadata (SAMPLE BY custkey), the draw is the md5-bucket
+    of the key — a pure function of the data, so the same quarter of
+    customers is drawn on every run, every engine, and every part split;
+    whole customers are in or out together. The oracle replays the exact
+    bucket predicate (1073741824 = 2^32 / 4) over the raw rows."""
+    path = _sampled_table(spark, sf_dir)
+    df = read_parts(spark, path, sample_frac=0.25)
+    return df.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("revenue"),
+    )

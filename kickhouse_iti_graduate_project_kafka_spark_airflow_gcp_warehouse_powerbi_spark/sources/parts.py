@@ -116,6 +116,7 @@ def create_parts_table(
     partition_col: str | None = None,
     order_by: Sequence[str] = (),
     projections: dict[str, dict] | None = None,
+    sample_col: str | None = None,
 ) -> dict:
     """Create (or idempotently re-create) a parts table at ``path``.
 
@@ -168,6 +169,11 @@ def create_parts_table(
                     f"projection {pname!r} agg functions must be one of "
                     f"{_AGG_FNS}, got {bad}"
                 )
+    if sample_col and engine != "append" and sample_col not in key_cols:
+        # sampling must select WHOLE keys, or FINAL over a sample would
+        # see torn version histories (ClickHouse: SAMPLE BY must be part
+        # of the primary key, same reason)
+        raise ValueError("sample_col must be one of key_cols for keyed engines")
     meta = {
         "engine": engine,
         "key_cols": list(key_cols),
@@ -184,6 +190,7 @@ def create_parts_table(
             for k, v in (projections or {}).items()
         }
         or None,
+        "sample_col": sample_col,
     }
     io, base = _io_for(path)
     io.mkdirs(_join(io, base, VERSIONS_DIR))
@@ -193,7 +200,14 @@ def create_parts_table(
         # tables created before an engine was added lack its meta keys —
         # normalize with the defaults before comparing
         old = dict.fromkeys(
-            ("sign_col", "agg_spec", "ttl_col", "ttl_seconds", "projections")
+            (
+                "sign_col",
+                "agg_spec",
+                "ttl_col",
+                "ttl_seconds",
+                "projections",
+                "sample_col",
+            )
         )
         old.update(json.loads(existing))
         if old != meta:
@@ -368,6 +382,7 @@ def read_parts(
     version: int | None = None,
     final: bool = False,
     as_of: float | None = None,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). ``final=True``
     applies the engine's collapse (ReplacingMergeTree FINAL / summing /
@@ -380,6 +395,13 @@ def read_parts(
     parameter, never a hidden ``now()`` — reads stay deterministic and
     replayable. Without ``as_of`` a TTL table reads un-expired (the
     ClickHouse posture before a merge runs).
+
+    ``sample_frac`` (0, 1] is ClickHouse's ``SAMPLE`` clause: rows whose
+    ``sample_col`` md5-bucket falls under the fraction — a DETERMINISTIC
+    sample (a pure function of the key, the same rows every run and on
+    every engine), applied before the collapse so whole keys are in or
+    out together (``sample_col`` ∈ key_cols by construction for keyed
+    engines). Cheap: a narrow filter, no shuffle.
 
     Each part is read as plain parquet and tagged with its commit
     sequence via a literal column — the union stays a metadata operation;
@@ -404,6 +426,7 @@ def read_parts(
     for leg in legs[1:]:
         df = df.unionByName(leg)
     df = _apply_ttl(df, meta, as_of)
+    df = _apply_sample(df, meta, sample_frac)
 
     if not final or meta["engine"] == "append" or doc.get("collapsed", False):
         return df.drop("_part_seq")
@@ -419,6 +442,24 @@ def _apply_ttl(df: DataFrame, meta: dict, as_of: float | None) -> DataFrame:
     return df.filter(
         F.col(meta["ttl_col"]) + F.lit(meta["ttl_seconds"]) > F.lit(as_of)
     )
+
+
+def _apply_sample(df: DataFrame, meta: dict, frac: float | None) -> DataFrame:
+    """ClickHouse ``SAMPLE frac``: keep rows whose sample-key md5 bucket
+    (first 8 hex chars = a uniform 32-bit integer — the engine-portable
+    hashing contract the sampling operators share) falls under the
+    fraction."""
+    if frac is None:
+        return df
+    col = meta.get("sample_col")
+    if not col:
+        raise ValueError("table has no sample_col; declare it at create time")
+    if not 0 < frac <= 1:
+        raise ValueError("sample_frac must be in (0, 1]")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(bucket < F.lit(int(frac * 2**32)))
 
 
 def _collapse(df: DataFrame, meta: dict) -> DataFrame:

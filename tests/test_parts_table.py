@@ -761,3 +761,47 @@ def test_parts_sink_cdc_into_collapsing_table(spark, tmpdir):
     # background-merge analogue keeps FINAL cost flat
     P.optimize_parts(spark, tbl)
     assert P.read_parts(spark, tbl).count() == 1
+
+
+def test_sample_read_selects_whole_keys_consistently(spark, tbl):
+    """SAMPLE over a replacing table keeps whole keys: the sampled FINAL
+    equals FINAL filtered to the sampled key set (no torn histories),
+    and sample_frac=1 is everything."""
+    P.create_parts_table(
+        tbl,
+        engine="replacing",
+        key_cols=("o_custkey",),
+        version_col="o_orderkey",
+        sample_col="o_custkey",
+    )
+    rows = [(k * 10 + v, k, f"s{v}", float(v)) for k in range(20) for v in (1, 2)]
+    P.insert_into_parts(_orders(spark, [r for r in rows if r[3] == 1.0]), tbl)
+    P.insert_into_parts(_orders(spark, [r for r in rows if r[3] == 2.0]), tbl)
+
+    full = {(r.o_custkey, r.o_orderkey) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert all(ok % 10 == 2 for _, ok in full)  # v2 wins everywhere
+    samp = {
+        (r.o_custkey, r.o_orderkey)
+        for r in P.read_parts(spark, tbl, final=True, sample_frac=0.5).collect()
+    }
+    assert samp < full and samp  # strict, non-empty subset
+    keys = {c for c, _ in samp}
+    assert samp == {(c, o) for c, o in full if c in keys}  # whole keys, latest rows
+    assert {
+        (r.o_custkey, r.o_orderkey)
+        for r in P.read_parts(spark, tbl, final=True, sample_frac=1.0).collect()
+    } == full
+
+    with pytest.raises(ValueError, match="sample_frac"):
+        P.read_parts(spark, tbl, sample_frac=1.5)
+
+
+def test_sample_col_must_be_a_key_on_keyed_engines(tbl):
+    with pytest.raises(ValueError, match="sample_col"):
+        P.create_parts_table(
+            tbl,
+            engine="replacing",
+            key_cols=("k",),
+            version_col="v",
+            sample_col="other",
+        )
