@@ -373,6 +373,63 @@ def main() -> None:
             index_secs["parts_final_read_collapsed"] = round(
                 time.perf_counter() - t0, 3
             )
+
+            # r8 engines: a projected append table (insert pays the
+            # projection write; the routed rollup read should be cheap)
+            # and an aggregating MV-style table (states merge at read)
+            pj = f"{idx_root}/parts_proj"
+            create_parts_table(
+                pj,
+                engine="append",
+                projections={
+                    "by_prio": {
+                        "key_cols": ("o_orderpriority",),
+                        "agg_spec": {"n": "sum", "spend": "sum"},
+                    }
+                },
+            )
+            shaped = orders.selectExpr(
+                "o_orderkey",
+                "o_orderpriority",
+                "1 AS n",
+                "CAST(o_totalprice AS DECIMAL(14,2)) AS spend",
+            )
+            t0 = time.perf_counter()
+            insert_into_parts(shaped, pj, batch_id=0)
+            index_secs["parts_insert_projected"] = round(time.perf_counter() - t0, 3)
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+                aggregate_states,
+                read_projection,
+            )
+
+            t0 = time.perf_counter()
+            read_projection(spark, pj, "by_prio").count()
+            index_secs["parts_projection_read"] = round(time.perf_counter() - t0, 3)
+
+            ag = f"{idx_root}/parts_agg"
+            spec = {"n": "sum", "spend": "sum"}
+            create_parts_table(ag, engine="aggregating", key_cols=("o_custkey",), agg_spec=spec)
+            raw = orders.selectExpr(
+                "o_custkey", "o_orderkey", "1 AS n",
+                "CAST(o_totalprice AS DECIMAL(14,2)) AS spend",
+            )
+            t0 = time.perf_counter()
+            for k in range(3):
+                insert_into_parts(
+                    aggregate_states(
+                        raw.filter(F.col("o_orderkey") % 3 == k), ("o_custkey",), spec
+                    ),
+                    ag,
+                    batch_id=k,
+                )
+            index_secs["parts_aggregating_insert_x3"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            read_parts(spark, ag, final=True).count()
+            index_secs["parts_aggregating_final_read"] = round(
+                time.perf_counter() - t0, 3
+            )
         finally:
             shutil.rmtree(idx_root, ignore_errors=True)
         _clear_operator_caches()

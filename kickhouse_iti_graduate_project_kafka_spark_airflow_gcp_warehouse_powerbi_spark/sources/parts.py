@@ -279,8 +279,28 @@ def table_history(path: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def content_fingerprint(df: DataFrame) -> int:
+    """Order-independent 64-bit fingerprint of a frame's rows: XOR of
+    per-row xxhash64 over the canonical JSON of the sorted columns, mixed
+    with the row count (XOR alone cannot tell {} from {x, x}). The same
+    rows give the same fingerprint under any partitioning or row order —
+    the block checksum ClickHouse dedups retried inserts by."""
+    cols = ", ".join(f"`{c}`" for c in sorted(df.columns))
+    agg = df.agg(
+        F.expr(f"bit_xor(xxhash64(to_json(struct({cols}))))").alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    x = agg["x"] if agg["x"] is not None else 0
+    return int(x) ^ int(agg["n"])
+
+
 def insert_into_parts(
-    df: DataFrame, path: str, *, batch_id: int | None = None, app_id: str | None = None
+    df: DataFrame,
+    path: str,
+    *,
+    batch_id: int | None = None,
+    app_id: str | None = None,
+    dedup_content: bool = False,
 ) -> dict:
     """Append ``df`` as one new immutable part and commit it.
 
@@ -299,7 +319,14 @@ def insert_into_parts(
     fresh query id, so its restarted batch 0 is a new transaction, not a
     silently-skipped replay — the collision maintenance.py fails loudly
     on cannot corrupt a parts table because every insert lands in its own
-    part directory."""
+    part directory.
+
+    ``dedup_content=True`` adds ClickHouse's OTHER insert dedup: the
+    block CONTENT fingerprint (order-independent, :func:`content_
+    fingerprint`) is recorded in the version log, and re-inserting
+    byte-identical rows is a no-op even with no batch_id — the retry
+    protection for producers that cannot carry a transaction id. Costs
+    one extra aggregate job per insert, hence opt-in."""
     io, base = _io_for(path)
     meta = _load_meta(io, base)
     app = app_id or ""
@@ -313,9 +340,19 @@ def insert_into_parts(
             return set(doc.get("batch_ids", [])) if app == "" else set()
         return set(txns.get(app, []))
 
+    def _committed_content(ver: int) -> set[int]:
+        if ver == 0:
+            return set()
+        return set(_read_version(io, base, ver).get("content", []))
+
     ver = current_version(path)
     if batch_id is not None and batch_id in _committed_ids(ver):
         return {"version": ver, "replayed": True, "part": None}
+    fp: int | None = None
+    if dedup_content:
+        fp = content_fingerprint(df)
+        if fp in _committed_content(ver):
+            return {"version": ver, "replayed": True, "part": None}
 
     part_name = f"p-{uuid.uuid4().hex}"
     part_path = _join(io, base, PARTS_DIR, part_name)
@@ -339,6 +376,8 @@ def insert_into_parts(
             # another writer committed our id while we wrote data: drop the
             # duplicate part as an orphan (vacuum sweeps it) and back off
             return {"version": ver, "replayed": True, "part": None}
+        if fp is not None and fp in _committed_content(ver):
+            return {"version": ver, "replayed": True, "part": None}
         prev = _read_version(io, base, ver) if ver else {"parts": [], "txns": {}}
         txns = {k: sorted(v) for k, v in prev.get("txns", {}).items()}
         if prev.get("batch_ids"):  # migrate a legacy flat list
@@ -352,6 +391,11 @@ def insert_into_parts(
             "txns": txns,
             "collapsed": False,
         }
+        content = set(prev.get("content", []))
+        if fp is not None:
+            content.add(fp)
+        if content:
+            doc["content"] = sorted(content)
         if io.write_exclusive(
             _join(io, base, VERSIONS_DIR), f"v{ver + 1}.json", json.dumps(doc)
         ):
@@ -717,6 +761,8 @@ def optimize_parts(
         }
         if cur.get("batch_ids"):
             new_doc["batch_ids"] = cur["batch_ids"]
+        if cur.get("content"):
+            new_doc["content"] = cur["content"]
         if io.write_exclusive(
             _join(io, base, VERSIONS_DIR), f"v{ver + 1}.json", json.dumps(new_doc)
         ):

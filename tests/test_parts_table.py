@@ -805,3 +805,30 @@ def test_sample_col_must_be_a_key_on_keyed_engines(tbl):
             version_col="v",
             sample_col="other",
         )
+
+
+def test_content_dedup_rejects_identical_blocks(spark, tbl):
+    """ClickHouse block-checksum dedup: re-inserting byte-identical rows
+    (any row order) is a no-op even WITHOUT a batch id; different rows
+    still land; the fingerprint survives OPTIMIZE."""
+    P.create_parts_table(tbl, engine="append")
+    rows = [(1, 10, "O", 5.0), (2, 11, "F", 7.0)]
+    r1 = P.insert_into_parts(_orders(spark, rows), tbl, dedup_content=True)
+    assert not r1["replayed"]
+    # same rows, reversed order -> same fingerprint -> replay
+    r2 = P.insert_into_parts(_orders(spark, rows[::-1]), tbl, dedup_content=True)
+    assert r2["replayed"]
+    assert P.read_parts(spark, tbl).count() == 2
+    # distinct rows land
+    r3 = P.insert_into_parts(_orders(spark, [(3, 12, "O", 1.0)]), tbl, dedup_content=True)
+    assert not r3["replayed"]
+    # the fingerprint set rides through OPTIMIZE
+    P.optimize_parts(spark, tbl)
+    r4 = P.insert_into_parts(_orders(spark, rows), tbl, dedup_content=True)
+    assert r4["replayed"]
+    assert P.read_parts(spark, tbl).count() == 3
+    # an empty frame and a duplicated-row frame have distinct fingerprints
+    a = P.content_fingerprint(_orders(spark, []))
+    b = P.content_fingerprint(_orders(spark, [(1, 10, "O", 5.0)] * 2))
+    c = P.content_fingerprint(_orders(spark, [(1, 10, "O", 5.0)]))
+    assert len({a, b, c}) == 3
