@@ -11,7 +11,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1786,4 +1786,65 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grp",
         F.round(F.col("cos") + 1e-9, 4).alias("cos"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "embedding_label_propagation",
+    tags=("similarity", "weak-labeling", "knn"),
+    oracle="""
+    WITH unl AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    lab AS (
+        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    nn AS (
+        SELECT u.vec_id AS q_id, l.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY u.vec_id
+                   ORDER BY list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+                                                   CAST(l.embedding AS DOUBLE[])) DESC,
+                            l.vec_id ASC) AS rank
+        FROM unl u JOIN lab l ON TRUE
+    ),
+    votes AS (
+        SELECT q_id, label, COUNT(*) AS n
+        FROM nn WHERE rank <= 5 GROUP BY q_id, label
+    )
+    SELECT q_id, label AS predicted, n AS votes
+    FROM votes
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY n DESC, label ASC) = 1
+    """,
+)
+def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak labeling by kNN majority vote — the label-propagation stage a
+    curation pipeline uses to extend a small labeled seed over an
+    unlabeled corpus (classifier-free quality/domain tagging): vectors
+    with vec_id % 10 == 0 play the unlabeled batch, each takes the
+    majority label of its 5 nearest labeled neighbors (ties break to the
+    lexicographically smallest label, so the vote is total-ordered and
+    engine-portable). Plan shape = the hard-negatives broadcast scan plus
+    one (query, label) count and one vote window — nothing corpus-wide
+    shuffles; at scale the neighbor search swaps to the IVF/PQ tiers
+    unchanged."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    unl = emb.filter(F.col("vec_id") % 10 == 0)
+    lab = emb.filter(F.col("vec_id") % 10 != 0)
+    nn = brute_force_topk(lab, unl, k=5)
+    votes = (
+        nn.join(
+            lab.select(F.col("vec_id").alias("n_id"), "label"), "n_id"
+        )
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("q_id", F.col("label").alias("predicted"), "votes")
     )
