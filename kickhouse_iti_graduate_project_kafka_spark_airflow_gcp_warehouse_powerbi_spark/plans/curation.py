@@ -1246,7 +1246,7 @@ def docs_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            MIN(CASE WHEN cw * 10 >= 5 * tw THEN v END) AS w_p50,
            MIN(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS w_p90,
-           MAX(tw) AS total_weight
+           CAST(MAX(tw) AS BIGINT) AS total_weight
     FROM cum
     GROUP BY lang
     """,

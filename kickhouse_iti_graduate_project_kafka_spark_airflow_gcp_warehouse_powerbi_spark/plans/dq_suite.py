@@ -667,3 +667,33 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_level"),
         )
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    tags=("A5", "argmin", "clickhouse-surface"),
+    oracle="""
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey, l_extendedprice AS price
+    FROM (
+        SELECT l_partkey, l_suppkey, l_extendedprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_extendedprice ASC, l_suppkey ASC
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMin — the mirror of the hub view's argMax (A5): per part, the
+    supplier of the CHEAPEST shipment. ClickHouse's argMin is
+    tie-nondeterministic; here the ordering value is a (price, suppkey)
+    struct, so min_by picks a total-ordered winner and the answer is
+    engine-portable. One map-side-combinable aggregate — same single
+    shuffle as any GROUP BY, no window over the full fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pick = F.struct(F.col("l_extendedprice"), F.col("l_suppkey"))
+    return li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.min_by(F.col("l_suppkey"), pick).alias("suppkey"),
+        F.min_by(F.col("l_extendedprice"), pick).alias("price"),
+    )
