@@ -507,8 +507,18 @@ def _apply_sample(df: DataFrame, meta: dict, frac: float | None) -> DataFrame:
 
 
 def _collapse(df: DataFrame, meta: dict) -> DataFrame:
-    """Apply the engine's merge semantics to a part-tagged frame."""
-    keys = meta["key_cols"]
+    """Apply the engine's merge semantics to a part-tagged frame.
+
+    The partition column (when declared) joins the collapse keys —
+    ClickHouse's documented contract: *data in different partitions is
+    never merged*, so a key's rows collapse per partition. This is also
+    the pruning win: a partition-column filter now sits on the window/
+    aggregate's own partitioning keys, so Catalyst pushes it below the
+    collapse and the scan reads only the filtered part directories."""
+    keys = list(meta["key_cols"])
+    pcol = meta.get("partition_col")
+    if pcol and pcol not in keys:
+        keys = [pcol] + keys
     if meta["engine"] == "replacing":
         w = Window.partitionBy(*keys).orderBy(
             F.col("_part_seq").desc(), F.col(meta["version_col"]).desc()
@@ -550,7 +560,10 @@ def _collapse_signs(df: DataFrame, meta: dict) -> DataFrame:
     is in {-1, 0, +1} under the well-formedness contract (one state + at
     most one cancel per (key, version)), so the collapse is associative:
     any prefix merge leaves a row later parts can still cancel."""
-    keys, sign, ver = meta["key_cols"], meta["sign_col"], meta["version_col"]
+    keys, sign, ver = list(meta["key_cols"]), meta["sign_col"], meta["version_col"]
+    pcol = meta.get("partition_col")
+    if pcol and pcol not in keys:
+        keys = [pcol] + keys  # partitions never merge (ClickHouse contract)
     plus_seq = F.when(F.col(sign) == 1, F.col("_part_seq"))
     minus_seq = F.when(F.col(sign) == -1, F.col("_part_seq"))
     others = [

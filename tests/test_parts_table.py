@@ -832,3 +832,35 @@ def test_content_dedup_rejects_identical_blocks(spark, tbl):
     b = P.content_fingerprint(_orders(spark, [(1, 10, "O", 5.0)] * 2))
     c = P.content_fingerprint(_orders(spark, [(1, 10, "O", 5.0)]))
     assert len({a, b, c}) == 3
+
+
+def test_final_collapses_per_partition_and_prunes(spark, tbl):
+    """ClickHouse contract: data in different partitions is never merged
+    — a key appearing in two partitions keeps one latest row PER
+    partition; and because the partition column joins the collapse keys,
+    a partition filter pushes below the FINAL window into the scan."""
+    P.create_parts_table(
+        tbl,
+        engine="replacing",
+        key_cols=("o_custkey",),
+        version_col="o_orderkey",
+        partition_col="o_status",
+    )
+    P.insert_into_parts(
+        _orders(spark, [(1, 10, "A", 1.0), (2, 10, "B", 1.0)]), tbl
+    )
+    P.insert_into_parts(
+        _orders(spark, [(3, 10, "A", 2.0), (5, 11, "B", 5.0)]), tbl
+    )
+    fin = {
+        (r.o_custkey, r.o_status, r.o_orderkey)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    # custkey 10 collapses within 'A' (3 beats 1) but its 'B' row survives
+    assert fin == {(10, "A", 3), (10, "B", 2), (11, "B", 5)}
+
+    df = P.read_parts(spark, tbl, final=True).filter("o_status = 'A'")
+    assert {(r.o_custkey, r.o_orderkey) for r in df.collect()} == {(10, 3)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter reached the scan as a partition filter (below the window)
+    assert "PartitionFilters" in plan and "o_status" in plan.split("PartitionFilters", 1)[1][:200]
