@@ -496,3 +496,75 @@ def orders_parts_sample_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("price").cast("decimal(14,2)")).cast("double").alias("revenue"),
     )
+
+
+_HLL_SPEC = {"n_orders": "sum", "cust_sk": "hll"}
+
+
+def _hll_table(spark: SparkSession, sf_dir: str) -> str:
+    """Per-priority distinct-customer sketches as an aggregating table —
+    ClickHouse's uniqState materialized view: each insert batch lands
+    (count, HLL state) rows; batches are sliced by ORDER key so every
+    priority's states genuinely union across parts."""
+    key = (sf_dir, "hll")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_hll"
+        create_parts_table(
+            path, engine="aggregating", key_cols=("priority",), agg_spec=_HLL_SPEC
+        )
+        raw = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.lit(1).cast("long").alias("n_orders"),
+            F.col("o_custkey").alias("cust_sk"),
+        )
+        for k in range(3):
+            states = aggregate_states(
+                raw.filter(F.col("orderkey") % 3 == k), ("priority",), _HLL_SPEC
+            )
+            insert_into_parts(states, path, batch_id=k)
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_hll_distinct",
+    bench=False,
+    tags=("S10", "A10", "mergetree", "aggregating-final", "sketch", "invariant"),
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS exact_cust,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_parts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqState/uniqMerge through the parts lifecycle: per-priority HLL
+    sketches created per insert batch (hll_sketch_agg), merged at FINAL
+    (hll_union_agg) — the mergeable-distinct MV that answers distinct
+    questions in O(|keys| x |parts|) without ever re-scanning raw
+    history. Sketch BYTES may legally differ across merge orders, so the
+    oracled surface is the estimate's 5% accuracy flag plus the exact
+    companions (the docs_percentiles_approx_invariant discipline)."""
+    path = _hll_table(spark, sf_dir)
+    fin = read_parts(spark, path, final=True).select(
+        "priority",
+        "n_orders",
+        F.hll_sketch_estimate("cust_sk").alias("est"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count_distinct("o_custkey").alias("exact_cust"))
+    )
+    return fin.join(exact, "priority").select(
+        "priority",
+        "n_orders",
+        "exact_cust",
+        (
+            F.abs(F.col("est") - F.col("exact_cust"))
+            <= 0.05 * F.col("exact_cust")
+        ).alias("within_5pct"),
+    )

@@ -94,7 +94,22 @@ VERSIONS_DIR = "_versions"
 PARTS_DIR = "parts"
 
 _ENGINES = ("append", "replacing", "summing", "collapsing", "aggregating")
-_AGG_FNS = ("sum", "min", "max")
+#: state functions an aggregating table / projection may declare.
+#: sum/min/max are their own combiners; "hll" is the asymmetric pair
+#: (create = hll_sketch_agg over raw values, merge = hll_union_agg over
+#: sketch blobs) — ClickHouse's uniqState/uniqMerge. Sketch blobs may
+#: legally re-encode across merge orders; ESTIMATES are the stable API.
+_AGG_FNS = ("sum", "min", "max", "hll")
+
+
+def _state_agg(col: str, fn: str):
+    """The -State half: applied to RAW values by aggregate_states."""
+    return F.hll_sketch_agg(col) if fn == "hll" else getattr(F, fn)(col)
+
+
+def _merge_agg(col: str, fn: str):
+    """The -Merge half: applied to PARTIAL STATES by the collapse."""
+    return F.hll_union_agg(col) if fn == "hll" else getattr(F, fn)(col)
 
 
 # ---------------------------------------------------------------------------
@@ -532,7 +547,7 @@ def _collapse(df: DataFrame, meta: dict) -> DataFrame:
         return _collapse_signs(df, meta)
     if meta["engine"] == "aggregating":
         spec = meta["agg_spec"]
-        aggs = [getattr(F, fn)(c).alias(c) for c, fn in spec.items()]
+        aggs = [_merge_agg(c, fn).alias(c) for c, fn in spec.items()]
         others = [
             c for c in df.columns if c not in keys and c not in spec and c != "_part_seq"
         ]
@@ -628,7 +643,7 @@ def read_projection(
     for leg in legs[1:]:
         df = df.unionByName(leg)
     out_keys = list(group_cols) if group_cols is not None else list(keys)
-    aggs = [getattr(F, fn)(c).alias(c) for c, fn in spec["agg_spec"].items()]
+    aggs = [_merge_agg(c, fn).alias(c) for c, fn in spec["agg_spec"].items()]
     return df.groupBy(*out_keys).agg(*aggs)
 
 
@@ -674,7 +689,7 @@ def aggregate_states(
     bad = {c: f for c, f in agg_spec.items() if f not in _AGG_FNS}
     if bad:
         raise ValueError(f"agg_spec functions must be one of {_AGG_FNS}, got {bad}")
-    aggs = [getattr(F, fn)(c).alias(c) for c, fn in agg_spec.items()]
+    aggs = [_state_agg(c, fn).alias(c) for c, fn in agg_spec.items()]
     return df.groupBy(*key_cols).agg(*aggs)
 
 

@@ -864,3 +864,40 @@ def test_final_collapses_per_partition_and_prunes(spark, tbl):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the filter reached the scan as a partition filter (below the window)
     assert "PartitionFilters" in plan and "o_status" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_aggregating_hll_states_union_across_parts(spark, tbl):
+    """uniqState/uniqMerge: HLL states created per batch union at FINAL;
+    the merged estimate is deterministic across reads and within 5% of
+    exact (bytes may re-encode; estimates are the API)."""
+    from pyspark.sql import functions as F
+
+    spec = {"n": "sum", "uids": "hll"}
+    P.create_parts_table(tbl, engine="aggregating", key_cols=("g",), agg_spec=spec)
+    rows = [(i % 2, i % 97) for i in range(400)]  # g, uid (duplicated uids)
+    df = spark.createDataFrame(rows, "g long, uid long").selectExpr(
+        "g", "1 AS n", "uid AS uids"
+    )
+    for k in range(3):
+        P.insert_into_parts(
+            P.aggregate_states(df.filter(f"n = 1 AND uids % 3 = {k}"), ("g",), spec),
+            tbl,
+        )
+    fin = P.read_parts(spark, tbl, final=True).select(
+        "g", "n", F.hll_sketch_estimate("uids").alias("est")
+    )
+    got = {r.g: (r.n, r.est) for r in fin.collect()}
+    again = {r.g: (r.n, r.est) for r in fin.collect()}
+    assert got == again  # deterministic reads
+    # exact distinct uids per g: uids are i%97 over i in [0,400): all 97
+    # residues appear in each g class? g = i%2, uid = i%97 — for each g,
+    # i ranges over evens/odds: uid set = {i%97} which covers all 97
+    for g, (n, est) in got.items():
+        assert n == 200
+        assert abs(est - 97) <= 0.05 * 97
+    # OPTIMIZE merges the sketch states physically; estimates survive
+    P.optimize_parts(spark, tbl)
+    flat = {r.g: r.est for r in P.read_parts(spark, tbl, final=True).select(
+        "g", F.hll_sketch_estimate("uids").alias("est")).collect()}
+    for g, est in flat.items():
+        assert abs(est - 97) <= 0.05 * 97
