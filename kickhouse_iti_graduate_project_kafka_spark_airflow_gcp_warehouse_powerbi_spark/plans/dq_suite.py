@@ -697,3 +697,93 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.col("l_suppkey"), pick).alias("suppkey"),
         F.min_by(F.col("l_extendedprice"), pick).alias("price"),
     )
+
+
+@register(
+    "events_hourly_gapfill_interpolate",
+    tags=("A2", "clickhouse-surface", "with-fill", "interpolate"),
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS mv
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM obs GROUP BY event_type
+    ), grid AS (
+        SELECT s.event_type, g.h
+        FROM spans s, LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS h) g
+    ), joined AS (
+        SELECT g.event_type, g.h, o.mv,
+               last_value(o.mv IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN o.mv IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER w_prev AS ph,
+               first_value(o.mv IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN o.mv IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER w_next AS nh
+        FROM grid g LEFT JOIN obs o ON o.event_type = g.event_type AND o.h = g.h
+        WINDOW w_prev AS (PARTITION BY g.event_type ORDER BY g.h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY g.event_type ORDER BY g.h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS hour_epoch,
+           (mv IS NOT NULL) AS observed,
+           ROUND(COALESCE(mv, pv + (nv - pv) * (h - ph) / (nh - ph)) + 1e-9, 4)
+               AS filled
+    FROM joined
+    """,
+)
+def events_hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY hour WITH FILL INTERPOLATE`` — silent hours
+    get a LINEARLY INTERPOLATED measure instead of a zero: the dashboard
+    line for an hourly revenue metric should slope between neighbors,
+    not plunge. The hourly measure is an exact decimal sum (cast double
+    once), the dense grid is the sequence() explode, and the neighbor
+    lookup is two IGNORE-NULLS windows per event type (prev/next value
+    AND position, so the slope term is exact integer hour deltas). Edge
+    hours are always observed (the grid spans each type's [min, max]),
+    so the interpolation is well-defined; both engines round the one
+    float expression identically."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.col("ts").cast("double") / 3600).cast("long")
+    obs = ev.groupBy(
+        "event_type", hour.alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(14,4)")).cast("double").alias("mv"))
+    grid = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    j = grid.join(obs, ["event_type", "h"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = j.select(
+        "event_type",
+        "h",
+        "mv",
+        F.last("mv", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(F.col("mv").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(w_prev)
+        .alias("ph"),
+        F.first("mv", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(F.col("mv").isNotNull(), F.col("h")), ignorenulls=True)
+        .over(w_next)
+        .alias("nh"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("h") - F.col("ph")
+    ) / (F.col("nh") - F.col("ph"))
+    return marked.select(
+        "event_type",
+        F.col("h").alias("hour_epoch"),
+        F.col("mv").isNotNull().alias("observed"),
+        F.round(F.coalesce("mv", interp) + 1e-9, 4).alias("filled"),
+    )
