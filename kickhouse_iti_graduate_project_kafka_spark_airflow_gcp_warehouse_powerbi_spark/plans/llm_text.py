@@ -1047,3 +1047,101 @@ def docs_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean").alias("clean_md5"),
         F.length("clean").cast("long").alias("n_chars_clean"),
     )
+
+
+@register(
+    "docs_chunk_dedup_rewrite",
+    tags=("dedup", "text", "lines", "rewrite"),
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, k,
+               md5(array_to_string(toks[16*k+1 : 16*(k+1)], ' ')) AS h,
+               array_to_string(toks[16*k+1 : 16*(k+1)], ' ') AS chunk
+        FROM t, LATERAL (
+            SELECT unnest(generate_series(
+                0, CAST(CEIL(LEN(toks) / 16.0) AS INT) - 1)) AS k)
+    ),
+    kept AS (
+        SELECT doc_id, lang, k, chunk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY h ORDER BY doc_id, k) AS rn
+            FROM c
+        ) WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS kept_chunks,
+               string_agg(chunk, ' ' ORDER BY k) AS body
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, lang, COUNT(*) AS n_chunks FROM c GROUP BY doc_id, lang)
+    SELECT t.doc_id, t.lang, t.n_chunks,
+           CAST(COALESCE(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+           md5(COALESCE(r.body, '')) AS rebuilt_md5
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def docs_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup as a REWRITE (the C4/RefinedWeb repeated-line
+    removal, recast onto the fixture's line-less text as aligned 16-token
+    chunks — the 'sentence' unit): every chunk occurring anywhere else in
+    the corpus keeps only its FIRST (doc_id, position) occurrence, later
+    copies are excised and each doc re-emitted from its surviving chunks
+    in order. Distinct machinery from the sliding-window span rewrite:
+    non-overlapping aligned units, one md5 chunk key (engine-portable, so
+    the oracle replays the dedup verbatim), one hash shuffle on the key +
+    one per-doc regroup. The rebuilt-body md5 pins the OUTPUT BYTES, not
+    just counts. 100 TB: chunks ∝ tokens/16, both shuffles hash-bounded;
+    boilerplate-heavy corpora shrink the regroup side further."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from ..functions.text import tokens
+
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    c = (
+        t.select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("n"),
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("toks") / 16.0).cast("int") - 1)
+            ).alias("k"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "k",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("k") * 16 + 1, 16), " "
+            ).alias("chunk"),
+        )
+        .withColumn("h", F.md5("chunk"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "k")
+    kept = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("body"),
+    )
+    totals = c.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chunks",
+        F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+        F.md5(F.coalesce("body", F.lit(""))).alias("rebuilt_md5"),
+    )
