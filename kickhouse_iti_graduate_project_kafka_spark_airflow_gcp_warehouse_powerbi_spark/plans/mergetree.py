@@ -568,3 +568,61 @@ def orders_parts_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_cust")
         ).alias("within_5pct"),
     )
+
+
+def _mutated_table(spark: SparkSession, sf_dir: str) -> str:
+    """The replacing layout of _replacing_table, then ONE mutation:
+    customers divisible by 10 deleted (GDPR-style), finished orders'
+    totals doubled — applied per part, sequences preserved."""
+    key = (sf_dir, "mutated")
+    if key not in _BUILT:
+        from ..sources.parts import mutate_parts
+
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_mutated"
+        create_parts_table(
+            path, engine="replacing", key_cols=("custkey",), version_col="orderkey"
+        )
+        orders = _orders_slim(spark, sf_dir)
+        for k in range(3):
+            insert_into_parts(orders.filter(F.col("orderkey") % 3 == k), path, batch_id=k)
+        mutate_parts(
+            spark,
+            path,
+            delete_where="custkey % 10 = 0",
+            set_exprs={"totalprice": "totalprice * 2"},
+            update_where="status = 'F'",
+        )
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_mutation_rewrite",
+    bench=False,
+    tags=("S10", "mergetree", "mutation"),
+    oracle="""
+    SELECT custkey, orderkey, status,
+           CASE WHEN status = 'F' THEN totalprice * 2
+                ELSE totalprice END AS totalprice
+    FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_orderstatus AS status, o_totalprice AS totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY (o_orderkey % 3) DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1 AND custkey % 10 <> 0
+    """,
+)
+def orders_parts_mutation_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE DELETE + UPDATE through the parts lifecycle: the
+    mutation rewrites each live part in place (sequence preserved, so
+    the replacing window is untouched), deletes a customer slice and
+    doubles finished orders' totals; FINAL afterwards equals the oracle's
+    closed-form replay — window first, then the surviving winner's
+    conditional doubling (doubling a double is exact)."""
+    path = _mutated_table(spark, sf_dir)
+    return read_parts(spark, path, final=True).select(
+        "custkey", "orderkey", "status", "totalprice"
+    )

@@ -882,3 +882,118 @@ def parts_table_diff(
     b = read_parts(spark, path, version=v_new, final=True)
     cols = list(compare_cols) if compare_cols else [c for c in a.columns if c not in keys]
     return table_diff(a, b, keys, cols)
+
+
+# ---------------------------------------------------------------------------
+# mutations (ALTER TABLE ... DELETE / UPDATE)
+# ---------------------------------------------------------------------------
+
+
+def mutate_parts(
+    spark: SparkSession,
+    path: str,
+    *,
+    delete_where: str | None = None,
+    set_exprs: dict[str, str] | None = None,
+    update_where: str | None = None,
+) -> dict:
+    """ClickHouse mutation: rewrite the LIVE parts applying a DELETE
+    predicate and/or per-column UPDATE expressions, committing one new
+    version — ``ALTER TABLE t DELETE WHERE ...`` / ``UPDATE c = expr
+    WHERE ...`` re-expressed on the parts log.
+
+    Mutation is PER PART: every live part is rewritten into a fresh
+    directory carrying the SAME sequence number, so replacing/collapsing
+    dominance and prefix-merge invariants are untouched; a part whose
+    rows all fall to the delete disappears (ClickHouse drops fully-
+    deleted parts). Pre-mutation versions still time-travel until
+    vacuum. Projections are recomputed per rewritten part — the mutated
+    data and its projection states stay atomic, as at insert.
+
+    Cost model (the honest ClickHouse one): a mutation rewrites every
+    live part once — O(table), a maintenance-window operation, NOT a
+    hot-path upsert (that is what the collapsing/replacing engines are
+    for). Deletes that align with the partition column should prefer
+    partition-pruned rewrites; this general form exists for the
+    GDPR-style 'delete these keys wherever they are' ask."""
+    io, base = _io_for(path)
+    meta = _load_meta(io, base)
+    if set_exprs:
+        protected = set(meta["key_cols"]) | {
+            meta.get("version_col"),
+            meta.get("sign_col"),
+            meta.get("partition_col"),
+            meta.get("ttl_col"),
+            meta.get("sample_col"),
+        }
+        bad = sorted(set(set_exprs) & protected)
+        if bad:
+            # updating identity/ordering columns would silently break the
+            # engine's collapse invariants (ClickHouse rejects these too)
+            raise ValueError(f"cannot UPDATE key/identity columns: {bad}")
+    ver = current_version(path)
+    if ver == 0:
+        return {"version": 0, "rewritten": 0, "dropped_parts": 0}
+    doc = _read_version(io, base, ver)
+    parts = sorted(doc["parts"], key=lambda q: q["seq"])
+
+    new_parts = []
+    rewritten = dropped = 0
+    for p in parts:
+        df = spark.read.parquet(_join(io, base, PARTS_DIR, p["name"]))
+        out = df
+        if delete_where:
+            out = out.filter(f"NOT ({delete_where})")
+        if set_exprs:
+            cond = update_where or "true"
+            for col, expr in set_exprs.items():
+                out = out.withColumn(
+                    col,
+                    F.when(F.expr(cond), F.expr(expr)).otherwise(F.col(col)),
+                )
+        if out.isEmpty():
+            dropped += 1
+            continue
+        part_name = f"p-{uuid.uuid4().hex}"
+        part_path = _join(io, base, PARTS_DIR, part_name)
+        pcol = meta["partition_col"]
+        order_by = meta["order_by"]
+        if pcol:
+            w = out.repartition(F.col(pcol))
+            if order_by:
+                w = w.sortWithinPartitions(pcol, *order_by)
+            w.write.mode("error").partitionBy(pcol).parquet(part_path)
+        else:
+            if order_by:
+                out = out.sortWithinPartitions(*order_by)
+            out.write.mode("error").parquet(part_path)
+        _write_projections(io, out, part_path, meta)
+        new_parts.append({"name": part_name, "seq": p["seq"]})
+        rewritten += 1
+
+    while True:
+        ver = current_version(path)
+        cur = _read_version(io, base, ver)
+        if {p["name"] for p in cur["parts"]} != {p["name"] for p in parts}:
+            raise RuntimeError(
+                "concurrent commit changed the live parts during the "
+                "mutation; re-run against the new version"
+            )
+        new_doc = {
+            "op": "mutate",
+            "parts": sorted(new_parts, key=lambda q: q["seq"]),
+            "txns": cur.get("txns", {}),
+            # deletes/updates cannot introduce duplicate keys (identity
+            # columns are update-protected), so collapsed-ness survives
+            "collapsed": bool(cur.get("collapsed", False)),
+        }
+        if cur.get("content"):
+            new_doc["content"] = cur["content"]
+        if io.write_exclusive(
+            _join(io, base, VERSIONS_DIR), f"v{ver + 1}.json", json.dumps(new_doc)
+        ):
+            return {
+                "version": ver + 1,
+                "rewritten": rewritten,
+                "dropped_parts": dropped,
+            }

@@ -901,3 +901,64 @@ def test_aggregating_hll_states_union_across_parts(spark, tbl):
         "g", F.hll_sketch_estimate("uids").alias("est")).collect()}
     for g, est in flat.items():
         assert abs(est - 97) <= 0.05 * 97
+
+
+def test_mutation_delete_and_update(spark, tbl):
+    """ALTER TABLE DELETE/UPDATE as a per-part rewrite: sequences are
+    preserved (replacing dominance intact), fully-deleted parts vanish,
+    pre-mutation versions still time-travel, identity columns are
+    update-protected."""
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    P.insert_into_parts(_orders(spark, [(1, 10, "A", 1.0), (2, 20, "A", 2.0)]), tbl)
+    P.insert_into_parts(_orders(spark, [(3, 10, "B", 3.0)]), tbl)  # newer for 10
+    P.insert_into_parts(_orders(spark, [(4, 30, "C", 4.0)]), tbl)
+
+    res = P.mutate_parts(
+        spark,
+        tbl,
+        delete_where="o_custkey = 30",
+        set_exprs={"o_total": "o_total * 2"},
+        update_where="o_status = 'A'",
+    )
+    assert res["rewritten"] == 2 and res["dropped_parts"] == 1  # part 3 vanished
+
+    fin = {
+        (r.o_custkey, r.o_orderkey, r.o_total)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    # custkey 30 deleted; 20's 'A' row doubled; 10's winner is still the
+    # newer part-2 row (status B, untouched)
+    assert fin == {(10, 3, 3.0), (20, 2, 4.0)}
+
+    # time travel to the pre-mutation version still sees custkey 30
+    pre = {r.o_custkey for r in P.read_parts(spark, tbl, version=3).collect()}
+    assert 30 in pre
+
+    with pytest.raises(ValueError, match="identity columns"):
+        P.mutate_parts(spark, tbl, set_exprs={"o_custkey": "o_custkey + 1"})
+
+    # mutation + vacuum: superseded and dropped parts leave disk
+    P.vacuum_parts(tbl, keep_versions=1, orphan_ttl_secs=0)
+    left = os.listdir(os.path.join(tbl, P.PARTS_DIR))
+    assert len(left) == 2
+
+
+def test_mutation_rewrites_projections(spark, tbl):
+    """A mutated part's projection states are recomputed in the same
+    rewrite — the projection can never serve pre-mutation aggregates."""
+    projs = {"by_status": {"key_cols": ("o_status",), "agg_spec": {"n": "sum"}}}
+    P.create_parts_table(tbl, engine="append", projections=projs)
+    P.insert_into_parts(
+        _orders(spark, [(1, 10, "A", 1.0), (2, 20, "B", 2.0)]).selectExpr(
+            "o_custkey", "o_status", "1 AS n"
+        ),
+        tbl,
+    )
+    P.mutate_parts(spark, tbl, delete_where="o_status = 'B'")
+    got = {
+        (r.o_status, r.n)
+        for r in P.read_projection(spark, tbl, "by_status").collect()
+    }
+    assert got == {("A", 1)}
