@@ -20,6 +20,9 @@
         [--as-of 946684800]
     python jobs/parts_table.py vacuum  --table /lake/t [--keep-versions 1] \\
         [--orphan-ttl-secs 86400]
+    python jobs/parts_table.py mutate  --table /lake/t \\
+        [--delete-where "custkey % 10 = 0"] [--set "total=total*2"] \\
+        [--update-where "status = 'F'"]
     python jobs/parts_table.py history --table /lake/t
     python jobs/parts_table.py diff    --table /lake/t --from 1 --to 3
 
@@ -68,7 +71,10 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "op",
-        choices=("create", "insert", "read", "optimize", "vacuum", "history", "diff"),
+        choices=(
+            "create", "insert", "read", "optimize",
+            "vacuum", "history", "diff", "mutate",
+        ),
     )
     ap.add_argument("--table", required=True)
     ap.add_argument("--engine", default="append")
@@ -101,6 +107,9 @@ def main() -> None:
     ap.add_argument("--orphan-ttl-secs", type=float, default=24 * 3600.0)
     ap.add_argument("--from", dest="v_from", type=int, default=None)
     ap.add_argument("--to", dest="v_to", type=int, default=None)
+    ap.add_argument("--delete-where", default=None)
+    ap.add_argument("--set", nargs="*", default=[], help="col=expr (UPDATE)")
+    ap.add_argument("--update-where", default=None)
     args = ap.parse_args()
 
     if args.op == "create":
@@ -173,6 +182,19 @@ def main() -> None:
     elif args.op == "optimize":
         res = optimize_parts(spark, args.table, max_seq=args.max_seq, as_of=args.as_of)
         print(json.dumps({"op": "optimize", **res}))
+    elif args.op == "mutate":
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+            mutate_parts,
+        )
+
+        res = mutate_parts(
+            spark,
+            args.table,
+            delete_where=args.delete_where,
+            set_exprs=dict(s.split("=", 1) for s in args.set) or None,
+            update_where=args.update_where,
+        )
+        print(json.dumps({"op": "mutate", **res}))
     elif args.op == "diff":
         if args.v_from is None or args.v_to is None:
             ap.error("diff needs --from and --to")

@@ -962,3 +962,35 @@ def test_mutation_rewrites_projections(spark, tbl):
         for r in P.read_projection(spark, tbl, "by_status").collect()
     }
     assert got == {("A", 1)}
+
+
+def test_parts_table_cli_mutate(spark, tmpdir):
+    import subprocess
+    import sys
+
+    src = f"{tmpdir}/batch.parquet"
+    spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 7.0)], "id long, status string, total double"
+    ).write.parquet(src)
+    tbl = f"{tmpdir}/t"
+
+    def _run(*argv):
+        out = subprocess.run(
+            [sys.executable, "/root/repo/jobs/parts_table.py", *argv],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    _run("create", "--table", tbl)
+    _run("insert", "--table", tbl, "--src", src)
+    res = _run(
+        "mutate", "--table", tbl,
+        "--delete-where", "status = 'B'",
+        "--set", "total=total*10", "--update-where", "status = 'A'",
+    )
+    assert res["rewritten"] == 1
+    got = _run("read", "--table", tbl)
+    assert got["rows"] == 1 and got["sample"][0]["total"] == 50.0

@@ -318,3 +318,22 @@ def test_collapsing_final_is_single_key_shuffle(plans):
     # window, no join, no repeated scans of the part union
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "max_by" in p or "partial_max_by" in p
+
+
+def test_interpolate_gapfill_no_nested_loop(plans):
+    p = plans("events_hourly_gapfill_interpolate")
+    assert "Generate" in p and "explode" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_chunk_dedup_single_hash_shuffle_no_cartesian(plans):
+    p = plans("docs_chunk_dedup_rewrite")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "row_number" in p  # first-occurrence-wins rank on the chunk key
+
+
+def test_argmin_is_partial_aggregate_not_window(plans):
+    p = plans("cheapest_supplier_per_part")
+    # min_by must map-side combine; a window would sort the whole fact
+    assert "partial_min_by" in p or "min_by" in p
+    assert "Window" not in p
