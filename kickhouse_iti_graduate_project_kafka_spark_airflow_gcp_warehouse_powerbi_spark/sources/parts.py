@@ -535,13 +535,20 @@ def _collapse(df: DataFrame, meta: dict) -> DataFrame:
     if pcol and pcol not in keys:
         keys = [pcol] + keys
     if meta["engine"] == "replacing":
-        w = Window.partitionBy(*keys).orderBy(
-            F.col("_part_seq").desc(), F.col(meta["version_col"]).desc()
+        # one max_by hash aggregate, NOT a ranking window: a hash
+        # aggregate partially combines map-side, so a key carrying many
+        # superseded versions reduces to one candidate per task before
+        # the shuffle — the window variant sorts every version through
+        # the exchange. The (part_seq, version) order is total by the
+        # table contract (version_col is the explicit tie-break), so the
+        # struct argmax picks one whole row deterministically.
+        ordc = F.struct(F.col("_part_seq"), F.col(meta["version_col"]))
+        others = [c for c in df.columns if c not in keys]
+        winner = df.groupBy(*keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), ordc).alias("_w")
         )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        return winner.select(
+            *keys, *[F.col(f"_w.{c}").alias(c) for c in others]
         )
     if meta["engine"] == "collapsing":
         return _collapse_signs(df, meta)
@@ -778,14 +785,19 @@ def optimize_parts(
         if not all(p["name"] in live_names for p in merge):
             raise RuntimeError("concurrent optimize replaced the merge inputs; re-run")
         survivors = [{"name": part_name, "seq": merged_seq}] if part_name else []
-        new_parts = survivors + [
+        untouched = [
             p for p in cur_parts if p["name"] not in {q["name"] for q in merge}
         ]
+        new_parts = survivors + untouched
         new_doc = {
             "op": "optimize",
             "parts": sorted(new_parts, key=lambda q: q["seq"]),
             "txns": cur.get("txns", {}),
-            "collapsed": len(new_parts) == 1 and meta["engine"] != "append",
+            # collapsed ONLY when this merge consumed EVERY live part: a
+            # single remaining part is not enough — if the merged output
+            # vanished (all rows cancelled/expired), the lone survivor is
+            # an UNMERGED part and FINAL must still collapse it
+            "collapsed": meta["engine"] != "append" and not untouched,
         }
         if cur.get("batch_ids"):
             new_doc["batch_ids"] = cur["batch_ids"]

@@ -994,3 +994,21 @@ def test_parts_table_cli_mutate(spark, tmpdir):
     assert res["rewritten"] == 1
     got = _run("read", "--table", tbl)
     assert got["rows"] == 1 and got["sample"][0]["total"] == 50.0
+
+
+def test_vanished_merge_output_does_not_mark_collapsed(spark, tbl):
+    """Regression (hypothesis-found): merging a prefix whose rows ALL
+    cancel leaves an UNMERGED survivor part — the version must NOT be
+    marked collapsed, or FINAL would skip the collapse and resurrect a
+    cancelled pair living in that survivor."""
+    P.create_parts_table(
+        tbl, engine="collapsing", key_cols=("uid",), sign_col="sign", version_col="ver"
+    )
+    # part 1: a fully-cancelling pair; part 2: another fully-cancelling pair
+    P.insert_into_parts(_cstate(spark, [(0, 2, 1, "x"), (0, 2, -1, "x")]), tbl)
+    P.insert_into_parts(_cstate(spark, [(0, 1, 1, "y"), (0, 1, -1, "y")]), tbl)
+    res = P.optimize_parts(spark, tbl, max_seq=1)  # merge only part 1 -> vanishes
+    assert res["part"] is None
+    hist = {h["version"]: h for h in P.table_history(tbl)}
+    assert not hist[res["version"]]["collapsed"]
+    assert P.read_parts(spark, tbl, final=True).count() == 0

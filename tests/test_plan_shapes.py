@@ -337,3 +337,12 @@ def test_argmin_is_partial_aggregate_not_window(plans):
     # min_by must map-side combine; a window would sort the whole fact
     assert "partial_min_by" in p or "min_by" in p
     assert "Window" not in p
+
+
+def test_replacing_final_is_partial_aggregate_not_sort_window(plans):
+    p = plans("orders_parts_replacing_final")
+    # FINAL = one hash aggregate with map-side combine: many superseded
+    # versions of a key reduce per task BEFORE the shuffle; the window
+    # variant would sort every version through the exchange
+    assert "partial_max_by" in p or "max_by" in p
+    assert "Window" not in p
