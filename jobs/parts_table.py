@@ -23,6 +23,9 @@
     python jobs/parts_table.py mutate  --table /lake/t \\
         [--delete-where "custkey % 10 = 0"] [--set "total=total*2"] \\
         [--update-where "status = 'F'"]
+    python jobs/parts_table.py stats   --table /lake/t
+    python jobs/parts_table.py maintain --table /lake/t [--max-parts 8] \\
+        [--keep-versions 2] [--as-of 946684800]
     python jobs/parts_table.py history --table /lake/t
     python jobs/parts_table.py diff    --table /lake/t --from 1 --to 3
 
@@ -73,7 +76,7 @@ def main() -> None:
         "op",
         choices=(
             "create", "insert", "read", "optimize",
-            "vacuum", "history", "diff", "mutate",
+            "vacuum", "history", "diff", "mutate", "stats", "maintain",
         ),
     )
     ap.add_argument("--table", required=True)
@@ -103,6 +106,7 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--max-seq", type=int, default=None)
+    ap.add_argument("--max-parts", type=int, default=8)
     ap.add_argument("--keep-versions", type=int, default=1)
     ap.add_argument("--orphan-ttl-secs", type=float, default=24 * 3600.0)
     ap.add_argument("--from", dest="v_from", type=int, default=None)
@@ -128,6 +132,13 @@ def main() -> None:
             projections=_projections(args.projection),
         )
         print(json.dumps({"op": "create", "table": args.table, "meta": meta}))
+        return
+    if args.op == "stats":
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+            parts_stats,
+        )
+
+        print(json.dumps({"op": "stats", "parts": parts_stats(args.table)}))
         return
     if args.op == "history":
         print(json.dumps({"op": "history", "versions": table_history(args.table)}))
@@ -182,6 +193,20 @@ def main() -> None:
     elif args.op == "optimize":
         res = optimize_parts(spark, args.table, max_seq=args.max_seq, as_of=args.as_of)
         print(json.dumps({"op": "optimize", **res}))
+    elif args.op == "maintain":
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+            maintain_parts,
+        )
+
+        res = maintain_parts(
+            spark,
+            args.table,
+            max_parts=args.max_parts,
+            keep_versions=args.keep_versions,
+            as_of=args.as_of,
+            orphan_ttl_secs=args.orphan_ttl_secs,
+        )
+        print(json.dumps({"op": "maintain", **res}))
     elif args.op == "mutate":
         from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
             mutate_parts,

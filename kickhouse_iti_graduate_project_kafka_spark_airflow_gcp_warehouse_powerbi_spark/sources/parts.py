@@ -1009,3 +1009,57 @@ def mutate_parts(
                 "rewritten": rewritten,
                 "dropped_parts": dropped,
             }
+
+
+# ---------------------------------------------------------------------------
+# introspection + maintenance policy
+# ---------------------------------------------------------------------------
+
+
+def parts_stats(path: str, *, version: int | None = None) -> list[dict]:
+    """``system.parts`` analogue: one dict per live part with its commit
+    sequence, byte size and file count — the signals a merge policy
+    reads. Pure metadata (local walk / one getContentSummary RPC per
+    part); never a data scan."""
+    io, base = _io_for(path)
+    ver = current_version(path) if version is None else version
+    if ver == 0:
+        return []
+    doc = _read_version(io, base, ver)
+    out = []
+    for p in sorted(doc["parts"], key=lambda q: q["seq"]):
+        nbytes, nfiles = io.du(_join(io, base, PARTS_DIR, p["name"]))
+        out.append(
+            {"name": p["name"], "seq": p["seq"], "bytes": nbytes, "files": nfiles}
+        )
+    return out
+
+
+def maintain_parts(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_parts: int = 8,
+    keep_versions: int = 2,
+    as_of: float | None = None,
+    orphan_ttl_secs: float = 24 * 3600.0,
+) -> dict:
+    """The background-merge policy loop a streaming sink calls between
+    batches: OPTIMIZE when the live part count exceeds ``max_parts``
+    (full merge — FINAL becomes a straight scan until the next insert),
+    then VACUUM beyond ``keep_versions``. ``as_of`` applies TTL at the
+    merge, so a periodic maintain is also the expiry sweep. Safe to call
+    at any cadence — a table under the threshold is a metadata-only
+    no-op."""
+    n_parts = len(parts_stats(path))
+    res: dict = {"parts_before": n_parts, "optimized": False}
+    if n_parts > max_parts or (as_of is not None and n_parts > 0):
+        opt = optimize_parts(spark, path, as_of=as_of)
+        res["optimized"] = opt.get("merged", 0) > 0 or opt.get("part") is None
+        res["optimize"] = opt
+    vac = vacuum_parts(path, keep_versions=keep_versions, orphan_ttl_secs=orphan_ttl_secs)
+    res["vacuum"] = {
+        "dropped_versions": len(vac["dropped_versions"]),
+        "dropped_parts": len(vac["dropped_parts"]),
+    }
+    return res

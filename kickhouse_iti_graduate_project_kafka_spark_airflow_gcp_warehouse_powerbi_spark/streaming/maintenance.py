@@ -182,6 +182,19 @@ class _LocalManifestIO:
     def mtime(self, p: str) -> float:
         return os.path.getmtime(p)
 
+    def du(self, p: str) -> tuple[int, int]:
+        """(bytes, files) under a path — the system.parts size probe."""
+        total = files = 0
+        if os.path.isfile(p):
+            return os.path.getsize(p), 1
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(root, n)
+                if os.path.isfile(fp):
+                    total += os.path.getsize(fp)
+                    files += 1
+        return total, files
+
     def delete(self, p: str) -> None:
         """Remove a file OR a directory tree (``rmtree`` silently no-ops
         on plain files under ``ignore_errors``)."""
@@ -307,6 +320,11 @@ class _HadoopManifestIO:
 
     def mtime(self, p: str) -> float:
         return self._fs(p).getFileStatus(self._jpath(p)).getModificationTime() / 1000.0
+
+    def du(self, p: str) -> tuple[int, int]:
+        """(bytes, files) under a path — one ``getContentSummary`` RPC."""
+        cs = self._fs(p).getContentSummary(self._jpath(p))
+        return int(cs.getLength()), int(cs.getFileCount())
 
     def delete(self, p: str) -> None:
         """File-or-directory delete (``FileSystem.delete`` handles both)."""

@@ -1012,3 +1012,32 @@ def test_vanished_merge_output_does_not_mark_collapsed(spark, tbl):
     hist = {h["version"]: h for h in P.table_history(tbl)}
     assert not hist[res["version"]]["collapsed"]
     assert P.read_parts(spark, tbl, final=True).count() == 0
+
+
+def test_parts_stats_and_maintain_policy(spark, tbl):
+    """system.parts introspection + the merge-policy loop: stats are
+    metadata-only per-part (seq, bytes, files); maintain optimizes past
+    the part threshold and vacuums, and is a no-op under it."""
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    for k in range(4):
+        P.insert_into_parts(_orders(spark, [(k, 10 + k % 2, "O", float(k))]), tbl)
+    st = P.parts_stats(tbl)
+    assert [s["seq"] for s in st] == [1, 2, 3, 4]
+    assert all(s["bytes"] > 0 and s["files"] >= 1 for s in st)
+
+    # under threshold: nothing merges
+    res = P.maintain_parts(spark, tbl, max_parts=8)
+    assert not res["optimized"] and res["parts_before"] == 4
+    assert len(P.parts_stats(tbl)) == 4
+
+    # over threshold: full merge + vacuum to the retained window
+    res = P.maintain_parts(spark, tbl, max_parts=2, keep_versions=1)
+    assert res["optimized"]
+    st = P.parts_stats(tbl)
+    assert len(st) == 1
+    fin = {(r.o_custkey, r.o_orderkey) for r in P.read_parts(spark, tbl, final=True).collect()}
+    assert fin == {(10, 2), (11, 3)}
+    # vacuum dropped the superseded part dirs
+    assert len(os.listdir(os.path.join(tbl, P.PARTS_DIR))) == 1
