@@ -1022,6 +1022,7 @@ def parts_stats(path: str, *, version: int | None = None) -> list[dict]:
     reads. Pure metadata (local walk / one getContentSummary RPC per
     part); never a data scan."""
     io, base = _io_for(path)
+    _load_meta(io, base)  # fail loudly and clearly on a missing table
     ver = current_version(path) if version is None else version
     if ver == 0:
         return []
