@@ -329,13 +329,24 @@ def forget_from_pipeline(
 ) -> dict:
     """One takedown call across the full-pipeline state
     (``streaming/pipeline.PipelinePaths``): docs leave the dedup
-    (tombstoned) and BM25 indexes; vectors leave survivors, IVF, and
-    IVF-PQ. Sketches are additive-only and keep counting (module
-    docstring)."""
+    (tombstoned) and BM25 indexes AND the curated parts table (a parts
+    mutation — per-part anti-join rewrite, projections recomputed
+    atomically); vectors leave survivors, IVF, and IVF-PQ. Sketches are
+    additive-only and keep counting (module docstring)."""
     out: dict = {}
     if docs is not None:
         out["dedup"] = forget_from_dedup_index(spark, paths.dedup_index, docs)
         out["bm25"] = forget_from_bm25_index(spark, paths.bm25_index, docs)
+        curated = getattr(paths, "curated", None)
+        if curated is not None:
+            from ..sources.parts import mutate_parts
+
+            try:
+                out["curated"] = mutate_parts(
+                    spark, curated, delete_ids=docs, id_col="doc_id"
+                )
+            except FileNotFoundError:
+                pass  # pipeline ran before the landing stage existed
     if vec_ids is not None:
         out["survivors"] = forget_from_survivors(spark, paths.survivors, vec_ids)
         out["ivf"] = forget_from_ivf_index(spark, paths.ivf_index, vec_ids)

@@ -906,6 +906,8 @@ def mutate_parts(
     path: str,
     *,
     delete_where: str | None = None,
+    delete_ids: DataFrame | None = None,
+    id_col: str | None = None,
     set_exprs: dict[str, str] | None = None,
     update_where: str | None = None,
 ) -> dict:
@@ -922,12 +924,19 @@ def mutate_parts(
     vacuum. Projections are recomputed per rewritten part — the mutated
     data and its projection states stay atomic, as at insert.
 
+    ``delete_ids`` (+ ``id_col``) is the set-sized form of DELETE — a
+    takedown table of ids anti-joined against every part (broadcast when
+    small, shuffle otherwise), for GDPR lists too large to inline in a
+    predicate string.
+
     Cost model (the honest ClickHouse one): a mutation rewrites every
     live part once — O(table), a maintenance-window operation, NOT a
     hot-path upsert (that is what the collapsing/replacing engines are
     for). Deletes that align with the partition column should prefer
     partition-pruned rewrites; this general form exists for the
     GDPR-style 'delete these keys wherever they are' ask."""
+    if (delete_ids is None) != (id_col is None):
+        raise ValueError("delete_ids and id_col must be passed together")
     io, base = _io_for(path)
     meta = _load_meta(io, base)
     if set_exprs:
@@ -956,6 +965,10 @@ def mutate_parts(
         out = df
         if delete_where:
             out = out.filter(f"NOT ({delete_where})")
+        if delete_ids is not None:
+            out = out.join(
+                delete_ids.select(F.col(id_col)).distinct(), id_col, "left_anti"
+            )
         if set_exprs:
             cond = update_where or "true"
             for col, expr in set_exprs.items():

@@ -49,7 +49,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-DOC_STAGES = ("quality", "dedup_absorb", "bm25_append", "hll", "countmin")
+DOC_STAGES = (
+    "quality",
+    "dedup_absorb",
+    "bm25_append",
+    "hll",
+    "countmin",
+    "parts_land",
+)
 EMB_STAGES = ("semdedup", "ivf_append", "ivfpq_append")
 STAGES = DOC_STAGES + EMB_STAGES
 
@@ -87,6 +94,10 @@ class PipelinePaths:
     @property
     def countmin(self) -> str:
         return f"{self.root}/cm_source"
+
+    @property
+    def curated(self) -> str:
+        return f"{self.root}/curated_parts"
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -171,6 +182,34 @@ def docs_leg(
             spark, docs, paths.countmin, ["source"], batch_id
         )
         _boundary(fail_after, "countmin")
+
+        # ---- 6. land the ACCEPTED docs in the curated parts table -------
+        # (the warehouse tie-in: the corpus a BI/serving layer reads, with
+        # a by-source projection answering mixture dashboards from states;
+        # the table's own (app, batch) txn dedup makes this replay-safe)
+        from ..sources.parts import create_parts_table, insert_into_parts
+
+        create_parts_table(
+            paths.curated,
+            engine="append",
+            projections={
+                "by_source": {
+                    "key_cols": ("source",),
+                    "agg_spec": {"n": "sum", "chars": "sum"},
+                }
+            },
+        )
+        landed = accepted.select(
+            "doc_id",
+            "source",
+            F.lit(1).cast("long").alias("n"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        ins = insert_into_parts(
+            landed, paths.curated, batch_id=batch_id, app_id="pipeline-docs"
+        )
+        stats["parts_land"] = {"replayed": ins["replayed"], "version": ins["version"]}
+        _boundary(fail_after, "parts_land")
     finally:
         gated.unpersist()
     return stats

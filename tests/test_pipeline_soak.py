@@ -170,6 +170,31 @@ def test_full_pipeline_crash_soak(spark, sf_small, tmp_path):
     n_accepted = sum(s["dedup_absorb"]["n_accepted"] for s in log_clean)
     assert n_accepted == accepted_ids.count()
 
+    # curated parts table: crashed == clean, rows == the accepted set, and
+    # the by_source projection answers the mixture rollup from states
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+        read_parts,
+        read_projection,
+    )
+
+    cur_c = _rows(read_parts(spark, crashed.curated), "doc_id", "source", "n", "chars")
+    cur_cl = _rows(read_parts(spark, clean.curated), "doc_id", "source", "n", "chars")
+    assert cur_c == cur_cl, "curated parts diverged under crash-replay"
+    assert sorted(r[0] for r in cur_c) == sorted(
+        r.doc_id for r in accepted_ids.collect()
+    )
+    proj = {
+        (r.source, r.n) for r in read_projection(spark, clean.curated, "by_source").collect()
+    }
+    base = {
+        (r.source, r.n)
+        for r in read_parts(spark, clean.curated)
+        .groupBy("source")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert proj == base
+
 
 def test_streaming_twin_equals_batch_pipeline(spark, sf_small, tmp_path):
     """The foreachBatch twin (maintain_pipeline_streams) lands the exact
@@ -223,6 +248,14 @@ def test_streaming_twin_equals_batch_pipeline(spark, sf_small, tmp_path):
         a = _rows(spark.read.parquet(f"{sp.root}/{rel}"), *cols)
         b = _rows(spark.read.parquet(f"{bp.root}/{rel}"), *cols)
         assert a == b, f"{rel}: streaming twin diverged from batch driver"
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+        read_parts as _read_parts,
+    )
+
+    assert _rows(_read_parts(spark, sp.curated), "doc_id", "source") == _rows(
+        _read_parts(spark, bp.curated), "doc_id", "source"
+    ), "curated parts: streaming twin diverged from batch driver"
 
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.streaming.hll_stream import (
         daily_estimates,
@@ -351,6 +384,22 @@ def test_pipeline_forget_integration(spark, sf_small, tmp_path):
     ]:
         left = {r[col] for r in spark.read.parquet(rel).select(col).collect()}
         assert not any(i % 7 == 0 for i in left), rel
+
+    # the curated parts table was mutated too (per-part anti-join rewrite),
+    # its by_source projection re-aggregates only survivors, and the
+    # takedown is visible to BI FINAL reads immediately
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+        read_parts,
+        read_projection,
+    )
+
+    assert out["curated"]["rewritten"] >= 1
+    cur = {r.doc_id for r in read_parts(spark, paths.curated).collect()}
+    assert cur == {i for i in accepted}
+    proj_n = sum(
+        r.n for r in read_projection(spark, paths.curated, "by_source").collect()
+    )
+    assert proj_n == len(cur)
 
     # BM25 answers as a fresh build over the surviving accepted docs
     surv = docs.join(
