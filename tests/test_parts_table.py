@@ -1041,3 +1041,34 @@ def test_parts_stats_and_maintain_policy(spark, tbl):
     assert fin == {(10, 2), (11, 3)}
     # vacuum dropped the superseded part dirs
     assert len(os.listdir(os.path.join(tbl, P.PARTS_DIR))) == 1
+
+
+def test_projection_with_hll_states(spark, tbl):
+    """A uniqState projection: raw values sketch per part at insert,
+    union at read, recompute-from-raw at OPTIMIZE — estimates stable."""
+    from pyspark.sql import functions as F
+
+    projs = {"u": {"key_cols": ("g",), "agg_spec": {"n": "sum", "uids": "hll"}}}
+    P.create_parts_table(tbl, engine="append", projections=projs)
+    df = spark.createDataFrame(
+        [(i % 2, i % 53) for i in range(300)], "g long, uid long"
+    ).selectExpr("g", "1 AS n", "uid AS uids")
+    P.insert_into_parts(df.filter("uids % 2 = 0"), tbl)
+    P.insert_into_parts(df.filter("uids % 2 = 1"), tbl)
+
+    def _est():
+        return {
+            r.g: (r.n, r.est)
+            for r in P.read_projection(spark, tbl, "u")
+            .select("g", "n", F.hll_sketch_estimate("uids").alias("est"))
+            .collect()
+        }
+
+    got = _est()
+    for g, (n, est) in got.items():
+        assert n == 150
+        assert abs(est - 53) <= 0.05 * 53  # every residue appears in each g
+    P.optimize_parts(spark, tbl)
+    for g, (n, est) in _est().items():
+        assert n == 150
+        assert abs(est - 53) <= 0.05 * 53
