@@ -626,3 +626,54 @@ def orders_parts_mutation_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_parts(spark, path, final=True).select(
         "custkey", "orderkey", "status", "totalprice"
     )
+
+
+def _partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders as a STATUS-partitioned replacing table (the reference's
+    ``PARTITION BY toYYYYMM`` + ReplacingMergeTree combination): three
+    mod-3 insert batches, each part internally partitioned by status."""
+    key = (sf_dir, "partitioned")
+    if key not in _BUILT:
+        path = tempfile.mkdtemp(prefix="kickhouse-parts-") + "/orders_partitioned"
+        create_parts_table(
+            path,
+            engine="replacing",
+            key_cols=("custkey",),
+            version_col="orderkey",
+            partition_col="status",
+        )
+        orders = _orders_slim(spark, sf_dir)
+        for k in range(3):
+            insert_into_parts(orders.filter(F.col("orderkey") % 3 == k), path, batch_id=k)
+        _BUILT[key] = path
+    return _BUILT[key]
+
+
+@register(
+    "orders_parts_partitioned_final",
+    bench=False,
+    tags=("S10", "W11", "mergetree", "partition-final"),
+    oracle="""
+    SELECT status, custkey, orderkey, totalprice
+    FROM (
+        SELECT o_orderstatus AS status, o_custkey AS custkey,
+               o_orderkey AS orderkey, o_totalprice AS totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderstatus, o_custkey
+                   ORDER BY (o_orderkey % 3) DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def orders_parts_partitioned_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition FINAL on a physically partitioned table — the
+    reference's PARTITION BY + ReplacingMergeTree shape: data in
+    different partitions never merges, so a customer active under two
+    statuses keeps one latest row PER STATUS; a status filter prunes the
+    scan below the collapse (plan-guarded in tests/test_plan_shapes —
+    FINAL over one partition reads one partition)."""
+    path = _partitioned_table(spark, sf_dir)
+    return read_parts(spark, path, final=True).select(
+        "status", "custkey", "orderkey", "totalprice"
+    )
