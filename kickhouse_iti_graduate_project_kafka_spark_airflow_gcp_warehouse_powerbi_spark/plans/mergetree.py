@@ -16,6 +16,9 @@ latest-state reads).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +35,14 @@ from ..sources.parts import (
 from ..sources.tables import load_table
 
 _BUILT: dict[tuple[str, str], str] = {}
+
+
+@atexit.register
+def _cleanup_built() -> None:
+    """The memoized fixture tables live in per-process tmpdirs; sweep
+    them at interpreter exit so repeated sweeps don't litter /tmp."""
+    for path in _BUILT.values():
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 def _orders_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
