@@ -5,9 +5,11 @@ per process+sf_dir so a 160-query sweep pays the build once), then reads
 it back — so the driver's oracle gate covers the persisted lifecycle
 (insert → commit → FINAL / time travel), not just an in-memory plan.
 The oracles replay the engine semantics closed-form over the raw orders
-view: part sequence k+1 holds the ``o_orderkey % 3 == k`` slice, so
-"newest part wins, then version column" is exactly a ROW_NUMBER over
-``(o_orderkey % 3) DESC, o_orderkey DESC``.
+view: part sequence k+1 holds the ``o_orderkey % 3 == k`` slice, and the
+replacing order is VERSION-DOMINANT (ClickHouse ReplacingMergeTree(ver):
+max version wins regardless of part order; the part sequence only breaks
+version ties). With ``version_col=o_orderkey`` unique, FINAL is exactly a
+ROW_NUMBER over ``o_orderkey DESC`` — the part assignment drops out.
 
 Ref parity: ClickHouse DDL 143-146 (MergeTree family), README.md:96-133
 (insert blocks → parts with retry dedup), README.md:475-477 (FINAL-style
@@ -103,7 +105,7 @@ def _summing_table(spark: SparkSession, sf_dir: str) -> str:
                o_orderstatus AS status, o_totalprice AS totalprice,
                ROW_NUMBER() OVER (
                    PARTITION BY o_custkey
-                   ORDER BY (o_orderkey % 3) DESC, o_orderkey DESC
+                   ORDER BY o_orderkey DESC
                ) AS rn
         FROM orders
     ) WHERE rn = 1
@@ -112,8 +114,9 @@ def _summing_table(spark: SparkSession, sf_dir: str) -> str:
 def orders_parts_replacing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReplacingMergeTree FINAL through the persisted lifecycle: orders
     land in three insert batches (parts); FINAL keeps, per customer, the
-    row from the newest part, tie-broken by the version column — replayed
-    closed-form by the oracle's window over the mod-3 part assignment."""
+    row with the MAX version column (version-dominant, part sequence only
+    breaking ties) — with the unique orderkey as version, the oracle is a
+    plain max-orderkey window, independent of the part assignment."""
     path = _replacing_table(spark, sf_dir)
     return read_parts(spark, path, final=True).select(
         "custkey", "orderkey", "status", "totalprice"
@@ -620,7 +623,7 @@ def _mutated_table(spark: SparkSession, sf_dir: str) -> str:
                o_orderstatus AS status, o_totalprice AS totalprice,
                ROW_NUMBER() OVER (
                    PARTITION BY o_custkey
-                   ORDER BY (o_orderkey % 3) DESC, o_orderkey DESC
+                   ORDER BY o_orderkey DESC
                ) AS rn
         FROM orders
     ) WHERE rn = 1 AND custkey % 10 <> 0
@@ -671,7 +674,7 @@ def _partitioned_table(spark: SparkSession, sf_dir: str) -> str:
                o_orderkey AS orderkey, o_totalprice AS totalprice,
                ROW_NUMBER() OVER (
                    PARTITION BY o_orderstatus, o_custkey
-                   ORDER BY (o_orderkey % 3) DESC, o_orderkey DESC
+                   ORDER BY o_orderkey DESC
                ) AS rn
         FROM orders
     ) WHERE rn = 1

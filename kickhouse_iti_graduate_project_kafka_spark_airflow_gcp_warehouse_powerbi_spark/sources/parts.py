@@ -24,11 +24,14 @@ the same contract:
   (ClickHouse's insert-block dedup / Delta txnAppId, and the same pattern
   as :mod:`..streaming.maintenance`).
 - **Merge-on-read FINAL.** ``engine="replacing"`` keeps, per key, the row
-  from the newest part (part sequence), tie-broken by an explicit
-  ``version_col`` — ClickHouse ReplacingMergeTree's documented semantics,
-  made deterministic (the reference relies on "last in part", which is
-  not reproducible cross-engine). ``engine="summing"`` sums ``sum_cols``
-  per key. ``engine="append"`` is plain MergeTree.
+  with the MAX ``version_col`` — ClickHouse ReplacingMergeTree(ver)'s
+  documented semantics: the version column dominates regardless of
+  insert/part order, so a late-arriving insert carrying an OLDER version
+  (out-of-order CDC — the case ``ver`` exists for) never overwrites
+  newer state. Version ties break by part sequence (last insert wins —
+  the deterministic stand-in for ClickHouse's "last in the selection").
+  ``engine="summing"`` sums ``sum_cols`` per key. ``engine="append"`` is
+  plain MergeTree.
 - **Collapsing state machine.** ``engine="collapsing"`` is
   VersionedCollapsingMergeTree: every row carries ``sign_col`` (+1 state /
   -1 cancel) and ``version_col``; FINAL cancels (+1, -1) pairs per
@@ -53,11 +56,12 @@ the same contract:
   like ClickHouse applying TTL at merge time.
 - **OPTIMIZE = physical merge.** Rewrites a *seq-contiguous prefix* of the
   live parts into one part with the engine collapse applied, committing a
-  new version; the merged part carries the max input sequence, so later
-  inserts still dominate. Merging only a contiguous prefix is what keeps
-  partial merges correct: a survivor from seq 1 must never outrank an
-  unmerged seq 2 row. A full merge marks the version ``collapsed`` so
-  FINAL reads skip the dedup window entirely.
+  new version; the merged part carries the max input sequence. Merging
+  only a contiguous prefix is what keeps partial merges correct: a
+  survivor carrying seq 1 must never claim the last-insert tie-break
+  against an unmerged seq 2 row of the same version. A full merge marks
+  the version ``collapsed`` so FINAL reads skip the dedup window
+  entirely.
 - **Time travel.** Any retained version is readable (``version=N``);
   superseded versions stay until ``vacuum_parts`` drops them.
 - **VACUUM.** Deletes version files beyond the retention window and part
@@ -539,10 +543,12 @@ def _collapse(df: DataFrame, meta: dict) -> DataFrame:
         # aggregate partially combines map-side, so a key carrying many
         # superseded versions reduces to one candidate per task before
         # the shuffle — the window variant sorts every version through
-        # the exchange. The (part_seq, version) order is total by the
-        # table contract (version_col is the explicit tie-break), so the
-        # struct argmax picks one whole row deterministically.
-        ordc = F.struct(F.col("_part_seq"), F.col(meta["version_col"]))
+        # the exchange. Ordering is VERSION-DOMINANT (ClickHouse
+        # ReplacingMergeTree(ver): max version wins regardless of part
+        # order, so out-of-order CDC can't regress state), with the part
+        # sequence as the deterministic last-insert tie-break; the order
+        # is total, so the struct argmax picks one whole row.
+        ordc = F.struct(F.col(meta["version_col"]), F.col("_part_seq"))
         others = [c for c in df.columns if c not in keys]
         winner = df.groupBy(*keys).agg(
             F.max_by(F.struct(*[F.col(c) for c in others]), ordc).alias("_w")
@@ -713,8 +719,9 @@ def optimize_parts(
     merge / ``OPTIMIZE TABLE``.
 
     Only a seq-contiguous PREFIX may merge: the survivors inherit the max
-    input seq, and any unmerged part with a higher seq still dominates
-    them, so replacing semantics are preserved under partial merges. When
+    input seq, so under the version-dominant replacing order a VERSION TIE
+    between a merged survivor and an unmerged later insert still resolves
+    to the later insert — partial merges never change the FINAL answer. When
     everything merges, the committed version is marked ``collapsed`` and
     FINAL reads become straight scans until the next insert. Old versions
     keep referencing the input parts — time travel across an OPTIMIZE

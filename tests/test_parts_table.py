@@ -75,21 +75,47 @@ def test_insert_replay_is_noop(spark, tbl):
     assert P.read_parts(spark, tbl).count() == 1
 
 
-def test_replacing_final_latest_part_wins_then_version_col(spark, tbl):
+def test_replacing_final_max_version_wins_then_part_seq(spark, tbl):
+    """ClickHouse ReplacingMergeTree(ver): the MAX version wins regardless
+    of insert/part order — a late-arriving part carrying an OLDER version
+    (out-of-order CDC) must NOT overwrite newer state. Part sequence only
+    breaks exact version ties (last insert wins)."""
     P.create_parts_table(
         tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
     )
-    # part 1: two rows for custkey 10 (orderkey 1,3) -> 3 wins inside part
+    # part 1: two rows for custkey 10 (versions 1, 3) -> 3 wins inside part
     P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0), (3, 10, "O", 3.0)]), tbl)
-    # part 2: lower orderkey for custkey 10 -> still wins (newer part)
+    # part 2: LOWER version for custkey 10 arrives late -> must lose
     P.insert_into_parts(_orders(spark, [(2, 10, "F", 2.0), (5, 11, "O", 5.0)]), tbl)
     fin = {
         (r.o_custkey, r.o_orderkey, r.o_status)
         for r in P.read_parts(spark, tbl, final=True).collect()
     }
-    assert fin == {(10, 2, "F"), (11, 5, "O")}
+    assert fin == {(10, 3, "O"), (11, 5, "O")}
     # non-final read returns all physical rows
     assert P.read_parts(spark, tbl).count() == 4
+
+
+def test_replacing_final_version_tie_breaks_by_part_seq(spark, tbl):
+    """An exact version tie resolves to the newest part — the
+    deterministic stand-in for ClickHouse's last-in-selection rule —
+    and the answer survives an OPTIMIZE (merge-time = read-time)."""
+    P.create_parts_table(
+        tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
+    )
+    P.insert_into_parts(_orders(spark, [(7, 10, "old", 1.0)]), tbl)
+    P.insert_into_parts(_orders(spark, [(7, 10, "new", 2.0)]), tbl)  # same ver 7
+    fin = {
+        (r.o_custkey, r.o_orderkey, r.o_status)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert fin == {(10, 7, "new")}
+    P.optimize_parts(spark, tbl)
+    got = {
+        (r.o_custkey, r.o_orderkey, r.o_status)
+        for r in P.read_parts(spark, tbl, final=True).collect()
+    }
+    assert got == fin
 
 
 def test_summing_final(spark, tbl):
@@ -269,19 +295,25 @@ def test_optimize_full_merge_collapses_and_time_travel_survives(spark, tbl):
 
 
 def test_optimize_prefix_merge_keeps_replacing_dominance(spark, tbl):
-    """Merging parts {1,2} while part 3 stays unmerged: the merged part
-    carries seq 2, so part 3's rows still dominate — the seq-contiguity
-    rule that makes partial merges correct."""
+    """Partial merges never change the FINAL answer. (a) Version
+    dominance: merging parts {1,2} leaves the max-version survivor
+    (ver 9), which still beats an unmerged later part's OLDER version.
+    (b) Tie-break: the merged part inherits the max input seq (2), so on
+    an exact version tie an unmerged seq-3 row still wins — the
+    seq-contiguity rule that makes partial merges correct."""
     P.create_parts_table(
         tbl, engine="replacing", key_cols=("o_custkey",), version_col="o_orderkey"
     )
-    P.insert_into_parts(_orders(spark, [(9, 10, "A", 1.0)]), tbl)  # seq 1
+    P.insert_into_parts(_orders(spark, [(9, 10, "A", 1.0), (5, 11, "X", 1.0)]), tbl)  # seq 1
     P.insert_into_parts(_orders(spark, [(8, 10, "B", 2.0)]), tbl)  # seq 2
-    P.insert_into_parts(_orders(spark, [(1, 10, "C", 3.0)]), tbl)  # seq 3
+    # seq 3: older version for custkey 10; an exact version TIE for 11
+    P.insert_into_parts(_orders(spark, [(1, 10, "C", 3.0), (5, 11, "Y", 2.0)]), tbl)
     res = P.optimize_parts(spark, tbl, max_seq=2)
     assert res["merged"] == 2
     fin = {(r.o_custkey, r.o_status) for r in P.read_parts(spark, tbl, final=True).collect()}
-    assert fin == {(10, "C")}  # seq-3 row beats the merged seq-2 survivor
+    # 10: merged survivor ver 9 beats unmerged ver 1; 11: tie on ver 5 ->
+    # the unmerged seq-3 row outranks the merged seq-2 survivor
+    assert fin == {(10, "A"), (11, "Y")}
     hist = {h["version"]: h for h in P.table_history(tbl)}
     assert not hist[res["version"]]["collapsed"]
 
