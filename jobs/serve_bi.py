@@ -228,11 +228,49 @@ def run_sql_arrow(spark: SparkSession, sql: str, limit: int, max_rows: int) -> b
     return sink.getvalue()
 
 
+class _PartsViewRefresher:
+    """Keeps parts-backed FINAL views CURRENT: before each query, re-resolve
+    any registered parts table whose version log advanced since the view
+    was last built (in ClickHouse a FINAL view is always current; a
+    startup-pinned snapshot would hide later commits from dashboards).
+    The staleness probe is one driver-side directory listing per table —
+    metadata-only, no data scan; the view plan is rebuilt only on an
+    actual version change."""
+
+    def __init__(self, spark: SparkSession, views: dict[str, str]):
+        self._spark = spark
+        self._views = dict(views)
+        self._built: dict[str, int] = {}
+        self._lock = threading.Lock()
+        self.refresh()  # fail loudly at startup on a bad path
+
+    def refresh(self) -> None:
+        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+            current_version,
+            read_parts,
+        )
+
+        with self._lock:
+            for name, path in self._views.items():
+                ver = current_version(path)
+                if self._built.get(name) == ver:
+                    continue
+                read_parts(self._spark, path, final=True).createOrReplaceTempView(name)
+                self._built[name] = ver
+
+
 def make_server(
-    spark: SparkSession, host: str = "127.0.0.1", port: int = 0, max_rows: int = 10_000
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_rows: int = 10_000,
+    parts_views: dict[str, str] | None = None,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server bound to ``host:port``
-    (port 0 = ephemeral, read the chosen one from ``server_port``)."""
+    (port 0 = ephemeral, read the chosen one from ``server_port``).
+    ``parts_views`` maps view name → parts-table path; each is served as
+    a FINAL read re-resolved per query when the table's version advances."""
+    refresher = _PartsViewRefresher(spark, parts_views) if parts_views else None
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, doc: dict) -> None:
@@ -261,6 +299,8 @@ def make_server(
                 req = json.loads(self.rfile.read(length) or b"{}")
                 sql = req.get("sql", "")
                 limit = int(req.get("limit") or 0)
+                if refresher is not None:
+                    refresher.refresh()
                 if self.path == "/sql.arrow":
                     body = run_sql_arrow(spark, sql, limit, max_rows)
                     self.send_response(200)
@@ -313,21 +353,16 @@ def main() -> None:
         metavar="NAME=PATH",
         help="register a parts table's FINAL read as view NAME — the "
         "v_fact_event_latest posture: dashboards always see collapsed "
-        "latest-state, never raw part rows (repeatable)",
+        "latest-state, never raw part rows; the view is re-resolved per "
+        "query when the table's version log advances, so later commits "
+        "and takedowns are visible without a restart (repeatable)",
     )
     args = ap.parse_args()
 
     spark = get_spark(app_name="kickhouse-bi-serve")
     register_views(spark, args.sf_dir)
-    if args.parts:
-        from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
-            read_parts,
-        )
-
-        for spec in args.parts:
-            name, path = spec.split("=", 1)
-            read_parts(spark, path, final=True).createOrReplaceTempView(name)
-    srv = make_server(spark, args.host, args.port, args.max_rows)
+    parts_views = dict(spec.split("=", 1) for spec in args.parts)
+    srv = make_server(spark, args.host, args.port, args.max_rows, parts_views or None)
     print(json.dumps({"serving": f"http://{args.host}:{srv.server_port}", "sf": args.sf_dir}))
     srv.serve_forever()
 

@@ -94,6 +94,7 @@ from pyspark.sql import functions as F
 from ..streaming.maintenance import _io_for, _join
 
 TABLE_META = "table.json"
+SCHEMA_META = "schema.json"
 VERSIONS_DIR = "_versions"
 PARTS_DIR = "parts"
 
@@ -373,6 +374,14 @@ def insert_into_parts(
         if fp in _committed_content(ver):
             return {"version": ver, "replayed": True, "part": None}
 
+    if ver == 0 and io.read_text(_join(io, base, SCHEMA_META)) is None:
+        # record the row schema once, at first insert: a later OPTIMIZE or
+        # mutation whose output vanishes (all rows TTL-expired / cancelled /
+        # deleted) commits a version with ZERO parts, and read_parts needs
+        # the schema to hand back an empty frame — ClickHouse returns an
+        # empty result for an empty table, it does not error
+        io.write_swap(base, SCHEMA_META, df.schema.json())
+
     part_name = f"p-{uuid.uuid4().hex}"
     part_path = _join(io, base, PARTS_DIR, part_name)
     writer_df = df
@@ -387,7 +396,7 @@ def insert_into_parts(
         if order_by:
             writer_df = writer_df.sortWithinPartitions(*order_by)
         writer_df.write.mode("error").parquet(part_path)
-    _write_projections(io, df, part_path, meta)
+    _write_projections(io, df.sparkSession, part_path, meta)
 
     while True:
         ver = current_version(path)
@@ -422,14 +431,22 @@ def insert_into_parts(
         # lost the race — re-read and retry the commit only
 
 
-def _write_projections(io, df: DataFrame, part_path: str, meta: dict) -> None:
+def _write_projections(io, spark: SparkSession, part_path: str, meta: dict) -> None:
     """Materialize each declared projection INSIDE the part directory
     (``_proj_<name>`` — the underscore prefix hides it from the base
     part's file listing, the ``_delta_log`` convention). Written before
     the version commit, so base rows and projection states become visible
-    ATOMICALLY — exactly ClickHouse's part-level projection contract."""
-    for pname, spec in (meta.get("projections") or {}).items():
-        states = aggregate_states(df, spec["key_cols"], spec["agg_spec"])
+    ATOMICALLY — exactly ClickHouse's part-level projection contract.
+
+    States are computed from the JUST-WRITTEN part files, never from the
+    caller's DataFrame: re-executing the input plan could legally produce
+    different rows (rand()-derived columns, a re-fetched source), and the
+    states must agree with the exact base rows they commit with."""
+    if not meta.get("projections"):
+        return
+    written = spark.read.parquet(part_path)
+    for pname, spec in meta["projections"].items():
+        states = aggregate_states(written, spec["key_cols"], spec["agg_spec"])
         states.write.mode("error").parquet(_join(io, part_path, f"_proj_{pname}"))
 
 
@@ -479,7 +496,16 @@ def read_parts(
     doc = _read_version(io, base, ver)
     parts = doc["parts"]
     if not parts:
-        raise FileNotFoundError(f"version {ver} of {path} is empty")
+        # a legitimately empty table (full OPTIMIZE whose rows all
+        # TTL-expired or pair-cancelled, or a mutation that deleted
+        # everything) stays READABLE: hand back an empty frame with the
+        # schema recorded at first insert, like ClickHouse's empty result
+        from pyspark.sql import types as T
+
+        schema_txt = io.read_text(_join(io, base, SCHEMA_META))
+        if schema_txt is None:  # pre-schema-file table: can't conjure one
+            raise FileNotFoundError(f"version {ver} of {path} is empty")
+        return spark.createDataFrame([], T.StructType.fromJson(json.loads(schema_txt)))
 
     legs = []
     for p in sorted(parts, key=lambda q: q["seq"]):
@@ -777,10 +803,10 @@ def optimize_parts(
             if order_by:
                 df = df.sortWithinPartitions(*order_by)
             df.write.mode("error").parquet(part_path)
-        # the merged part's projections are recomputed from the merged
-        # rows — append-engine merges only concatenate, so this equals
-        # merging the input parts' projection states
-        _write_projections(io, df, part_path, meta)
+        # the merged part's projections are recomputed from the written
+        # merged rows — append-engine merges only concatenate, so this
+        # equals merging the input parts' projection states
+        _write_projections(io, spark, part_path, meta)
 
     merged_seq = max(p["seq"] for p in merge)
     while True:
@@ -999,7 +1025,7 @@ def mutate_parts(
             if order_by:
                 out = out.sortWithinPartitions(*order_by)
             out.write.mode("error").parquet(part_path)
-        _write_projections(io, out, part_path, meta)
+        _write_projections(io, spark, part_path, meta)
         new_parts.append({"name": part_name, "seq": p["seq"]})
         rewritten += 1
 
@@ -1076,7 +1102,10 @@ def maintain_parts(
     res: dict = {"parts_before": n_parts, "optimized": False}
     if n_parts > max_parts or (as_of is not None and n_parts > 0):
         opt = optimize_parts(spark, path, as_of=as_of)
-        res["optimized"] = opt.get("merged", 0) > 0 or opt.get("part") is None
+        # merged > 0 is the only signal a merge actually committed; the
+        # no-op early returns carry merged=0 and no 'part' key (a vanished
+        # output — all rows expired/cancelled — still has merged > 0)
+        res["optimized"] = opt.get("merged", 0) > 0
         res["optimize"] = opt
     vac = vacuum_parts(path, keep_versions=keep_versions, orphan_ttl_secs=orphan_ttl_secs)
     res["vacuum"] = {

@@ -234,11 +234,21 @@ def test_ttl_read_filter_and_optimize_drop(spark, tbl):
     res = P.optimize_parts(spark, tbl, as_of=200)
     assert res["merged"] == 1
     assert {r.id for r in P.read_parts(spark, tbl).collect()} == {2, 3}
-    # expiring EVERYTHING removes the part instead of writing an empty one
+    # expiring EVERYTHING removes the part instead of writing an empty one;
+    # the zero-part version stays READABLE as an empty frame with the
+    # recorded schema (ClickHouse returns an empty result, not an error)
     res2 = P.optimize_parts(spark, tbl, as_of=10_000)
     assert res2["part"] is None
-    with pytest.raises(FileNotFoundError, match="empty"):
-        P.read_parts(spark, tbl)
+    empty = P.read_parts(spark, tbl)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "born"]
+    # FINAL / TTL / maintain-then-read all keep working on the empty table
+    assert P.read_parts(spark, tbl, final=True, as_of=10_000).count() == 0
+    P.maintain_parts(spark, tbl, as_of=10_000)
+    assert P.read_parts(spark, tbl).count() == 0
+    # ... and the next insert revives it
+    P.insert_into_parts(spark.createDataFrame([(9, 10_000)], "id long, born long"), tbl)
+    assert {r.id for r in P.read_parts(spark, tbl).collect()} == {9}
 
 
 def test_ttl_expired_version_cannot_win_replacing_window(spark, tbl):
@@ -1026,6 +1036,47 @@ def test_parts_table_cli_mutate(spark, tmpdir):
     assert res["rewritten"] == 1
     got = _run("read", "--table", tbl)
     assert got["rows"] == 1 and got["sample"][0]["total"] == 50.0
+
+
+def test_projection_states_computed_from_written_part(spark, tbl):
+    """Regression (r8 advice): projection states must be computed from
+    the JUST-WRITTEN part files, not by re-executing the caller's plan —
+    for a non-deterministic input (rand()-derived column) a re-execution
+    would commit states that disagree with the base rows."""
+    from pyspark.sql import functions as F
+
+    projs = {"by_g": {"key_cols": ("g",), "agg_spec": {"v": "sum", "n": "sum"}}}
+    P.create_parts_table(tbl, engine="append", projections=projs)
+    df = (
+        spark.range(0, 200)
+        .select(
+            (F.col("id") % 4).alias("g"),
+            (F.rand(seed=None) * 1000).cast("long").alias("v"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    P.insert_into_parts(df, tbl)
+    base = {
+        (r.g, r.v, r.n)
+        for r in P.read_parts(spark, tbl)
+        .groupBy("g")
+        .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+        .collect()
+    }
+    proj = {(r.g, r.v, r.n) for r in P.read_projection(spark, tbl, "by_g").collect()}
+    assert proj == base
+
+
+def test_maintain_noop_optimize_reports_not_optimized(spark, tbl):
+    """Regression (r8 advice): a 1-part append table with as_of set makes
+    optimize_parts a no-op ({'merged': 0}); maintain must report
+    optimized=False, not mistake the missing 'part' key for a vanished
+    merge output."""
+    P.create_parts_table(tbl, engine="append")
+    P.insert_into_parts(_orders(spark, [(1, 10, "O", 1.0)]), tbl)
+    res = P.maintain_parts(spark, tbl, max_parts=8, as_of=123.0)
+    assert not res["optimized"]
+    assert res["optimize"]["merged"] == 0
 
 
 def test_vanished_merge_output_does_not_mark_collapsed(spark, tbl):

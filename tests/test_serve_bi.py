@@ -244,6 +244,51 @@ def test_concurrent_dashboard_refresh(spark, sf_oracle):
         srv.shutdown()
 
 
+def test_parts_view_stays_current_and_forgets_over_http(spark, tmp_path):
+    """The BI-visible right-to-be-forgotten path (r8 advice + verdict):
+    a parts-backed FINAL view is re-resolved per query, so dashboards see
+    (a) commits landing AFTER server start and (b) a takedown — the same
+    ``mutate_parts(delete_ids=...)`` rewrite ``forget_from_pipeline``
+    issues for the curated table — immediately, with no restart."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+        create_parts_table,
+        insert_into_parts,
+        mutate_parts,
+    )
+
+    tbl = str(tmp_path / "curated")
+    create_parts_table(tbl, engine="replacing", key_cols=("doc_id",), version_col="v")
+    insert_into_parts(
+        spark.createDataFrame(
+            [(1, 1, "keep"), (2, 1, "takedown-me")], "doc_id long, v long, s string"
+        ),
+        tbl,
+    )
+    srv, _ = serve_background(
+        spark, port=0, max_rows=50, parts_views={"v_curated": tbl}
+    )
+    base = f"http://127.0.0.1:{srv.server_port}"
+    q = {"sql": "SELECT doc_id FROM v_curated ORDER BY doc_id", "limit": 10}
+    try:
+        assert [r[0] for r in _post(base + "/sql", q)["rows"]] == [1, 2]
+        # a commit AFTER server start is visible on the next query
+        insert_into_parts(
+            spark.createDataFrame([(3, 1, "late")], "doc_id long, v long, s string"),
+            tbl,
+        )
+        assert [r[0] for r in _post(base + "/sql", q)["rows"]] == [1, 2, 3]
+        # takedown: the forget-path parts mutation, then an immediate re-query
+        mutate_parts(
+            spark,
+            tbl,
+            delete_ids=spark.createDataFrame([(2,)], "doc_id long"),
+            id_col="doc_id",
+        )
+        assert [r[0] for r in _post(base + "/sql", q)["rows"]] == [1, 3]
+    finally:
+        srv.shutdown()
+
+
 def test_parts_final_view_served_over_http(spark, tmp_path):
     """A parts table registered as a FINAL view (the v_fact_event_latest
     posture): dashboards query latest-state through plain SQL while raw
