@@ -56,6 +56,23 @@ def _ids_frame(ids: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
+#: Past this many ids, drop the broadcast hint: a bulk purge (millions of
+#: ids) should anti-join via shuffle — shipping the whole set to every
+#: executor and probing it per row is slower AND risks driver/executor
+#: OOM. Takedown-sized sets (the design case) stay broadcast.
+BROADCAST_IDS_LIMIT = 1_000_000
+
+
+def _delete_set(ids: DataFrame, limit: int | None = None) -> DataFrame:
+    """The delete-set frame with an explicit join-strategy decision:
+    ``F.broadcast`` for takedown-sized sets, plain (shuffle anti-join)
+    past the limit. The size probe is bounded — ``limit(n+1).count()``
+    never scans a huge set to the end."""
+    n_limit = BROADCAST_IDS_LIMIT if limit is None else limit
+    n = ids.limit(n_limit + 1).count()
+    return F.broadcast(ids) if n <= n_limit else ids
+
+
 def _rmtree(spark: SparkSession, path: str) -> None:
     from ..streaming.maintenance import _io_for
 
@@ -83,10 +100,11 @@ def _delete_from_partitioned(
     produces no output rows, so its directory is removed explicitly —
     without that step the delete would silently not happen there."""
     df = spark.read.parquet(table)
+    ids = _delete_set(ids)  # broadcast only while takedown-sized
     if parts is None:
         parts = sorted(
             r["p"]
-            for r in df.join(F.broadcast(ids), id_col, "left_semi")
+            for r in df.join(ids, id_col, "left_semi")
             .select(F.col(part_col).alias("p"))
             .distinct()
             .collect()
@@ -97,7 +115,7 @@ def _delete_from_partitioned(
     # localCheckpoint: the rewrite's source is the table being
     # overwritten — materialize the survivors (affected partitions only,
     # bounded) before any directory is touched
-    remaining = affected.join(F.broadcast(ids), id_col, "left_anti").localCheckpoint()
+    remaining = affected.join(ids, id_col, "left_anti").localCheckpoint()
     n_deleted = affected.count() - remaining.count()
     live = {r["p"] for r in remaining.select(F.col(part_col).alias("p")).distinct().collect()}
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -194,7 +212,7 @@ def forget_from_bm25_index(
         spark, f"{path}/postings", "term_bucket", ids, "doc_id", parts=buckets
     )
     doclen = spark.read.parquet(f"{path}/doclen")
-    remaining = doclen.join(F.broadcast(ids), "doc_id", "left_anti").localCheckpoint()
+    remaining = doclen.join(_delete_set(ids), "doc_id", "left_anti").localCheckpoint()
     n_forgotten = doclen.count() - remaining.count()
     remaining.write.mode("overwrite").parquet(f"{path}/doclen")
     stats = (
@@ -306,7 +324,7 @@ def vacuum_dedup_index(spark: SparkSession, path: str) -> dict:
         return {"vacuumed": 0}
     n = 0
     if id_ts is not None:
-        id_b = F.broadcast(id_ts)
+        id_b = _delete_set(id_ts)  # tombstone tables can grow past takedown size
         n = id_ts.count()
         for tbl in ("shingles", "sizes", "doc_ids"):
             src = spark.read.parquet(f"{path}/{tbl}")
@@ -314,7 +332,7 @@ def vacuum_dedup_index(spark: SparkSession, path: str) -> dict:
             remaining.write.mode("overwrite").parquet(f"{path}/{tbl}")
     if fp_ts is not None:
         src = spark.read.parquet(f"{path}/fingerprints")
-        remaining = src.join(F.broadcast(fp_ts), "_fp", "left_anti").localCheckpoint()
+        remaining = src.join(_delete_set(fp_ts), "_fp", "left_anti").localCheckpoint()
         remaining.write.mode("overwrite").parquet(f"{path}/fingerprints")
     for tbl in ("id_tombstones", "fp_tombstones"):
         _rmtree(spark, f"{path}/{tbl}")

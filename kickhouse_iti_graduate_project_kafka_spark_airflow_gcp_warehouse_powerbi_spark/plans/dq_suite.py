@@ -24,6 +24,35 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+#: WITH FILL guard: the widest dense grid one series may span (~11 years
+#: of hours). ClickHouse bounds WITH FILL materialization the same way
+#: (fill step limits); one corrupt 1970-epoch row must fail LOUDLY, not
+#: silently fan a ~490k-row grid per event type. Pipeline inputs pass
+#: through the ST4 timestamp repair so this never fires on the curated
+#: path — the guard protects the operator registered standalone.
+MAX_FILL_HOURS = 100_000
+
+
+def _guarded_span_start(h0: str, h1: str):
+    """``h0`` column, or a loud error when the [h0, h1] span exceeds
+    MAX_FILL_HOURS — evaluated inside the plan (no extra action), so the
+    sequence() explode can never materialize an unbounded grid."""
+    msg = F.concat(
+        F.lit(f"WITH FILL span exceeds {MAX_FILL_HOURS} hours for event_type "),
+        F.col("event_type"),
+        F.lit(": ["),
+        F.col(h0).cast("string"),
+        F.lit(", "),
+        F.col(h1).cast("string"),
+        F.lit("] - outlier timestamp? route input through timestamp repair (ST4)"),
+    )
+    return (
+        F.when(F.col(h1) - F.col(h0) > MAX_FILL_HOURS, F.raise_error(msg))
+        .otherwise(F.col(h0))
+        .cast("long")
+    )
+
+
 # ---- query_1 shape: messages per topic (A1) -------------------------------
 @register(
     "events_per_type",
@@ -585,7 +614,9 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hour_epoch").alias("h0"), F.max("hour_epoch").alias("h1"))
         .select(
             "event_type",
-            F.explode(F.sequence("h0", "h1")).alias("hour_epoch"),
+            F.explode(
+                F.sequence(_guarded_span_start("h0", "h1"), F.col("h1"))
+            ).alias("hour_epoch"),
         )
     )
     return grid.join(counts, ["event_type", "hour_epoch"], "left").select(
@@ -752,7 +783,10 @@ def events_hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataF
     grid = (
         obs.groupBy("event_type")
         .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(_guarded_span_start("h0", "h1"), F.col("h1"))).alias("h"),
+        )
     )
     j = grid.join(obs, ["event_type", "h"], "left")
     w_prev = (

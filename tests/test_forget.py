@@ -45,6 +45,26 @@ def _ids_df(spark, ids, col="vec_id"):
     return spark.createDataFrame([(i,) for i in ids], f"{col} long")
 
 
+def test_delete_set_drops_broadcast_past_limit(spark):
+    """Regression (r8 verdict): a takedown-sized delete set rides a
+    broadcast hint; a bulk purge past the limit must plan a SHUFFLE
+    anti-join (no BroadcastHashJoin), not ship millions of ids to every
+    executor."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.forget import (
+        _delete_set,
+    )
+
+    ids = spark.range(0, 40).select(F.col("id").alias("k"))
+
+    def _logical(limit):
+        return _delete_set(ids, limit=limit)._jdf.queryExecution().logical().toString()
+
+    # takedown-sized: broadcast hint present; past the limit: no hint —
+    # the planner is free to pick a shuffle anti-join at real scale
+    assert "hint" in _logical(1000).lower()
+    assert "hint" not in _logical(10).lower()
+
+
 # --------------------------------------------------------------------------
 # BM25
 # --------------------------------------------------------------------------

@@ -297,6 +297,31 @@ def test_gapfill_grid_is_explode_no_nested_loop(plans):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_gapfill_span_guard_rejects_outlier_timestamp(spark, sf_small, tmp_path):
+    """Regression (r8 verdict): one corrupt 1970-epoch row must make the
+    WITH FILL grid fail LOUDLY (ClickHouse's fill step limit), not
+    silently materialize a ~490k-hour dense grid per event type."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.dq_suite import (
+        events_hourly_gapfill,
+        events_hourly_gapfill_interpolate,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_small, "events").limit(50)
+    outlier = ev.limit(1).withColumn(
+        "ts", F.lit("1970-01-02 00:00:00").cast("timestamp")
+    )
+    ev.unionByName(outlier).write.parquet(str(tmp_path / "events.parquet"))
+    for fn in (events_hourly_gapfill, events_hourly_gapfill_interpolate):
+        with pytest.raises(Exception, match="WITH FILL span exceeds"):
+            fn(spark, str(tmp_path)).collect()
+
+
 def test_window_funnel_joins_stay_keyed(plans):
     p = plans("events_window_funnel")
     # every join is equi on user_id (time bounds are post-join filters);
