@@ -626,6 +626,88 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_by_join(views, signups, purchases) -> DataFrame:
+    """Pair-materializing funnel: two per-user time-bounded equi-joins —
+    existence tests, not sequential scans, so users parallelize freely.
+    Fan-out is per-user quadratic, hence the ``should_salt`` gate in
+    :func:`events_window_funnel` routes hot users away from it."""
+    l2 = (
+        views.join(signups, "user_id")
+        .filter((F.col("s") > F.col("v")) & (F.col("s") <= F.col("v") + 21600))
+        .select("user_id", "v", "s")
+        .distinct()
+    )
+    l3 = (
+        l2.join(purchases, "user_id")
+        .filter((F.col("p") > F.col("s")) & (F.col("p") <= F.col("v") + 21600))
+        .select("user_id")
+        .distinct()
+        .withColumn("is3", F.lit(True))
+    )
+    l2u = l2.select("user_id").distinct().withColumn("is2", F.lit(True))
+    l1 = views.select("user_id").distinct()
+    return (
+        l1.join(l2u, "user_id", "left")
+        .join(l3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("is3"), F.lit(3))
+            .when(F.col("is2"), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("funnel_level"),
+        )
+    )
+
+
+def _funnel_by_scan(views, signups, purchases) -> DataFrame:
+    """Sequential funnel — ClickHouse windowFunnel's actual per-user
+    sorted scan, O(n log n) with NO pair materialization: union the three
+    event kinds, sort per user once, and per signup read off (a) the
+    latest strictly-earlier view (running max) and (b) the earliest
+    strictly-later purchase (reverse running min). Result-identical to
+    :func:`_funnel_by_join` (equality-tested): a chain (v,s,p) with
+    p <= v+21600 exists iff it exists for the LATEST view before s and
+    the EARLIEST purchase after s — both bounds are monotone. Strict
+    inequalities ride the sort's kind order (purchase < signup < view at
+    equal timestamps keeps same-instant events out of both frames)."""
+    ev3 = (
+        views.select("user_id", F.col("v").alias("e"), F.lit(2).alias("k"))
+        .unionByName(signups.select("user_id", F.col("s").alias("e"), F.lit(1).alias("k")))
+        .unionByName(purchases.select("user_id", F.col("p").alias("e"), F.lit(0).alias("k")))
+    )
+    w = Window.partitionBy("user_id").orderBy("e", "k")
+    last_view = F.max(F.when(F.col("k") == 2, F.col("e"))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    next_purchase = F.min(F.when(F.col("k") == 0, F.col("e"))).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    sig = (
+        ev3.withColumn("_lv", last_view)
+        .withColumn("_np", next_purchase)
+        .filter(F.col("k") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("_lv") >= F.col("e") - 21600, 1).otherwise(0)
+            ).alias("_is2"),
+            F.max(
+                F.when(F.col("_np") <= F.col("_lv") + 21600, 1).otherwise(0)
+            ).alias("_is3"),
+        )
+    )
+    l1 = views.select("user_id").distinct()
+    return l1.join(sig, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("_is3") == 1, F.lit(3))
+        .when(F.col("_is2") == 1, F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("funnel_level"),
+    )
+
+
 @register(
     "events_window_funnel",
     tags=("WF2", "funnel", "clickhouse-surface"),
@@ -656,11 +738,15 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed within six hours OF THE CHAIN'S FIRST STEP, per user (the
     sliding-window funnel, stricter than events_funnel_signup_purchase's
     adjacent-pair test: the whole chain must fit the window anchored at
-    the view). Spark-first: two per-user time-bounded joins — existence
-    tests, not sequential scans, so users parallelize freely; per-user
-    event counts bound the join fan-out (at 100 TB, hot users would route
-    through the shared count-min ``should_salt`` gate like the other
-    user-keyed joins)."""
+    the view). Skew-gated like the other user-keyed joins: the count-min
+    ``should_salt`` probe (one narrow pass over user_id, depth scalar
+    rows to the driver) picks the plan the data needs — the
+    pair-materializing joins when users are spread (map-side-efficient,
+    no global sort), the per-user sorted scan when any user's share
+    bound says the join fan-out would go quadratic. Both plans are
+    result-identical (equality-tested with a planted hot user)."""
+    from ..operators.heavy import should_salt
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").cast("double").alias("e")
     )
@@ -671,33 +757,9 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("e").alias("p")
     )
-    l2 = (
-        views.join(signups, "user_id")
-        .filter((F.col("s") > F.col("v")) & (F.col("s") <= F.col("v") + 21600))
-        .select("user_id", "v", "s")
-        .distinct()
-    )
-    l3 = (
-        l2.join(purchases, "user_id")
-        .filter((F.col("p") > F.col("s")) & (F.col("p") <= F.col("v") + 21600))
-        .select("user_id")
-        .distinct()
-        .withColumn("is3", F.lit(True))
-    )
-    l2u = l2.select("user_id").distinct().withColumn("is2", F.lit(True))
-    l1 = views.select("user_id").distinct()
-    return (
-        l1.join(l2u, "user_id", "left")
-        .join(l3, "user_id", "left")
-        .select(
-            "user_id",
-            F.when(F.col("is3"), F.lit(3))
-            .when(F.col("is2"), F.lit(2))
-            .otherwise(F.lit(1))
-            .cast("int")
-            .alias("funnel_level"),
-        )
-    )
+    if should_salt(ev, ["user_id"], share_threshold=0.05):
+        return _funnel_by_scan(views, signups, purchases)
+    return _funnel_by_join(views, signups, purchases)
 
 
 @register(
