@@ -455,6 +455,56 @@ def _write_projections(io, spark: SparkSession, part_path: str, meta: dict) -> N
 # ---------------------------------------------------------------------------
 
 
+def _unescape_partition(v: str) -> str:
+    """Decode a Hive-style partition directory value (``%XX`` escapes) —
+    the inverse of what Spark's ``partitionBy`` writer applies."""
+    from urllib.parse import unquote
+
+    return unquote(v)
+
+
+def _part_partitions(io, base: str, part_name: str, pcol: str) -> list[str]:
+    """The partition values physically present in a part directory —
+    one ``list_names`` metadata call, never a data scan."""
+    d = _join(io, base, PARTS_DIR, part_name)
+    out = []
+    for name in io.list_names(d):
+        if name.startswith(f"{pcol}="):
+            out.append(_unescape_partition(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _live_partition_dirs(io, base: str, p: dict, pcol: str) -> list[str] | None:
+    """Subdirectory paths of part ``p`` still live under its ``skip``
+    list (partitions merged away by a partition-scoped OPTIMIZE), or
+    None when the part has no skip (read the whole directory)."""
+    skip = set(p.get("skip", []))
+    if not skip:
+        return None
+    d = _join(io, base, PARTS_DIR, p["name"])
+    return [
+        _join(io, d, name)
+        for name in io.list_names(d)
+        if name.startswith(f"{pcol}=")
+        and _unescape_partition(name.split("=", 1)[1]) not in skip
+    ]
+
+
+def _read_part_df(spark: SparkSession, io, base: str, p: dict, pcol: str | None):
+    """Read one live part, honoring its ``skip`` list by reading ONLY the
+    still-live partition subdirectories (a pure metadata restriction —
+    ``basePath`` keeps the partition column; no filter, no scan of the
+    skipped data). Returns None when every partition is skipped (such
+    parts are normally dropped from the version doc at commit time)."""
+    d = _join(io, base, PARTS_DIR, p["name"])
+    if not p.get("skip") or not pcol:
+        return spark.read.parquet(d)
+    live = _live_partition_dirs(io, base, p, pcol)
+    if not live:
+        return None
+    return spark.read.option("basePath", d).parquet(*live)
+
+
 def read_parts(
     spark: SparkSession,
     path: str,
@@ -509,7 +559,9 @@ def read_parts(
 
     legs = []
     for p in sorted(parts, key=lambda q: q["seq"]):
-        leg = spark.read.parquet(_join(io, base, PARTS_DIR, p["name"]))
+        leg = _read_part_df(spark, io, base, p, meta.get("partition_col"))
+        if leg is None:
+            continue
         legs.append(leg.withColumn("_part_seq", F.lit(int(p["seq"]))))
     df = legs[0]
     for leg in legs[1:]:
@@ -770,12 +822,11 @@ def optimize_parts(
     ):
         return {"version": ver, "merged": 0}
 
-    legs = [
-        spark.read.parquet(_join(io, base, PARTS_DIR, p["name"])).withColumn(
-            "_part_seq", F.lit(int(p["seq"]))
-        )
-        for p in merge
-    ]
+    legs = []
+    for p in merge:
+        leg = _read_part_df(spark, io, base, p, meta.get("partition_col"))
+        if leg is not None:
+            legs.append(leg.withColumn("_part_seq", F.lit(int(p["seq"]))))
     df = legs[0]
     for leg in legs[1:]:
         df = df.unionByName(leg)
@@ -813,9 +864,10 @@ def optimize_parts(
         ver = current_version(path)
         cur = _read_version(io, base, ver)
         cur_parts = sorted(cur["parts"], key=lambda q: q["seq"])
-        # the merge inputs must all still be live (no concurrent optimize)
-        live_names = {p["name"] for p in cur_parts}
-        if not all(p["name"] in live_names for p in merge):
+        # the merge inputs must all still be live with UNCHANGED skip
+        # lists (no concurrent full or partition-scoped optimize)
+        live_keys = {(p["name"], tuple(p.get("skip", []))) for p in cur_parts}
+        if not all((p["name"], tuple(p.get("skip", []))) in live_keys for p in merge):
             raise RuntimeError("concurrent optimize replaced the merge inputs; re-run")
         survivors = [{"name": part_name, "seq": merged_seq}] if part_name else []
         untouched = [
@@ -840,6 +892,154 @@ def optimize_parts(
             _join(io, base, VERSIONS_DIR), f"v{ver + 1}.json", json.dumps(new_doc)
         ):
             return {"version": ver + 1, "merged": len(merge), "part": part_name}
+
+
+def optimize_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_values: Sequence,
+    *,
+    as_of: float | None = None,
+) -> dict:
+    """Partition-scoped OPTIMIZE — ClickHouse's actual merge unit
+    (``OPTIMIZE TABLE t PARTITION p``; *data in different partitions is
+    never merged*): collapse the named partitions across ALL live parts
+    into one new part, leaving every other partition's data files
+    untouched on disk.
+
+    At 100 TB this is the only sane merge policy: a hot month with 40
+    small parts merges in a partition-sized job while cold months' files
+    stay byte-identical (no rewrite, no re-upload, object-store version
+    history intact). Mechanically:
+
+    - the merged partitions are read from each live part via its
+      partition SUBDIRECTORIES (pure metadata pruning), collapsed with
+      the engine semantics, and written as one new part carrying the max
+      input sequence;
+    - input parts are NOT rewritten — the version log records the merged
+      values in their ``skip`` list, and every reader resolves a part as
+      (directory minus skipped subdirectories); a part whose partitions
+      are all skipped drops out of the version entirely, and its
+      directory ages out with the retention window like any superseded
+      part;
+    - within the chosen partitions this is a FULL merge (all live parts
+      participate), so the seq-contiguity rule is satisfied per
+      partition by construction; the untouched partitions never see the
+      new part (it physically contains none of their rows).
+
+    ``as_of`` applies the table's TTL to the merged partitions (cold
+    partitions keep their expired rows until their own merge — exactly
+    ClickHouse's merge-time TTL).
+
+    Tables with projections refuse: input parts keep their full-range
+    projection states while losing base partitions, which would
+    double-count through ``read_projection``."""
+    io, base = _io_for(path)
+    meta = _load_meta(io, base)
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError("optimize_partitions needs a table with partition_col")
+    if meta.get("projections"):
+        raise ValueError(
+            "optimize_partitions is unsupported on tables with projections"
+        )
+    values = sorted({str(v) for v in partition_values})
+    if not values:
+        return {"version": current_version(path), "merged": 0, "partitions": []}
+    ver = current_version(path)
+    if ver == 0:
+        return {"version": 0, "merged": 0, "partitions": values}
+    doc = _read_version(io, base, ver)
+    parts = sorted(doc["parts"], key=lambda q: q["seq"])
+
+    # which live parts physically hold any of the chosen partitions?
+    holds: dict[str, set[str]] = {}
+    for p in parts:
+        live = set(_part_partitions(io, base, p["name"], pcol)) - set(
+            p.get("skip", [])
+        )
+        hit = live & set(values)
+        if hit:
+            holds[p["name"]] = hit
+    merge = [p for p in parts if p["name"] in holds]
+    ttl_rewrite = as_of is not None and bool(meta.get("ttl_col"))
+    if len(merge) < 2 and not (
+        len(merge) == 1 and (meta["engine"] != "append" or ttl_rewrite)
+    ):
+        return {"version": ver, "merged": 0, "partitions": values}
+
+    legs = []
+    for p in merge:
+        d = _join(io, base, PARTS_DIR, p["name"])
+        subs = [
+            _join(io, d, f"{pcol}={v}")
+            for v in sorted(holds[p["name"]])
+        ]
+        leg = spark.read.option("basePath", d).parquet(*subs)
+        legs.append(leg.withColumn("_part_seq", F.lit(int(p["seq"]))))
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg)
+    df = _apply_ttl(df, meta, as_of)
+    if meta["engine"] != "append":
+        df = _collapse(df, meta)
+    df = df.drop("_part_seq")
+
+    part_name: str | None = f"p-{uuid.uuid4().hex}"
+    if df.isEmpty():
+        part_name = None  # every row expired/cancelled: no output part
+    else:
+        part_path = _join(io, base, PARTS_DIR, part_name)
+        w = df.repartition(F.col(pcol))
+        if meta["order_by"]:
+            w = w.sortWithinPartitions(pcol, *meta["order_by"])
+        w.write.mode("error").partitionBy(pcol).parquet(part_path)
+
+    merged_seq = max(p["seq"] for p in merge)
+    merged_names = set(holds)
+    while True:
+        ver = current_version(path)
+        cur = _read_version(io, base, ver)
+        cur_parts = sorted(cur["parts"], key=lambda q: q["seq"])
+        live_keys = {(p["name"], tuple(p.get("skip", []))) for p in cur_parts}
+        if not all((p["name"], tuple(p.get("skip", []))) in live_keys for p in merge):
+            raise RuntimeError("concurrent optimize replaced the merge inputs; re-run")
+        new_parts = []
+        for p in cur_parts:
+            if p["name"] not in merged_names:
+                new_parts.append(p)
+                continue
+            skip = sorted(set(p.get("skip", [])) | holds[p["name"]])
+            if set(skip) >= set(_part_partitions(io, base, p["name"], pcol)):
+                continue  # every partition merged away: drop the part
+            q = {k: v for k, v in p.items() if k != "skip"}
+            q["skip"] = skip
+            new_parts.append(q)
+        if part_name:
+            new_parts.append({"name": part_name, "seq": merged_seq})
+        new_doc = {
+            "op": "optimize-partition",
+            "partitions": values,
+            "parts": sorted(new_parts, key=lambda q: (q["seq"], q["name"])),
+            "txns": cur.get("txns", {}),
+            # a collapsed table stays collapsed (the merge introduces no
+            # duplicate keys); an uncollapsed one stays uncollapsed (cold
+            # partitions still carry superseded versions)
+            "collapsed": bool(cur.get("collapsed", False)),
+        }
+        if cur.get("batch_ids"):
+            new_doc["batch_ids"] = cur["batch_ids"]
+        if cur.get("content"):
+            new_doc["content"] = cur["content"]
+        if io.write_exclusive(
+            _join(io, base, VERSIONS_DIR), f"v{ver + 1}.json", json.dumps(new_doc)
+        ):
+            return {
+                "version": ver + 1,
+                "merged": len(merge),
+                "part": part_name,
+                "partitions": values,
+            }
 
 
 # ---------------------------------------------------------------------------
@@ -994,7 +1194,10 @@ def mutate_parts(
     new_parts = []
     rewritten = dropped = 0
     for p in parts:
-        df = spark.read.parquet(_join(io, base, PARTS_DIR, p["name"]))
+        df = _read_part_df(spark, io, base, p, meta.get("partition_col"))
+        if df is None:
+            dropped += 1
+            continue
         out = df
         if delete_where:
             out = out.filter(f"NOT ({delete_where})")
@@ -1032,7 +1235,8 @@ def mutate_parts(
     while True:
         ver = current_version(path)
         cur = _read_version(io, base, ver)
-        if {p["name"] for p in cur["parts"]} != {p["name"] for p in parts}:
+        cur_keys = {(p["name"], tuple(p.get("skip", []))) for p in cur["parts"]}
+        if cur_keys != {(p["name"], tuple(p.get("skip", []))) for p in parts}:
             raise RuntimeError(
                 "concurrent commit changed the live parts during the "
                 "mutation; re-run against the new version"
@@ -1068,18 +1272,57 @@ def parts_stats(path: str, *, version: int | None = None) -> list[dict]:
     reads. Pure metadata (local walk / one getContentSummary RPC per
     part); never a data scan."""
     io, base = _io_for(path)
-    _load_meta(io, base)  # fail loudly and clearly on a missing table
+    meta = _load_meta(io, base)  # fail loudly and clearly on a missing table
     ver = current_version(path) if version is None else version
     if ver == 0:
         return []
     doc = _read_version(io, base, ver)
     out = []
-    for p in sorted(doc["parts"], key=lambda q: q["seq"]):
-        nbytes, nfiles = io.du(_join(io, base, PARTS_DIR, p["name"]))
-        out.append(
-            {"name": p["name"], "seq": p["seq"], "bytes": nbytes, "files": nfiles}
-        )
+    for p in sorted(doc["parts"], key=lambda q: (q["seq"], q["name"])):
+        skip = sorted(p.get("skip", []))
+        if skip:
+            # only the LIVE partition subdirectories count toward the
+            # merge policy — the skipped ones were merged elsewhere
+            live = _live_partition_dirs(io, base, p, meta["partition_col"]) or []
+            sizes = [io.du(d) for d in live]
+            nbytes, nfiles = sum(s[0] for s in sizes), sum(s[1] for s in sizes)
+        else:
+            nbytes, nfiles = io.du(_join(io, base, PARTS_DIR, p["name"]))
+        row = {"name": p["name"], "seq": p["seq"], "bytes": nbytes, "files": nfiles}
+        if skip:
+            row["skip"] = skip
+        out.append(row)
     return out
+
+
+def partition_stats(path: str, *, version: int | None = None) -> list[dict]:
+    """``system.parts`` grouped by partition: for each partition value,
+    how many live parts hold it and their total bytes/files — the
+    signals the per-partition merge policy reads. Pure metadata (one
+    directory listing + one du per live (part, partition) pair)."""
+    io, base = _io_for(path)
+    meta = _load_meta(io, base)
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError("partition_stats needs a table with partition_col")
+    ver = current_version(path) if version is None else version
+    if ver == 0:
+        return []
+    doc = _read_version(io, base, ver)
+    acc: dict[str, dict] = {}
+    for p in doc["parts"]:
+        skip = set(p.get("skip", []))
+        for v in _part_partitions(io, base, p["name"], pcol):
+            if v in skip:
+                continue
+            nbytes, nfiles = io.du(_join(io, base, PARTS_DIR, p["name"], f"{pcol}={v}"))
+            row = acc.setdefault(
+                v, {"partition": v, "n_parts": 0, "bytes": 0, "files": 0}
+            )
+            row["n_parts"] += 1
+            row["bytes"] += nbytes
+            row["files"] += nfiles
+    return [acc[v] for v in sorted(acc)]
 
 
 def maintain_parts(
@@ -1092,15 +1335,34 @@ def maintain_parts(
     orphan_ttl_secs: float = 24 * 3600.0,
 ) -> dict:
     """The background-merge policy loop a streaming sink calls between
-    batches: OPTIMIZE when the live part count exceeds ``max_parts``
-    (full merge — FINAL becomes a straight scan until the next insert),
-    then VACUUM beyond ``keep_versions``. ``as_of`` applies TTL at the
-    merge, so a periodic maintain is also the expiry sweep. Safe to call
-    at any cadence — a table under the threshold is a metadata-only
-    no-op."""
+    batches: OPTIMIZE when the part count exceeds ``max_parts``, then
+    VACUUM beyond ``keep_versions``. ``as_of`` applies TTL at the merge,
+    so a periodic maintain is also the expiry sweep. Safe to call at any
+    cadence — a table under the threshold is a metadata-only no-op.
+
+    Merge unit (the ClickHouse one): a PARTITIONED table merges per
+    partition — only partitions whose own live-part count exceeds
+    ``max_parts`` rewrite, and cold partitions' data files stay
+    byte-identical (``optimize_partitions``). A TTL sweep (``as_of``)
+    still runs the full-table merge: expiry can touch any partition.
+    Unpartitioned tables keep the full prefix merge."""
+    io, base = _io_for(path)
+    meta = _load_meta(io, base)
+    pcol = meta.get("partition_col")
     n_parts = len(parts_stats(path))
     res: dict = {"parts_before": n_parts, "optimized": False}
-    if n_parts > max_parts or (as_of is not None and n_parts > 0):
+    ttl_sweep = as_of is not None and bool(meta.get("ttl_col"))
+    if pcol and not ttl_sweep and not meta.get("projections"):
+        hot = [
+            p["partition"]
+            for p in partition_stats(path)
+            if p["n_parts"] > max_parts
+        ]
+        if hot:
+            opt = optimize_partitions(spark, path, hot, as_of=as_of)
+            res["optimized"] = opt.get("merged", 0) > 0
+            res["optimize"] = opt
+    elif n_parts > max_parts or (as_of is not None and n_parts > 0):
         opt = optimize_parts(spark, path, as_of=as_of)
         # merged > 0 is the only signal a merge actually committed; the
         # no-op early returns carry merged=0 and no 'part' key (a vanished

@@ -1038,6 +1038,185 @@ def test_parts_table_cli_mutate(spark, tmpdir):
     assert got["rows"] == 1 and got["sample"][0]["total"] == 50.0
 
 
+def _file_snapshot(root):
+    """(relative path, size, mtime_ns) for every file under root."""
+    snap = set()
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            snap.add((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return snap
+
+
+def _partitioned_replacing(spark, tbl, n_batches=3):
+    P.create_parts_table(
+        tbl,
+        engine="replacing",
+        key_cols=("o_custkey",),
+        version_col="o_orderkey",
+        partition_col="o_status",
+    )
+    rows = [
+        (b * 100 + k, 10 + k % 4, "A" if k % 2 == 0 else "B", float(b))
+        for b in range(n_batches)
+        for k in range(8)
+    ]
+    for b in range(n_batches):
+        P.insert_into_parts(
+            _orders(spark, [r for r in rows if r[0] // 100 == b]), tbl
+        )
+    return rows
+
+
+def test_optimize_partitions_merges_only_hot_partition(spark, tbl):
+    """ClickHouse's merge unit (r8 verdict): OPTIMIZE PARTITION collapses
+    one partition across all live parts; cold partitions' data files are
+    BYTE-IDENTICAL afterwards (no rewrite), FINAL is unchanged, and the
+    pre-merge version still time-travels."""
+    _partitioned_replacing(spark, tbl)
+    want = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .select("o_status", "o_custkey", "o_orderkey")
+        .collect()
+    }
+    pre_rows = P.read_parts(spark, tbl).count()
+    pre_ver = P.current_version(tbl)
+    # snapshot every ORIGINAL part's cold ('B') partition files
+    cold = {
+        s["name"]: _file_snapshot(os.path.join(tbl, P.PARTS_DIR, s["name"], "o_status=B"))
+        for s in P.parts_stats(tbl)
+    }
+    res = P.optimize_partitions(spark, tbl, ["A"])
+    assert res["merged"] == 3 and res["part"] is not None
+
+    # answers unchanged; 'A' physically collapsed, 'B' untouched
+    got = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .select("o_status", "o_custkey", "o_orderkey")
+        .collect()
+    }
+    assert got == want
+    assert P.read_parts(spark, tbl).count() < pre_rows
+    for name, snap in cold.items():
+        assert _file_snapshot(os.path.join(tbl, P.PARTS_DIR, name, "o_status=B")) == snap
+    # the merged part holds ONLY the hot partition
+    assert [
+        d
+        for d in os.listdir(os.path.join(tbl, P.PARTS_DIR, res["part"]))
+        if d.startswith("o_status=")
+    ] == ["o_status=A"]
+    # stats: originals carry the skip, per-partition counts reflect it
+    st = {s["name"]: s for s in P.parts_stats(tbl)}
+    assert all(st[n].get("skip") == ["A"] for n in cold)
+    ps = {p["partition"]: p["n_parts"] for p in P.partition_stats(tbl)}
+    assert ps == {"A": 1, "B": 3}
+    # pre-merge version still reads whole (time travel across the merge)
+    assert P.read_parts(spark, tbl, version=pre_ver).count() == pre_rows
+
+
+def test_optimize_partitions_compose_to_full_answer(spark, tbl):
+    """Property (r8 verdict): partition-scoped merges COMPOSE — merging
+    every partition one at a time equals the never-merged FINAL, and a
+    later full OPTIMIZE over the skip-carrying parts still agrees."""
+    _partitioned_replacing(spark, tbl)
+    want = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .select("o_status", "o_custkey", "o_orderkey", "o_total")
+        .collect()
+    }
+
+    def _final():
+        return {
+            tuple(r)
+            for r in P.read_parts(spark, tbl, final=True)
+            .select("o_status", "o_custkey", "o_orderkey", "o_total")
+            .collect()
+        }
+
+    P.optimize_partitions(spark, tbl, ["A"])
+    assert _final() == want
+    P.optimize_partitions(spark, tbl, ["B"])
+    assert _final() == want
+    # originals fully skipped -> dropped from the live version
+    assert {len(s.get("skip", [])) for s in P.parts_stats(tbl)} == {0}
+    assert {p["n_parts"] for p in P.partition_stats(tbl)} == {1}
+    # an insert then a FULL optimize over the mixed part set still agrees
+    P.insert_into_parts(
+        _orders(spark, [(999, 10, "A", 9.0), (998, 11, "B", 9.0)]), tbl
+    )
+    want2 = _final()
+    P.optimize_parts(spark, tbl)
+    assert _final() == want2
+
+
+def test_maintain_merges_hot_partition_only(spark, tbl):
+    """Partitioned maintain policy: only the partition whose own part
+    count exceeds the threshold merges; the cold partition's files stay
+    byte-identical."""
+    P.create_parts_table(
+        tbl,
+        engine="replacing",
+        key_cols=("o_custkey",),
+        version_col="o_orderkey",
+        partition_col="o_status",
+    )
+    P.insert_into_parts(_orders(spark, [(1, 10, "B", 1.0)]), tbl)  # cold
+    for k in range(4):  # hot partition A: 4 parts
+        P.insert_into_parts(_orders(spark, [(10 + k, 20 + k, "A", 1.0)]), tbl)
+    cold_dir = None
+    for s in P.parts_stats(tbl):
+        d = os.path.join(tbl, P.PARTS_DIR, s["name"], "o_status=B")
+        if os.path.isdir(d):
+            cold_dir = d
+    snap = _file_snapshot(cold_dir)
+    res = P.maintain_parts(spark, tbl, max_parts=2, keep_versions=10)
+    assert res["optimized"] and res["optimize"]["partitions"] == ["A"]
+    assert _file_snapshot(cold_dir) == snap
+    ps = {p["partition"]: p["n_parts"] for p in P.partition_stats(tbl)}
+    assert ps == {"A": 1, "B": 1}
+    # now under threshold everywhere: metadata-only no-op
+    ver = P.current_version(tbl)
+    res = P.maintain_parts(spark, tbl, max_parts=2, keep_versions=10)
+    assert not res["optimized"] and P.current_version(tbl) == ver
+
+
+def test_optimize_partitions_rejects_unpartitioned_and_projections(spark, tbl):
+    P.create_parts_table(tbl, engine="append")
+    with pytest.raises(ValueError, match="partition_col"):
+        P.optimize_partitions(spark, tbl, ["A"])
+    tbl2 = tbl + "_proj"
+    projs = {"p": {"key_cols": ("o_status",), "agg_spec": {"n": "sum"}}}
+    P.create_parts_table(tbl2, engine="append", partition_col="o_status", projections=projs)
+    with pytest.raises(ValueError, match="projections"):
+        P.optimize_partitions(spark, tbl2, ["A"])
+
+
+def test_mutation_respects_partition_skip(spark, tbl):
+    """A mutation after a partition-scoped merge must not resurrect the
+    merged-away partition slices living in skip-carrying parts."""
+    _partitioned_replacing(spark, tbl)
+    P.optimize_partitions(spark, tbl, ["A"])
+    want = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .filter("o_custkey % 2 = 1")
+        .select("o_status", "o_custkey", "o_orderkey")
+        .collect()
+    }
+    P.mutate_parts(spark, tbl, delete_where="o_custkey % 2 = 0")
+    got = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .select("o_status", "o_custkey", "o_orderkey")
+        .collect()
+    }
+    assert got == want
+
+
 def test_projection_states_computed_from_written_part(spark, tbl):
     """Regression (r8 advice): projection states must be computed from
     the JUST-WRITTEN part files, not by re-executing the caller's plan —
