@@ -8,8 +8,13 @@ the command line) on local[$SPARK_GRAFT_CPUS], times end-to-end execution
     {"metric": "suite_seconds", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": "..."}
 
+Each suite query is timed over ``--repeats=N`` cold-cache repeats
+(default 3) and ``queries`` reports the per-query MEDIAN; the sorted
+per-repeat samples are in ``queries_repeats`` so spread is visible.
+
 Also supported:
     --all            run every catalog query, not just the bench set
+    --repeats=N      cold repeats per suite query (default 3; median wins)
     --oracle         additionally time the DuckDB oracle per query (stderr)
     --explain        print each query's formatted physical plan (stderr)
 """
@@ -62,6 +67,10 @@ def main() -> None:
     run_all = "--all" in args
     time_oracle = "--oracle" in args
     show_explain = "--explain" in args
+    repeats = 3
+    for a in args:
+        if a.startswith("--repeats="):
+            repeats = max(1, int(a.split("=", 1)[1]))
     names = {a for a in args if not a.startswith("--")}
 
     registry = load_all()
@@ -101,17 +110,12 @@ def main() -> None:
     plan_secs: dict[str, float] = {}
     exec_secs: dict[str, float] = {}
     collect_secs: dict[str, float] = {}
+    repeat_secs: dict[str, list[float]] = {}
     for spec in selected:
         if show_explain:
             df = spec.fn(spark, SF_DIR)
             print(f"=== {spec.name} ===", file=sys.stderr)
             print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
-        # Caches cleared before EVERY timed query: each number is the COLD,
-        # order-independent cost (permuting the suite does not move any
-        # query's time). Intended production cache sharing (the dedup
-        # family reusing one shingle index / pair set / component labels)
-        # is reported separately below as family_shared_secs.
-        _clear_operator_caches()
         # Each query's headline number covers plan construction AND
         # execution: iterative operators (e.g. connected components) run
         # driver-coordinated actions inside fn(), which timing only
@@ -128,17 +132,33 @@ def main() -> None:
         # collect_secs, measured from a cached result so it is purely
         # serialization, not a recompute.
         big_output = row_counts.get(spec.name, 0) > 100_000
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        t1 = time.perf_counter()
-        if big_output:
-            df.write.format("noop").mode("overwrite").save()
-        else:
-            df.collect()
-        t2 = time.perf_counter()
-        plan_secs[spec.name] = round(t1 - t0, 3)
-        exec_secs[spec.name] = round(t2 - t1, 3)
-        timings[spec.name] = round(t2 - t0, 3)
+        # Repeat-median timing (r8 verdict): three 27-66% "regressions" on
+        # unchanged code turned out to be host noise a single sample can't
+        # defend against. Each query runs REPEATS times and the suite
+        # reports the per-query MEDIAN; the full per-repeat samples stay
+        # in queries_repeats so spread is visible. Cold-cache semantics
+        # hold per repeat: operator caches are cleared before EVERY
+        # repeat, so each sample is the order-independent cold cost
+        # (intended production cache sharing is reported separately below
+        # as family_shared_secs).
+        samples: list[tuple[float, float, float]] = []  # (total, plan, exec)
+        for _ in range(repeats):
+            _clear_operator_caches()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            t1 = time.perf_counter()
+            if big_output:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            t2 = time.perf_counter()
+            samples.append((t2 - t0, t1 - t0, t2 - t1))
+        samples.sort(key=lambda s: s[0])
+        med = samples[len(samples) // 2]  # attribution from the median run
+        timings[spec.name] = round(med[0], 3)
+        plan_secs[spec.name] = round(med[1], 3)
+        exec_secs[spec.name] = round(med[2], 3)
+        repeat_secs[spec.name] = sorted(round(s[0], 3) for s in samples)
         if big_output:
             cached = df.persist()
             cached.count()  # materialize outside the timed window
@@ -501,6 +521,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": repeats,
+        "queries_repeats": repeat_secs,
         "plan_secs": plan_secs,
         "exec_secs": exec_secs,
         "collect_secs": collect_secs,
