@@ -215,8 +215,19 @@ def main() -> None:
             index_secs["dup_clusters_indexed"] = round(time.perf_counter() - t0, 3)
 
             emb = load_table(spark, SF_DIR, "embeddings")
+            # Index geometry scales with corpus size (constant rows/cell,
+            # docs/bucket — how a production deployment sizes them), so
+            # the sf0.1->sf1 ladder measures the engine, not a fixed-cell
+            # artifact (fixed n_cells at 10x vectors means 10x-fat cells
+            # and quadratic within-cell pair/scan costs). Calibrated to
+            # reproduce the historical sf0.1 values (64 / 16 / 64).
+            n_emb = emb.count()
+            n_docs = docs.count()
+            ivf_cells = max(16, round(n_emb / 31))      # 64 at sf0.1
+            ivfpq_cells = max(4, round(n_emb / 125))    # 16 at sf0.1
+            term_buckets = max(16, round(n_docs / 78))  # 64 at sf0.1
             t0 = time.perf_counter()
-            build_ivf_index(emb, f"{idx_root}/ivf", n_cells=64, iters=2)
+            build_ivf_index(emb, f"{idx_root}/ivf", n_cells=ivf_cells, iters=2)
             index_secs["build_ivf_index"] = round(time.perf_counter() - t0, 3)
 
             from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
@@ -225,7 +236,7 @@ def main() -> None:
             )
 
             base = emb.filter(F.col("vec_id") % 5 != 0)
-            build_ivf_index(base, f"{idx_root}/ivf_inc", n_cells=64, iters=2)
+            build_ivf_index(base, f"{idx_root}/ivf_inc", n_cells=ivf_cells, iters=2)
             t0 = time.perf_counter()
             append_to_ivf_index(
                 spark, f"{idx_root}/ivf_inc", emb.filter(F.col("vec_id") % 5 == 0)
@@ -263,7 +274,7 @@ def main() -> None:
 
             t0 = time.perf_counter()
             build_ivfpq_index(
-                emb, f"{idx_root}/ivfpq", n_cells=16, cell_iters=2, m=16, ks=64, pq_iters=4
+                emb, f"{idx_root}/ivfpq", n_cells=ivfpq_cells, cell_iters=2, m=16, ks=64, pq_iters=4
             )
             index_secs["build_ivfpq_index"] = round(time.perf_counter() - t0, 3)
 
@@ -272,8 +283,8 @@ def main() -> None:
             )
 
             build_ivfpq_index(
-                base, f"{idx_root}/ivfpq_inc", n_cells=16, cell_iters=2, m=16,
-                ks=64, pq_iters=4,
+                base, f"{idx_root}/ivfpq_inc", n_cells=ivfpq_cells, cell_iters=2,
+                m=16, ks=64, pq_iters=4,
             )
             t0 = time.perf_counter()
             append_to_ivfpq_index(
@@ -287,7 +298,7 @@ def main() -> None:
             )
 
             t0 = time.perf_counter()
-            build_bm25_index(docs, f"{idx_root}/bm25", term_buckets=64)
+            build_bm25_index(docs, f"{idx_root}/bm25", term_buckets=term_buckets)
             index_secs["build_bm25_index"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
             bm25_topk_indexed(
@@ -301,7 +312,7 @@ def main() -> None:
 
             build_bm25_index(
                 docs.filter(F.col("doc_id") % 20 != 0), f"{idx_root}/bm25_inc",
-                term_buckets=64,
+                term_buckets=term_buckets,
             )
             t0 = time.perf_counter()
             append_to_bm25_index(

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Generate an sf1-scale bench fixture from the driver's sf0.1 fixtures.
+
+The driver ships read-only fixtures up to sf0.1 (~600k lineitem rows,
+one row group per table — see tools/probe_rowgroups.py / BASELINE.md).
+For the scaling ladder we need a 10x fixture whose per-operator cost
+model matches sf0.1, so this script up-samples sf0.1 by COPIES=10
+**disjoint universes**:
+
+- every scaling table gets 10 key-shifted copies (pk/fk += copy *
+  stride, stride = max_key+1), so all intra-copy join relationships are
+  exactly those of sf0.1 and copies never join each other;
+- `region`/`nation` stay fixed (TPC-H dims don't scale with SF) and all
+  nationkey FKs are untouched, so dim joins fan out 10x like real SF
+  growth;
+- `documents.text` is token-salted per copy (`tok` -> `tok_c3`): every
+  shingle/gram/minhash of copy c differs from every other copy's, so
+  exact-dup and near-dup cluster structure is 10 disjoint replicas of
+  sf0.1's clusters — pair/cluster outputs scale exactly linearly, which
+  is the property the ladder measures (un-salted copies would merge
+  clusters across universes and make pair counts quadratic in COPIES).
+  Copy 0 keeps the original bytes. Trade-off (documented in
+  BASELINE.md): salted tokens shift langid/stopword/quality *ratios*
+  for copies > 0; per-doc scoring cost — what the bench times — is
+  unchanged;
+- `embeddings.embedding` gets a per-copy signed dimension permutation
+  (an orthogonal transform): within-copy inner products are bit-for-bit
+  preserved, cross-copy cosines scramble toward 0, so ANN/semdedup
+  neighborhood structure is 10 disjoint replicas of sf0.1's. Copy 0 is
+  identity;
+- timestamps/dates are left alone (TPC-H date ranges don't scale with
+  SF; event/order density per day rises 10x, as at a real SF bump).
+
+Each table is written as MULTI-FILE parquet (`table.parquet/` dir) so
+the sf0.1 single-row-group scan-parallelism floor (BASELINE.md) does
+not contaminate the ladder.
+
+Usage:
+    python tools/gen_sf1.py [--src DIR] [--dst DIR] [--copies N]
+
+Defaults: src=/root/testdata/sf0.1, dst=<repo>/.benchdata/sf1
+(gitignored), copies=10. Deterministic: per-copy permutations seed from
+the copy index; no wall-clock anywhere.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.tables import (
+    load_table,
+)
+
+# (table, [pk/fk columns to shift by their own table's stride], out files)
+SHIFTS: dict[str, tuple[dict[str, str], int]] = {
+    # col -> table whose stride it shifts by
+    "customer": ({"c_custkey": "customer"}, 8),
+    "supplier": ({"s_suppkey": "supplier"}, 4),
+    "part": ({"p_partkey": "part"}, 8),
+    "orders": ({"o_orderkey": "orders", "o_custkey": "customer"}, 16),
+    "lineitem": (
+        {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+        32,
+    ),
+    "events": ({"event_id": "events", "user_id": "events_user"}, 16),
+    "documents": ({"doc_id": "documents"}, 8),
+    "embeddings": ({"vec_id": "embeddings"}, 8),
+}
+FIXED = ("region", "nation")
+
+
+def _strides(spark: SparkSession, src: str) -> dict[str, int]:
+    """stride = max(pk)+1 per keyed table (keys are dense 0..N-1)."""
+    out = {}
+    pk = {
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    for t, col in pk.items():
+        out[t] = load_table(spark, src, t).agg(F.max(col)).collect()[0][0] + 1
+    ev = load_table(spark, src, "events").agg(
+        F.max("event_id"), F.max("user_id")
+    ).collect()[0]
+    out["events"] = ev[0] + 1
+    out["events_user"] = ev[1] + 1
+    return out
+
+
+def _signed_perm(dim: int, copy: int) -> list[tuple[int, int]]:
+    """Deterministic per-copy signed dimension permutation (orthogonal)."""
+    rng = random.Random(1000 + copy)
+    perm = list(range(dim))
+    rng.shuffle(perm)
+    return [(p, rng.choice((1, -1))) for p in perm]
+
+
+def _copy_df(
+    spark: SparkSession,
+    src: str,
+    table: str,
+    copy: int,
+    strides: dict[str, int],
+    emb_dim: int,
+) -> DataFrame:
+    df = load_table(spark, src, table)
+    shifts, _ = SHIFTS[table]
+    for col, by in shifts.items():
+        df = df.withColumn(col, (F.col(col) + F.lit(copy * strides[by])).cast("bigint"))
+    if table == "events":
+        df = df.withColumn("user_id", F.col("user_id").cast("bigint"))
+    if table == "documents" and copy > 0:
+        df = df.withColumn(
+            "text",
+            F.concat_ws(
+                " ", F.expr(f"transform(split(text, ' '), t -> concat(t, '_c{copy}'))")
+            ),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    if table == "embeddings" and copy > 0:
+        perm = _signed_perm(emb_dim, copy)
+        df = df.withColumn(
+            "embedding",
+            F.array(
+                *[
+                    (F.element_at("embedding", src_i + 1) * F.lit(float(sign)))
+                    for src_i, sign in perm
+                ]
+            ).cast("array<float>"),
+        )
+    return df
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default=os.path.join(REPO, ".benchdata", "sf1"))
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("gen-sf1")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.dst, exist_ok=True)
+
+    strides = _strides(spark, args.src)
+    emb_dim = len(
+        load_table(spark, args.src, "embeddings").select("embedding").first()[0]
+    )
+
+    for t in FIXED:
+        load_table(spark, args.src, t).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.dst, f"{t}.parquet")
+        )
+        print(f"{t}: copied (fixed dim)")
+
+    for t, (_, n_files) in SHIFTS.items():
+        parts = [
+            _copy_df(spark, args.src, t, c, strides, emb_dim)
+            for c in range(args.copies)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(args.dst, f"{t}.parquet")
+        )
+        n = spark.read.parquet(os.path.join(args.dst, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows in {n_files} files")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
