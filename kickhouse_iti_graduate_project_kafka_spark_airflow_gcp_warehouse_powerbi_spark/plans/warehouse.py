@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..functions.expressions import decimal_sum, multi_if, surrogate_key
+from ..functions.expressions import decimal_avg, decimal_sum, multi_if, surrogate_key
 from ..sources.tables import load_table
 
 
@@ -258,5 +258,97 @@ def lineitem_inherit_order_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).alias("n"),
             decimal_sum("l_extendedprice", 2, 16).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse dictGet family (r9): dictionary lookups as broadcast joins.
+# The DirectQuery BI idiom for dim enrichment without a user-visible join —
+# dictGet / dictGetOrDefault / dictHas (public ClickHouse semantics; the
+# reference's Power BI model resolves the same star-schema lookups,
+# README.md dims->facts relationships).
+# --------------------------------------------------------------------------
+@register(
+    "customer_geo_dictget",
+    tags=("J5", "W4"),
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
+               AS avg_bal
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def customer_geo_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained dictGet: customer -> nation dict (name + regionkey) ->
+    region dict (name). Each lookup is a broadcast hash probe — the fact
+    side never shuffles (plan-guarded in tests/test_operators.py), which
+    is ClickHouse's dictionary memory model at any fact scale."""
+    from ..operators.dictionary import Dictionary
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation_dict = Dictionary(
+        load_table(spark, sf_dir, "nation"), "n_nationkey", ("n_name", "n_regionkey")
+    )
+    region_dict = Dictionary(
+        load_table(spark, sf_dir, "region"), "r_regionkey", ("r_name",)
+    )
+    enriched = nation_dict.get(
+        cust, {"nation": "n_name", "_rk": "n_regionkey"}, "c_nationkey"
+    )
+    enriched = region_dict.get(enriched, {"region": "r_name"}, "_rk")
+    return (
+        enriched.groupBy("nation", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            decimal_avg("c_acctbal", 2, 14).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_dictget_default",
+    tags=("J5", "W8"),
+    oracle="""
+    WITH d AS (
+        SELECT n.n_nationkey, n.n_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('EUROPE', 'ASIA')
+    )
+    SELECT COALESCE(d.n_name, 'OTHER') AS nation,
+           COUNT(*) AS n_suppliers,
+           CAST(COUNT(d.n_nationkey) AS BIGINT) AS n_known
+    FROM supplier s LEFT JOIN d ON s.s_nationkey = d.n_nationkey
+    GROUP BY COALESCE(d.n_name, 'OTHER')
+    """,
+)
+def supplier_nation_dictget_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dictGetOrDefault + dictHas over a PARTIAL dictionary (nations of
+    EUROPE/ASIA only): missing keys take the default ('OTHER') instead of
+    NULL, and dictHas exposes membership — both documented ClickHouse
+    behaviors, expressed as one broadcast left join + coalesce."""
+    from ..operators.dictionary import Dictionary
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    partial = nation.join(
+        F.broadcast(region.filter(F.col("r_name").isin("EUROPE", "ASIA"))),
+        nation.n_regionkey == region.r_regionkey,
+    )
+    d = Dictionary(partial, "n_nationkey", ("n_name",))
+    enriched = d.get(
+        supp, {"nation": "n_name"}, "s_nationkey", defaults={"nation": "OTHER"}
+    )
+    enriched = d.has(enriched, "known", F.col("s_nationkey"))
+    return (
+        enriched.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.when(F.col("known"), 1).otherwise(0)).alias("n_known"),
         )
     )

@@ -752,3 +752,87 @@ def test_excise_kernel_has_no_array_contains_scan(spark):
     # shared tokens (cross-doc duplication, no self-overlap)
     removed = sorted(r["removed_tokens"] for r in rows.values())
     assert removed[0] == 0 and all(x == 800 for x in removed[1:])
+
+
+# --------------------------------------------------------------------------
+# dictGet family (r9): broadcast dictionary lookups
+# --------------------------------------------------------------------------
+def test_dictionary_dup_keys_never_fan_out(spark):
+    """ClickHouse dictionaries are one-row-per-key; a dup-keyed source
+    must collapse deterministically (min struct) and a lookup must never
+    multiply fact rows."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+    )
+
+    dim = spark.createDataFrame(
+        [Row(k=1, v="b", w=20), Row(k=1, v="a", w=99), Row(k=2, v="c", w=30)]
+    )
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=1), Row(fk=2), Row(fk=9)])
+    d = Dictionary(dim, "k")
+    out = d.get(fact, {"v": "v", "w": "w"}, "fk").orderBy("fk").collect()
+    assert len(out) == 4  # no fan-out despite dup key 1
+    # min(struct(v, w)) -> ('a', 99) wins for k=1, deterministically
+    assert (out[0].v, out[0].w) == ("a", 99)
+    assert out[2].v == "c"
+    assert out[3].v is None  # dictGet miss -> NULL
+
+
+def test_dict_get_or_default_and_has(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+        dict_get,
+        dict_has,
+    )
+
+    dim = spark.createDataFrame([Row(k=1, v="x")])
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=2)])
+    d = Dictionary(dim, "k")
+    out = dict_get(fact, d, {"v": "v"}, "fk", defaults={"v": "DEF"})
+    out = dict_has(out, d, "known", F.col("fk")).orderBy("fk").collect()
+    assert [(r.v, r.known) for r in out] == [("x", True), ("DEF", False)]
+
+
+def test_dictionary_chained_lookups_broadcast_no_fact_shuffle(spark):
+    """Plan guard: chained dictGets are BroadcastHashJoins and the fact
+    side reaches them without any Exchange — the ClickHouse dictionary
+    memory model (per-executor hash map, fact never shuffles)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer")
+    nd = Dictionary(nation, "n_nationkey", ("n_name", "n_regionkey"))
+    rd = Dictionary(region, "r_regionkey", ("r_name",))
+    out = rd.get(
+        nd.get(cust, {"nation": "n_name", "_rk": "n_regionkey"}, "c_nationkey"),
+        {"region": "r_name"},
+        "_rk",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    # Any shuffle exchange must belong to the DIM collapse (hash-partition
+    # on a dictionary key) — never to the fact side.
+    import re
+
+    for ln in plan.splitlines():
+        if re.search(r"\bExchange hashpartitioning", ln):
+            assert re.search(r"n_nationkey|r_regionkey", ln), ln
+        else:
+            assert not re.search(r"\bExchange\b(?!.*[Bb]roadcast)", ln) or (
+                "Broadcast" in ln
+            ), ln
+    assert out.count() == cust.count()
+
+    # assume_unique skips the collapse entirely: zero shuffle exchanges
+    nd_u = Dictionary(nation, "n_nationkey", ("n_name",), assume_unique=True)
+    plan_u = (
+        nd_u.get(cust, {"nation": "n_name"}, "c_nationkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_u
+    assert "Exchange hashpartitioning" not in plan_u
