@@ -56,7 +56,18 @@ def previous_bench() -> tuple[str | None, dict[str, float]]:
     try:
         with open(path) as f:
             doc = json.load(f)
-        queries = (doc.get("parsed") or doc).get("queries") or {}
+        queries = (doc.get("parsed") or doc).get("queries")
+        if queries is None:
+            # The driver sometimes records parsed=null with our JSON line
+            # truncated inside the "tail" string. Flat dicts, so either
+            # the whole "queries" object survived, or the tail STARTS
+            # mid-queries (confirmed by "plan_secs" being the next key
+            # after the first close-brace) and the complete entries are
+            # recoverable.
+            # "queries" is emitted LAST in our JSON line precisely so a
+            # tail-truncated record still contains it complete.
+            m = re.search(r'"queries":\s*(\{[^{}]*\})', doc.get("tail") or "")
+            queries = json.loads(m.group(1)) if m else {}
         return os.path.basename(path), {k: float(v) for k, v in queries.items()}
     except (json.JSONDecodeError, AttributeError, TypeError, ValueError):
         return os.path.basename(path), {}
@@ -531,7 +542,6 @@ def main() -> None:
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "repeats": repeats,
         "queries_repeats": repeat_secs,
         "plan_secs": plan_secs,
@@ -544,6 +554,10 @@ def main() -> None:
     if deltas:
         out["prev_bench"] = prev_name
         out["deltas_vs_prev"] = deltas  # negative = faster than last round
+    # LAST on purpose: the driver's BENCH_r{N}.json sometimes stores only
+    # the tail bytes of this line (parsed=null), so the key the next
+    # round's delta report needs must sit at the end to survive.
+    out["queries"] = timings
     print(json.dumps(out))
 
 
