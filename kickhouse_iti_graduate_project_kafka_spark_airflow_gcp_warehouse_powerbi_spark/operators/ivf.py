@@ -286,6 +286,7 @@ def kmeans_centroids(
     n_cells: int = 16,
     iters: int = 5,
     round_decimals: int = 6,
+    max_train_rows: int | None = None,
 ) -> list[np.ndarray]:
     """Fit k-means cell centroids with Lloyd iterations on DataFrames.
 
@@ -294,7 +295,35 @@ def kmeans_centroids(
     stored state); every update rounds to ``round_decimals`` so partition
     summation order cannot leak into the result. Empty cells keep their
     previous centroid.
+
+    ``max_train_rows`` is the corpus-scale lever (the r9 ladder measured
+    full-corpus training as the ONE ~linear index leg, and its N x cells
+    assignment term is quadratic once cells grow with N): when the corpus
+    exceeds it, Lloyd runs on a deterministic hash-threshold sample of
+    ~that many rows (one narrow filter — no sort, no shuffle — cached
+    across iterations). FAISS trains IVF coarse quantizers the same way
+    (bounded training set regardless of corpus size); centroid quality
+    needs a representative sample, not every row. None (default) keeps
+    the exact full-corpus fit.
     """
+    sampled = False
+    if max_train_rows:
+        n = corpus.count()
+        if n > max_train_rows:
+            buckets = 1 << 20
+            keep = max(1, (max_train_rows * buckets) // n)
+            corpus = corpus.filter(
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            F.lit("ivf-train:"), F.col(id_col).cast("string")
+                        )
+                    ),
+                    F.lit(buckets),
+                )
+                < keep
+            ).persist()
+            sampled = True
     init_rows = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), _unit(vec_col).alias("_v"))
@@ -368,6 +397,8 @@ def kmeans_centroids(
             else prev  # empty cell: keep previous centroid
             for j, prev in enumerate(centroids)
         ]
+    if sampled:
+        corpus.unpersist()
     return centroids
 
 
@@ -422,6 +453,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     n_cells: int = 16,
     iters: int = 5,
+    max_train_rows: int | None = None,
 ) -> list[np.ndarray]:
     """Materialize an IVF index: ``{path}/vectors`` holds the corpus
     partitioned by cell id (with per-vector norms precomputed), and
@@ -433,7 +465,9 @@ def build_ivf_index(
     partition pruning when the probe list arrives via a broadcast join.
     """
     spark = corpus.sparkSession
-    centroids = kmeans_centroids(corpus, vec_col, id_col, n_cells, iters)
+    centroids = kmeans_centroids(
+        corpus, vec_col, id_col, n_cells, iters, max_train_rows=max_train_rows
+    )
     (
         assign_cells_df(
             corpus.select(

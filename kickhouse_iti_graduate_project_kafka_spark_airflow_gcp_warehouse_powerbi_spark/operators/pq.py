@@ -502,6 +502,7 @@ def build_ivfpq_index(
     m: int = 8,
     ks: int = 16,
     pq_iters: int = 8,
+    max_train_rows: int | None = None,
 ) -> tuple[list[np.ndarray], np.ndarray]:
     """Materialize the IVF-PQ layout: ``{path}/codes`` holds (n_id, code)
     partitioned by cell directory (probe pruning = partition pruning at
@@ -510,7 +511,9 @@ def build_ivfpq_index(
     from .ivf import assign_cells_df, kmeans_centroids
 
     spark = corpus.sparkSession
-    centroids = kmeans_centroids(corpus, vec_col, id_col, n_cells, cell_iters)
+    centroids = kmeans_centroids(
+        corpus, vec_col, id_col, n_cells, cell_iters, max_train_rows=max_train_rows
+    )
     books = pq_train(corpus, vec_col, id_col, m, ks, pq_iters)
     with_cells = assign_cells_df(corpus, centroids, vec_col=vec_col)
     (

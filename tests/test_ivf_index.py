@@ -230,3 +230,39 @@ def test_ann_index_cli_append_mode(spark, sf_oracle, tmp_path):
         assert stats["n_batch"] == 100 and stats["n_appended"] == 0
         assert stats["n_replayed"] == 100
         assert spark.read.parquet(f"{path}/{table}").count() == emb.count()
+
+
+def test_sampled_training_bounded_and_deterministic(spark, sf_oracle, tmp_path):
+    """max_train_rows (r9): the coarse quantizer fits on a deterministic
+    hash-threshold sample — the corpus-scale posture for the one ~linear
+    index leg in the r9 ladder. The index must still cover EVERY vector
+    (assignment always runs over the full corpus), and repeated builds must
+    produce identical centroids."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+    cap = max(N_CELLS + 4, n // 4)
+
+    c1 = kmeans_centroids(emb, n_cells=N_CELLS, iters=2, max_train_rows=cap)
+    c2 = kmeans_centroids(emb, n_cells=N_CELLS, iters=2, max_train_rows=cap)
+    assert all((a == b).all() for a, b in zip(c1, c2))  # deterministic
+
+    p = str(tmp_path / "ivf_sampled")
+    build_ivf_index(emb, p, n_cells=N_CELLS, iters=2, max_train_rows=cap)
+    vecs = spark.read.parquet(f"{p}/vectors")
+    assert vecs.count() == n  # every corpus vector is in the index
+    assert vecs.select("cell").distinct().count() <= N_CELLS
+    # the searchable surface works off the sampled-fit index
+    q = emb.filter(F.col("vec_id") < 3)
+    hits = ivf_topk_from_index(spark, p, q, k=5, nprobe=N_CELLS)
+    assert hits.count() == 3 * 5
+
+    # cap >= corpus: sampling is a no-op, exact full fit preserved
+    c_full = kmeans_centroids(emb, n_cells=N_CELLS, iters=2)
+    c_cap = kmeans_centroids(
+        emb, n_cells=N_CELLS, iters=2, max_train_rows=n + 1
+    )
+    assert all((a == b).all() for a, b in zip(c_full, c_cap))
