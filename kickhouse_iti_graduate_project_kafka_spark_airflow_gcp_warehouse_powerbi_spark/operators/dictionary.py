@@ -122,3 +122,70 @@ def dict_get(
 def dict_has(df: DataFrame, dictionary: Dictionary, out_col: str, key: Column | str) -> DataFrame:
     """Functional spelling of :meth:`Dictionary.has`."""
     return dictionary.has(df, out_col, key)
+
+
+def dict_get_hierarchy(
+    df: DataFrame,
+    dictionary: Dictionary,
+    parent_attr: str,
+    key: Column | str,
+    out_col: str = "hierarchy",
+    *,
+    max_depth: int = 8,
+) -> DataFrame:
+    """``dictGetHierarchy``: the ancestor chain ``[key, parent, …]`` as an
+    array column, walking ``parent_attr`` links in the dictionary.
+
+    ClickHouse hierarchical dictionaries resolve the chain against the
+    per-server hash table; here each level is one more broadcast hash
+    probe — ``max_depth`` bounds the plan (hierarchies are category
+    trees, shallow by construction; ClickHouse likewise cuts cycles by
+    bounding the walk). A key absent from the dictionary contributes
+    just ``[key]``; the chain stops at the first NULL parent. The fact
+    side never shuffles, as with every lookup in this module.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    out = df.withColumn(out_col, F.array(key.cast("long")))
+    for i in range(max_depth):
+        # Probe the parent of the chain's current tail. Once a chain has
+        # stopped (its tail's parent resolved NULL), re-probing the tail
+        # keeps resolving NULL, so stopped chains stay stopped.
+        step = f"_hier{i}"
+        out = dictionary.get(
+            out, {step: parent_attr}, F.element_at(F.col(out_col), -1)
+        )
+        parent = F.col(step).cast("long")
+        tail = F.element_at(F.col(out_col), -1)
+        # self-parented roots (a common "no parent" encoding alongside
+        # NULL) must not loop; longer cycles are cut by max_depth
+        out = out.withColumn(
+            out_col,
+            F.when(
+                parent.isNotNull() & (parent != tail),
+                F.concat(F.col(out_col), F.array(parent)),
+            ).otherwise(F.col(out_col)),
+        ).drop(step)
+    return out
+
+
+def dict_is_in(
+    df: DataFrame,
+    dictionary: Dictionary,
+    parent_attr: str,
+    child_key: Column | str,
+    ancestor_key: Column | str,
+    out_col: str = "is_in",
+    *,
+    max_depth: int = 8,
+) -> DataFrame:
+    """``dictIsIn``: true iff ``ancestor_key`` appears in ``child_key``'s
+    ancestor chain (the chain includes the child itself, matching the
+    documented ClickHouse behavior)."""
+    anc = F.col(ancestor_key) if isinstance(ancestor_key, str) else ancestor_key
+    tmp = f"_isin{len(df.columns)}"
+    walked = dict_get_hierarchy(
+        df, dictionary, parent_attr, child_key, tmp, max_depth=max_depth
+    )
+    return walked.withColumn(
+        out_col, F.array_contains(F.col(tmp), anc.cast("long"))
+    ).drop(tmp)

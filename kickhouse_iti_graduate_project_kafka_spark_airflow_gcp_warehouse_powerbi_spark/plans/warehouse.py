@@ -352,3 +352,55 @@ def supplier_nation_dictget_default(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.when(F.col("known"), 1).otherwise(0)).alias("n_known"),
         )
     )
+
+
+@register(
+    "customer_nation_hierarchy",
+    tags=("J7",),
+    oracle="""
+    WITH RECURSIVE nodes AS (
+        SELECT n_nationkey + 100 AS id, CAST(n_regionkey AS BIGINT) AS parent
+        FROM nation
+        UNION ALL
+        SELECT CAST(r_regionkey AS BIGINT) AS id, CAST(NULL AS BIGINT) AS parent
+        FROM region
+    ),
+    walk(custkey, level, ancestor) AS (
+        SELECT c_custkey, 0, CAST(c_nationkey + 100 AS BIGINT) FROM customer
+        UNION ALL
+        SELECT w.custkey, w.level + 1, n.parent
+        FROM walk w JOIN nodes n ON w.ancestor = n.id
+        WHERE n.parent IS NOT NULL AND w.level < 8
+    )
+    SELECT custkey, level, ancestor FROM walk
+    """,
+)
+def customer_nation_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dictGetHierarchy over a two-level geo hierarchy (nation node ->
+    region root; nation ids shifted +100 into a shared node id space).
+    Each hierarchy level is one broadcast probe — the customer side never
+    shuffles — and the DuckDB oracle is a genuinely independent recursive
+    CTE over the same parent links. Output: one (custkey, level,
+    ancestor) row per chain element."""
+    from ..operators.dictionary import Dictionary, dict_get_hierarchy
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nodes = nation.select(
+        (F.col("n_nationkey") + 100).cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("parent"),
+    ).unionByName(
+        region.select(
+            F.col("r_regionkey").cast("long").alias("id"),
+            F.lit(None).cast("long").alias("parent"),
+        )
+    )
+    d = Dictionary(nodes, "id", ("parent",))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        (F.col("c_nationkey") + 100).cast("long").alias("node"),
+    )
+    walked = dict_get_hierarchy(cust, d, "parent", "node", "h")
+    return walked.select(
+        "custkey", F.posexplode("h").alias("level", "ancestor")
+    )

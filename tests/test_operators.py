@@ -836,3 +836,41 @@ def test_dictionary_chained_lookups_broadcast_no_fact_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan_u
     assert "Exchange hashpartitioning" not in plan_u
+
+
+def test_dict_hierarchy_and_is_in(spark):
+    """dictGetHierarchy walks parent links (chain includes the key, stops
+    at NULL/self-parent roots, missing keys give [key]); dictIsIn is
+    membership in that chain."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+        dict_get_hierarchy,
+        dict_is_in,
+    )
+
+    # 1 -> 2 -> 3 (3 self-parented root), 9 missing from the dict
+    dim = spark.createDataFrame(
+        [Row(k=1, parent=2), Row(k=2, parent=3), Row(k=3, parent=3)]
+    )
+    d = Dictionary(dim, "k")
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=3), Row(fk=9)])
+    out = {
+        r.fk: r.h
+        for r in dict_get_hierarchy(fact, d, "parent", "fk", "h").collect()
+    }
+    assert out == {1: [1, 2, 3], 2: [2, 3], 3: [3], 9: [9]}
+
+    got = {
+        r.fk: r.is_in
+        for r in dict_is_in(
+            fact, d, "parent", "fk", F.lit(3), "is_in"
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 9: False}
+    got1 = {
+        r.fk: r.is_in
+        for r in dict_is_in(
+            fact, d, "parent", "fk", F.lit(1), "is_in"
+        ).collect()
+    }
+    assert got1 == {1: True, 2: False, 3: False, 9: False}
