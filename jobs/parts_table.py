@@ -17,7 +17,7 @@
     python jobs/parts_table.py read    --table /lake/t --projection by_status \\
         [--group-cols status]
     python jobs/parts_table.py optimize --table /lake/t [--max-seq 5] \\
-        [--as-of 946684800]
+        [--as-of 946684800] [--partitions A,B]
     python jobs/parts_table.py vacuum  --table /lake/t [--keep-versions 1] \\
         [--orphan-ttl-secs 86400]
     python jobs/parts_table.py mutate  --table /lake/t \\
@@ -106,6 +106,12 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--max-seq", type=int, default=None)
+    ap.add_argument(
+        "--partitions",
+        default=None,
+        help="comma-separated partition values: OPTIMIZE PARTITION "
+        "(ClickHouse's merge unit) instead of the full-table merge",
+    )
     ap.add_argument("--max-parts", type=int, default=8)
     ap.add_argument("--keep-versions", type=int, default=1)
     ap.add_argument("--orphan-ttl-secs", type=float, default=24 * 3600.0)
@@ -191,7 +197,18 @@ def main() -> None:
                 )
             )
     elif args.op == "optimize":
-        res = optimize_parts(spark, args.table, max_seq=args.max_seq, as_of=args.as_of)
+        if args.partitions:
+            from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (
+                optimize_partitions,
+            )
+
+            res = optimize_partitions(
+                spark, args.table, args.partitions.split(","), as_of=args.as_of
+            )
+        else:
+            res = optimize_parts(
+                spark, args.table, max_seq=args.max_seq, as_of=args.as_of
+            )
         print(json.dumps({"op": "optimize", **res}))
     elif args.op == "maintain":
         from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.sources.parts import (

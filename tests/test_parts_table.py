@@ -1334,3 +1334,36 @@ def test_projection_with_hll_states(spark, tbl):
     for g, (n, est) in _est().items():
         assert n == 150
         assert abs(est - 53) <= 0.05 * 53
+
+
+def test_parts_table_cli_optimize_partitions(spark, tmpdir):
+    """CLI twin of OPTIMIZE PARTITION: --partitions merges only the named
+    partitions and reports them; the other partition's parts survive."""
+    import subprocess
+    import sys
+
+    src = f"{tmpdir}/batch{{}}.parquet"
+    for b in range(2):
+        spark.createDataFrame(
+            [(b * 10 + 1, "A", 5.0), (b * 10 + 2, "B", 7.0)],
+            "id long, status string, total double",
+        ).write.parquet(src.format(b))
+    tbl = f"{tmpdir}/t"
+
+    def _run(*argv):
+        out = subprocess.run(
+            [sys.executable, "/root/repo/jobs/parts_table.py", *argv],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    _run("create", "--table", tbl, "--partition-col", "status")
+    for b in range(2):
+        _run("insert", "--table", tbl, "--src", src.format(b), "--batch-id", str(b))
+    res = _run("optimize", "--table", tbl, "--partitions", "A")
+    assert res["merged"] == 2 and res["partitions"] == ["A"]
+    got = _run("read", "--table", tbl)
+    assert got["rows"] == 4
