@@ -971,9 +971,14 @@ def optimize_partitions(
     legs = []
     for p in merge:
         d = _join(io, base, PARTS_DIR, p["name"])
+        # resolve against the ACTUAL directory names (Hive-escaped by the
+        # writer — e.g. ':' -> '%3A') rather than rebuilding them from the
+        # unescaped values, mirroring _live_partition_dirs
         subs = [
-            _join(io, d, f"{pcol}={v}")
-            for v in sorted(holds[p["name"]])
+            _join(io, d, name)
+            for name in sorted(io.list_names(d))
+            if name.startswith(f"{pcol}=")
+            and _unescape_partition(name.split("=", 1)[1]) in holds[p["name"]]
         ]
         leg = spark.read.option("basePath", d).parquet(*subs)
         legs.append(leg.withColumn("_part_seq", F.lit(int(p["seq"]))))

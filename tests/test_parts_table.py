@@ -1367,3 +1367,42 @@ def test_parts_table_cli_optimize_partitions(spark, tmpdir):
     assert res["merged"] == 2 and res["partitions"] == ["A"]
     got = _run("read", "--table", tbl)
     assert got["rows"] == 4
+
+
+def test_optimize_partitions_escaped_partition_values(spark, tbl):
+    """Partition values Spark Hive-escapes on disk (':' -> '%3A') must
+    round-trip through OPTIMIZE PARTITION: the merge reads the actual
+    escaped directory names, and FINAL is unchanged afterwards."""
+    P.create_parts_table(
+        tbl,
+        engine="replacing",
+        key_cols=("o_custkey",),
+        version_col="o_orderkey",
+        partition_col="o_status",
+    )
+    for b in range(2):
+        P.insert_into_parts(
+            _orders(
+                spark,
+                [
+                    (b * 10 + 1, 1, "A:B", 1.0),
+                    (b * 10 + 2, 2, "C D", 2.0),
+                ],
+            ),
+            tbl,
+        )
+    want = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .select("o_status", "o_custkey", "o_orderkey")
+        .collect()
+    }
+    res = P.optimize_partitions(spark, tbl, ["A:B"])
+    assert res["merged"] == 2 and res["part"] is not None
+    got = {
+        tuple(r)
+        for r in P.read_parts(spark, tbl, final=True)
+        .select("o_status", "o_custkey", "o_orderkey")
+        .collect()
+    }
+    assert got == want
