@@ -37,6 +37,17 @@ _DUCKDB_KNN = """
 """
 
 
+#: In-query coarse-quantizer fits train on at most this many vectors
+#: (deterministic hash-threshold sample, operators/ivf.py r9) — the
+#: production posture for the one ~linear index leg in the r9 ladder.
+#: Above every driver-fixture corpus (sf0.01: 500, sf0.1: 2 000), so
+#: oracled results are byte-identical there; at sf1+ the fit is sampled
+#: while assignment still covers every vector. Safe for the rows-only
+#: ANN queries and for every oracle here: the *_equals_bruteforce and
+#: keeps-all invariants hold for ANY centroids by construction.
+KMEANS_TRAIN_CAP = 8192
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -95,7 +106,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_topk, kmeans_centroids
 
     emb = _emb(spark, sf_dir)
-    cents = kmeans_centroids(emb, n_cells=8, iters=3)
+    cents = kmeans_centroids(emb, n_cells=8, iters=3, max_train_rows=KMEANS_TRAIN_CAP)
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=2)
     return out.select(
         "q_id", "n_id", F.round(F.col("cos") + 1e-9, 4).alias("cos"),
@@ -164,7 +175,7 @@ def ivf_full_probe_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFr
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    cents = kmeans_centroids(emb, n_cells=8, iters=2)
+    cents = kmeans_centroids(emb, n_cells=8, iters=2, max_train_rows=KMEANS_TRAIN_CAP)
     ivf = ivf_topk(emb, queries, cents, k=5, nprobe=8).select("q_id", "n_id", "rank")
     brute = brute_force_topk(emb, queries, k=5).select("q_id", "n_id", "rank")
     keys = ["q_id", "n_id", "rank"]
@@ -852,7 +863,7 @@ def knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import ivfpq_topk, pq_train
 
     emb = _emb(spark, sf_dir)
-    cents = kmeans_centroids(emb, n_cells=16, iters=3)
+    cents = kmeans_centroids(emb, n_cells=16, iters=3, max_train_rows=KMEANS_TRAIN_CAP)
     books = pq_train(emb, m=16, ks=64, iters=4)
     out = ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 5), cents, books,
@@ -882,7 +893,7 @@ def ivfpq_full_equals_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
-    cents = kmeans_centroids(emb, n_cells=8, iters=2)
+    cents = kmeans_centroids(emb, n_cells=8, iters=2, max_train_rows=KMEANS_TRAIN_CAP)
     books = pq_train(emb, m=16, ks=64, iters=4)
     got = ivfpq_topk(
         emb, queries, cents, books, k=5, nprobe=8, rerank=10**9
@@ -1043,7 +1054,7 @@ def embedding_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
-    cents = kmeans_centroids(corpus, n_cells=16, iters=3)
+    cents = kmeans_centroids(corpus, n_cells=16, iters=3, max_train_rows=KMEANS_TRAIN_CAP)
     marks = semdedup_incremental(batch, corpus, tau=0.4, centroids=cents)
     return (
         marks.join(emb.select(F.col("vec_id").alias("id"), "label"), "id")
@@ -1082,7 +1093,7 @@ def semdedup_incremental_keeps_all(spark: SparkSession, sf_dir: str) -> DataFram
     emb = _emb(spark, sf_dir)
     corpus = emb.filter(F.col("vec_id") % 10 != 0)
     batch = emb.filter(F.col("vec_id") % 10 == 0)
-    cents = kmeans_centroids(corpus, n_cells=8, iters=2)
+    cents = kmeans_centroids(corpus, n_cells=8, iters=2, max_train_rows=KMEANS_TRAIN_CAP)
     marks = semdedup_incremental(batch, corpus, tau=1.0001, centroids=cents)
     return marks.agg(
         F.count(F.lit(1)).alias("n_batch"),
