@@ -874,3 +874,56 @@ def test_dict_hierarchy_and_is_in(spark):
         ).collect()
     }
     assert got1 == {1: True, 2: False, 3: False, 9: False}
+
+
+def test_dictionary_property_matches_reference_semantics(spark):
+    """Property: for ANY dup-keyed dim and fact key list, dict_get equals
+    the reference semantics computed in plain Python — left lookup
+    against min-struct-collapsed rows; dict_has equals key membership;
+    row count always preserved."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+    )
+
+    dim_rows = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.text(alphabet="xyz", min_size=0, max_size=2),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+    fact_keys = st.lists(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=8
+    )
+
+    @given(dim=dim_rows, facts=fact_keys)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(dim, facts):
+        ref = {}
+        for k, v, w in dim:
+            cand = (v, w)
+            ref[k] = cand if k not in ref else min(ref[k], cand)
+        dim_df = spark.createDataFrame(dim, "k int, v string, w int")
+        fact_df = spark.createDataFrame([(f,) for f in facts], "fk int")
+        d = Dictionary(dim_df, "k")
+        got = d.get(fact_df, {"v": "v", "w": "w"}, "fk")
+        got = d.has(got, "known", F.col("fk")).collect()
+        assert len(got) == len(facts)
+        from collections import Counter
+
+        assert Counter(r.fk for r in got) == Counter(facts)
+        for r in got:
+            want = ref.get(r.fk)
+            assert (r.v, r.w) == (want if want else (None, None))
+            assert r.known == (r.fk in ref)
+
+    check()
