@@ -161,6 +161,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str | None = None,
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """(id, cell, cent_cos, is_pruned) for every non-null vector.
 
@@ -196,7 +197,8 @@ def semdedup(
     else:
         if centroids is None:
             centroids = kmeans_centroids(
-                corpus, vec_col, id_col, n_cells=n_cells, iters=iters
+                corpus, vec_col, id_col, n_cells=n_cells, iters=iters,
+                max_train_rows=max_train_rows,
             )
         base = corpus.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("_v")
@@ -259,6 +261,7 @@ def semdedup_incremental(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_train_rows: int | None = None,
 ) -> DataFrame:
     """(id, cell, is_pruned, pruned_by) for each non-null batch vector —
     incremental-ingest semantic dedup with **first-seen-wins** policy: a
@@ -281,6 +284,7 @@ def semdedup_incremental(
         centroids = kmeans_centroids(
             survivors if survivors.limit(1).count() else batch,
             vec_col, id_col, n_cells=n_cells, iters=iters,
+            max_train_rows=max_train_rows,
         )
     spark = batch.sparkSession
 
