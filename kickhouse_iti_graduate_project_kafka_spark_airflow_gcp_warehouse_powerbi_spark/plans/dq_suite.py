@@ -883,3 +883,73 @@ def events_hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataF
         F.col("mv").isNotNull().alias("observed"),
         F.round(F.coalesce("mv", interp) + 1e-9, 4).alias("filled"),
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse sequenceMatch (r9): ordered-subsequence existence per user
+# --------------------------------------------------------------------------
+@register(
+    "events_sequence_match",
+    tags=("WF2", "clickhouse-surface", "funnel"),
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS m FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS m
+        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.m
+        WHERE e.event_type = 'signup' GROUP BY e.user_id
+    ),
+    m AS (
+        SELECT DISTINCT e.user_id
+        FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.m
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+               AS n_users,
+           CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_matched
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')(ts, view, signup,
+    purchase)`` per user: does an ordered view -> signup -> purchase
+    subsequence exist, with NO window bound (the windowless sibling of
+    ``events_window_funnel``).
+
+    One shuffle + one per-user time sort, then three strictly-preceding
+    window aggregates carry the match state down the stream — exactly
+    ClickHouse's per-user sorted-scan cost model, linear in events, zero
+    pair materialization (an ordered-subsequence EXISTS test never needs
+    the quadratic step pairs; greedy earliest-first matching is complete
+    for it). The DuckDB oracle replays the same greedy chain
+    independently via correlated MIN subqueries. Equal-timestamp events
+    for one user order arbitrarily (as in ClickHouse); the fixtures have
+    none, and step comparisons are strict-in-time on both sides."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("double").alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_ = lambda t: (F.col("event_type") == t).cast("int")  # noqa: E731
+    staged = (
+        ev.withColumn("seen1", F.coalesce(F.max(is_("view")).over(prev), F.lit(0)))
+        .withColumn("hit2", (is_("signup") == 1) & (F.col("seen1") == 1))
+        .withColumn(
+            "seen2",
+            F.coalesce(F.max(F.col("hit2").cast("int")).over(prev), F.lit(0)),
+        )
+        .withColumn("hit3", (is_("purchase") == 1) & (F.col("seen2") == 1))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("hit3").cast("int")).alias("matched")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("matched").cast("long").alias("n_matched"),
+    )
