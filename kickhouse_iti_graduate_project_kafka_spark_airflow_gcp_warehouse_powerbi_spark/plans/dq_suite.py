@@ -126,10 +126,17 @@ def error_ratio_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def avg_payload_len_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AVG(LENGTH(payload)) per (type, day) (reference: notebook query_4)."""
+    """AVG(LENGTH(payload)) per (type, day) (reference: notebook query_4).
+    Day buckets use integer epoch-day arithmetic, not to_date(ts):
+    to_date truncates the instant in the SESSION timezone, so a non-UTC
+    driver regroups midnight-adjacent events to the wrong day (caught by
+    the r9 full non-UTC oracle sweep — the one red row in 180)."""
+    day = F.date_from_unix_date(
+        F.floor(F.col("ts").cast("double") / 86400).cast("int")
+    ).alias("day")
     return (
         _events(spark, sf_dir)
-        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", day)
         .agg(
             (F.sum(F.length("props")).cast("long") * 1.0 / F.count(F.lit(1))).alias("avg_len"),
             decimal_avg("value", 2, 14).alias("avg_value"),
