@@ -1349,22 +1349,36 @@ def maintain_parts(
     partition — only partitions whose own live-part count exceeds
     ``max_parts`` rewrite, and cold partitions' data files stay
     byte-identical (``optimize_partitions``). A TTL sweep (``as_of``)
-    still runs the full-table merge: expiry can touch any partition.
-    Unpartitioned tables keep the full prefix merge."""
+    is ALSO partition-pruned (r9): a column-pruned probe of
+    (partition_col, ttl_col) finds the partitions that actually hold
+    expired rows, and only those (plus the part-count-hot ones) merge —
+    a clean cold month is never rewritten by an expiry sweep, matching
+    ClickHouse's merge-time TTL (parts with no expired rows are left
+    alone). Unpartitioned and projected tables keep the full prefix
+    merge."""
     io, base = _io_for(path)
     meta = _load_meta(io, base)
     pcol = meta.get("partition_col")
     n_parts = len(parts_stats(path))
     res: dict = {"parts_before": n_parts, "optimized": False}
     ttl_sweep = as_of is not None and bool(meta.get("ttl_col"))
-    if pcol and not ttl_sweep and not meta.get("projections"):
-        hot = [
+    if pcol and not meta.get("projections"):
+        hot = {
             p["partition"]
             for p in partition_stats(path)
             if p["n_parts"] > max_parts
-        ]
+        }
+        if ttl_sweep and n_parts > 0:
+            # column-pruned scan of two columns over live parts; parquet
+            # row-group stats carry the expiry filter, so clean
+            # partitions cost footer reads, not data
+            expired = read_parts(spark, path).filter(
+                F.col(meta["ttl_col"]) + F.lit(meta["ttl_seconds"])
+                <= F.lit(as_of)
+            ).select(pcol).distinct().collect()
+            hot |= {str(r[0]) for r in expired}
         if hot:
-            opt = optimize_partitions(spark, path, hot, as_of=as_of)
+            opt = optimize_partitions(spark, path, sorted(hot), as_of=as_of)
             res["optimized"] = opt.get("merged", 0) > 0
             res["optimize"] = opt
     elif n_parts > max_parts or (as_of is not None and n_parts > 0):

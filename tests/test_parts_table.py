@@ -1406,3 +1406,43 @@ def test_optimize_partitions_escaped_partition_values(spark, tbl):
         .collect()
     }
     assert got == want
+
+
+def test_maintain_ttl_sweep_is_partition_pruned(spark, tbl):
+    """A TTL maintain on a partitioned table merges ONLY the partitions
+    holding expired rows (plus part-count-hot ones); a clean partition's
+    files stay byte-identical — ClickHouse's merge-time TTL never
+    rewrites parts with nothing to expire."""
+    P.create_parts_table(
+        tbl,
+        engine="append",
+        partition_col="status",
+        ttl_col="born",
+        ttl_seconds=100.0,
+    )
+    rows = spark.createDataFrame(
+        [
+            (1, "A", 50),    # expires at as_of=200
+            (2, "A", 260),
+            (3, "B", 250),   # clean partition
+            (4, "B", 260),
+        ],
+        "id long, status string, born long",
+    )
+    P.insert_into_parts(rows, tbl)
+    cold = {
+        s["name"]: _file_snapshot(os.path.join(tbl, P.PARTS_DIR, s["name"], "status=B"))
+        for s in P.parts_stats(tbl)
+    }
+    res = P.maintain_parts(spark, tbl, max_parts=8, as_of=200.0)
+    assert res["optimized"] is True
+    assert res["optimize"]["partitions"] == ["A"]
+    # expired row physically gone; clean partition untouched on disk
+    assert {r.id for r in P.read_parts(spark, tbl).collect()} == {2, 3, 4}
+    for name, snap in cold.items():
+        d = os.path.join(tbl, P.PARTS_DIR, name, "status=B")
+        if os.path.isdir(d):
+            assert _file_snapshot(d) == snap
+    # a second sweep at the same as_of finds nothing expired: no-op
+    res2 = P.maintain_parts(spark, tbl, max_parts=8, as_of=200.0)
+    assert res2["optimized"] is False
