@@ -90,14 +90,22 @@ class Dictionary:
     ) -> DataFrame:
         """``dictGet`` / ``dictGetOrDefault``: add ``out_col -> attr``
         lookup columns to ``df``. Missing keys yield NULL, or
-        ``defaults[out_col]`` when given (``dictGetOrDefault``)."""
+        ``defaults[out_col]`` when given (``dictGetOrDefault``).
+
+        The default applies ONLY when the key is absent from the
+        dictionary (key-presence test on the joined key, not a coalesce
+        over the attribute): ClickHouse ``dictGetOrDefault`` returns a
+        present key's Nullable-attribute NULL as NULL, never the
+        default."""
         wanted = tuple(dict.fromkeys(attr_map.values()))
         joined, kcol = self._lookup(df, key, wanted)
         out = joined
         for out_col, attr in attr_map.items():
             col = F.col(f"{kcol}_{attr}")
             if defaults and out_col in defaults:
-                col = F.coalesce(col, F.lit(defaults[out_col]))
+                col = F.when(
+                    F.col(kcol).isNull(), F.lit(defaults[out_col])
+                ).otherwise(col)
             out = out.withColumn(out_col, col)
         return out.drop(kcol, *[f"{kcol}_{a}" for a in wanted])
 
@@ -132,6 +140,7 @@ def dict_get_hierarchy(
     out_col: str = "hierarchy",
     *,
     max_depth: int = 8,
+    on_truncated: str = "error",
 ) -> DataFrame:
     """``dictGetHierarchy``: the ancestor chain ``[key, parent, …]`` as an
     array column, walking ``parent_attr`` links in the dictionary.
@@ -143,7 +152,19 @@ def dict_get_hierarchy(
     bounding the walk). A key absent from the dictionary contributes
     just ``[key]``; the chain stops at the first NULL parent. The fact
     side never shuffles, as with every lookup in this module.
+
+    A chain still growing after ``max_depth`` probes is NEVER returned
+    silently shortened (a shortened chain is a false-negative
+    ``dict_is_in``). ``on_truncated`` picks the surfacing:
+
+    - ``"error"`` (default): one extra probe of the final tail; a
+      still-growing chain raises at execution time (JVM-side
+      ``raise_error``, no driver action) naming the key and depth.
+    - ``"flag"``: adds a boolean ``{out_col}_truncated`` column instead.
+    - ``"ignore"``: the pre-r10 silent behavior (skips the extra probe).
     """
+    if on_truncated not in ("error", "flag", "ignore"):
+        raise ValueError("on_truncated must be 'error', 'flag' or 'ignore'")
     key = F.col(key) if isinstance(key, str) else key
     out = df.withColumn(out_col, F.array(key.cast("long")))
     for i in range(max_depth):
@@ -165,7 +186,30 @@ def dict_get_hierarchy(
                 F.concat(F.col(out_col), F.array(parent)),
             ).otherwise(F.col(out_col)),
         ).drop(step)
-    return out
+    if on_truncated == "ignore":
+        return out
+    # One more probe of the final tail: a non-self, non-NULL parent here
+    # means the walk was cut by max_depth, not by reaching a root.
+    step = "_hier_probe"
+    out = dictionary.get(out, {step: parent_attr}, F.element_at(F.col(out_col), -1))
+    parent = F.col(step).cast("long")
+    tail = F.element_at(F.col(out_col), -1)
+    growing = parent.isNotNull() & (parent != tail)
+    if on_truncated == "flag":
+        return out.withColumn(f"{out_col}_truncated", growing).drop(step)
+    return out.withColumn(
+        out_col,
+        F.when(
+            growing,
+            F.raise_error(
+                F.concat(
+                    F.lit("dict_get_hierarchy: chain for key "),
+                    F.element_at(F.col(out_col), 1).cast("string"),
+                    F.lit(f" still growing at max_depth={max_depth}"),
+                )
+            ).cast(out.schema[out_col].dataType.simpleString()),
+        ).otherwise(F.col(out_col)),
+    ).drop(step)
 
 
 def dict_is_in(
@@ -177,15 +221,23 @@ def dict_is_in(
     out_col: str = "is_in",
     *,
     max_depth: int = 8,
+    on_truncated: str = "error",
 ) -> DataFrame:
     """``dictIsIn``: true iff ``ancestor_key`` appears in ``child_key``'s
     ancestor chain (the chain includes the child itself, matching the
-    documented ClickHouse behavior)."""
+    documented ClickHouse behavior). A ``max_depth``-truncated chain
+    would silently answer false for deeper ancestors, so truncation
+    surfaces per ``on_truncated`` (default: execution-time error)."""
     anc = F.col(ancestor_key) if isinstance(ancestor_key, str) else ancestor_key
     tmp = f"_isin{len(df.columns)}"
     walked = dict_get_hierarchy(
-        df, dictionary, parent_attr, child_key, tmp, max_depth=max_depth
+        df, dictionary, parent_attr, child_key, tmp,
+        max_depth=max_depth, on_truncated=on_truncated,
     )
+    if on_truncated == "flag":
+        walked = walked.withColumnRenamed(
+            f"{tmp}_truncated", f"{out_col}_truncated"
+        )
     return walked.withColumn(
         out_col, F.array_contains(F.col(tmp), anc.cast("long"))
     ).drop(tmp)

@@ -330,7 +330,9 @@ def supplier_nation_dictget_default(spark: SparkSession, sf_dir: str) -> DataFra
     """dictGetOrDefault + dictHas over a PARTIAL dictionary (nations of
     EUROPE/ASIA only): missing keys take the default ('OTHER') instead of
     NULL, and dictHas exposes membership — both documented ClickHouse
-    behaviors, expressed as one broadcast left join + coalesce."""
+    behaviors, expressed as one broadcast left join + a key-presence
+    probe (a present key's NULL attribute stays NULL, never the
+    default)."""
     from ..operators.dictionary import Dictionary
 
     supp = load_table(spark, sf_dir, "supplier")

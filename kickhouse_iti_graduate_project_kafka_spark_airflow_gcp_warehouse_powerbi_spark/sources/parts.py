@@ -580,9 +580,9 @@ def _apply_ttl(df: DataFrame, meta: dict, as_of: float | None) -> DataFrame:
     shifts with the session timezone."""
     if as_of is None or not meta.get("ttl_col"):
         return df
-    return df.filter(
-        F.col(meta["ttl_col"]) + F.lit(meta["ttl_seconds"]) > F.lit(as_of)
-    )
+    # bare column-vs-literal comparison: pushdown-eligible, so parquet
+    # row-group stats prune parts with no expired rows at footer cost
+    return df.filter(F.col(meta["ttl_col"]) > F.lit(as_of - meta["ttl_seconds"]))
 
 
 def _apply_sample(df: DataFrame, meta: dict, frac: float | None) -> DataFrame:
@@ -1317,10 +1317,17 @@ def partition_stats(path: str, *, version: int | None = None) -> list[dict]:
     acc: dict[str, dict] = {}
     for p in doc["parts"]:
         skip = set(p.get("skip", []))
-        for v in _part_partitions(io, base, p["name"], pcol):
+        d = _join(io, base, PARTS_DIR, p["name"])
+        # du the ACTUAL directory names (Hive-escaped by the writer —
+        # ':' -> '%3A' etc.); reconstructing f"{pcol}={v}" from the
+        # unescaped value points at a directory that does not exist
+        for name in io.list_names(d):
+            if not name.startswith(f"{pcol}="):
+                continue
+            v = _unescape_partition(name.split("=", 1)[1])
             if v in skip:
                 continue
-            nbytes, nfiles = io.du(_join(io, base, PARTS_DIR, p["name"], f"{pcol}={v}"))
+            nbytes, nfiles = io.du(_join(io, d, name))
             row = acc.setdefault(
                 v, {"partition": v, "n_parts": 0, "bytes": 0, "files": 0}
             )
@@ -1369,12 +1376,12 @@ def maintain_parts(
             if p["n_parts"] > max_parts
         }
         if ttl_sweep and n_parts > 0:
-            # column-pruned scan of two columns over live parts; parquet
-            # row-group stats carry the expiry filter, so clean
+            # column-pruned scan of two columns over live parts; the
+            # bare column-vs-literal predicate is pushdown-eligible, so
+            # parquet row-group stats carry the expiry filter and clean
             # partitions cost footer reads, not data
             expired = read_parts(spark, path).filter(
-                F.col(meta["ttl_col"]) + F.lit(meta["ttl_seconds"])
-                <= F.lit(as_of)
+                F.col(meta["ttl_col"]) <= F.lit(as_of - meta["ttl_seconds"])
             ).select(pcol).distinct().collect()
             hot |= {str(r[0]) for r in expired}
         if hot:

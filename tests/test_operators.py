@@ -927,3 +927,70 @@ def test_dictionary_property_matches_reference_semantics(spark):
             assert r.known == (r.fk in ref)
 
     check()
+
+
+def test_dict_get_or_default_null_attr_of_present_key_stays_null(spark):
+    """ClickHouse dictGetOrDefault applies the default ONLY to missing
+    keys: a present key whose Nullable attribute is NULL returns NULL,
+    not the default (r9 ADVICE #3 — coalesce conflated the two)."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+        dict_get,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "x"), (2, None)], "k int, v string"
+    )
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "fk int")
+    d = Dictionary(dim, "k")
+    out = {
+        r.fk: r.v
+        for r in dict_get(fact, d, {"v": "v"}, "fk", defaults={"v": "DEF"}).collect()
+    }
+    assert out == {1: "x", 2: None, 9: "DEF"}
+
+
+def test_dict_hierarchy_truncation_is_loud(spark):
+    """A chain still growing at max_depth must never be returned
+    silently shortened (a shortened chain is a false-negative dictIsIn):
+    default raises at execution time, 'flag' marks the row, 'ignore'
+    keeps the bounded-walk behavior."""
+    import pytest
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
+        Dictionary,
+        dict_get_hierarchy,
+        dict_is_in,
+    )
+
+    # 1 -> 2 -> 3 -> 4 -> 5 (root): depth 5 chain, walk bounded at 2
+    dim = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, None)], "k int, parent int"
+    )
+    d = Dictionary(dim, "k")
+    fact = spark.createDataFrame([(1,), (4,)], "fk int")
+
+    with pytest.raises(Exception, match="still growing at max_depth=2"):
+        dict_get_hierarchy(fact, d, "parent", "fk", "h", max_depth=2).collect()
+    with pytest.raises(Exception, match="still growing"):
+        dict_is_in(fact, d, "parent", "fk", F.lit(5), max_depth=2).collect()
+
+    flagged = {
+        r.fk: (r.h, r.h_truncated)
+        for r in dict_get_hierarchy(
+            fact, d, "parent", "fk", "h", max_depth=2, on_truncated="flag"
+        ).collect()
+    }
+    assert flagged == {1: ([1, 2, 3], True), 4: ([4, 5], False)}
+
+    silent = {
+        r.fk: r.h
+        for r in dict_get_hierarchy(
+            fact, d, "parent", "fk", "h", max_depth=2, on_truncated="ignore"
+        ).collect()
+    }
+    assert silent == {1: [1, 2, 3], 4: [4, 5]}
+
+    # a deep-enough walk resolves the full chain with zero truncation
+    full = dict_get_hierarchy(fact, d, "parent", "fk", "h", max_depth=8)
+    assert {r.fk: r.h for r in full.collect()} == {1: [1, 2, 3, 4, 5], 4: [4, 5]}

@@ -1446,3 +1446,46 @@ def test_maintain_ttl_sweep_is_partition_pruned(spark, tbl):
     # a second sweep at the same as_of finds nothing expired: no-op
     res2 = P.maintain_parts(spark, tbl, max_parts=8, as_of=200.0)
     assert res2["optimized"] is False
+
+
+def test_partition_stats_escaped_partition_values(spark, tbl):
+    """partition_stats must du the ACTUAL Hive-escaped directory names
+    (':' -> '%3A', ' ' -> '%20'); reconstructing the path from the
+    unescaped value reports (0 bytes, 0 files) on the local backend and
+    raises FileNotFound on remote ones (r9 ADVICE #1). The maintain
+    merge policy reads these sizes, so they must be real."""
+    P.create_parts_table(tbl, engine="append", partition_col="o_status")
+    for b in range(3):
+        P.insert_into_parts(
+            _orders(spark, [(b * 10 + 1, 1, "A:B", 1.0), (b * 10 + 2, 2, "C D", 2.0)]),
+            tbl,
+        )
+    ps = {p["partition"]: p for p in P.partition_stats(tbl)}
+    assert set(ps) == {"A:B", "C D"}
+    for p in ps.values():
+        assert p["n_parts"] == 3
+        assert p["bytes"] > 0 and p["files"] > 0
+
+    # and the policy loop that consumes those stats merges the escaped
+    # partitions like any other
+    res = P.maintain_parts(spark, tbl, max_parts=2)
+    assert res["optimized"] is True
+    assert sorted(res["optimize"]["partitions"]) == ["A:B", "C D"]
+    assert {p["n_parts"] for p in P.partition_stats(tbl)} == {1}
+    assert P.read_parts(spark, tbl).count() == 6
+
+
+def test_ttl_probe_predicate_is_pushdown_eligible(spark, tbl):
+    """The TTL expiry predicate must reach the parquet scan as a bare
+    column-vs-literal PushedFilter (r9 ADVICE #2) — arithmetic on the
+    column side disables row-group stats pruning, turning every maintain
+    sweep into a full ttl-column scan."""
+    P.create_parts_table(
+        tbl, engine="append", ttl_col="o_total", ttl_seconds=100.0
+    )
+    P.insert_into_parts(_orders(spark, [(1, 1, "A", 50.0), (2, 2, "B", 260.0)]), tbl)
+    df = P.read_parts(spark, tbl, as_of=200.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_total,100.0)" in plan, plan
+    assert {r.o_orderkey for r in df.collect()} == {2}
