@@ -279,6 +279,19 @@ def probe_cells_df(
     return src.mapInPandas(gen, schema)
 
 
+#: Default training budget (``max_train_rows="auto"``): FAISS-style
+#: per-centroid cap (max_points_per_centroid=256) under a hard engine-wide
+#: ceiling — the same 8192 the catalog queries pass explicitly. Bounded
+#: training is the documented 100 TB posture; r9 measured the sf1 build
+#: at 25.6 s full-corpus vs 16.0 s sampled with identical invariants.
+TRAIN_PER_CELL = 256
+TRAIN_CEIL = 8192
+
+
+def _auto_train_cap(n_cells: int) -> int:
+    return min(TRAIN_PER_CELL * n_cells, TRAIN_CEIL)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -286,7 +299,7 @@ def kmeans_centroids(
     n_cells: int = 16,
     iters: int = 5,
     round_decimals: int = 6,
-    max_train_rows: int | None = None,
+    max_train_rows: int | None | str = "auto",
 ) -> list[np.ndarray]:
     """Fit k-means cell centroids with Lloyd iterations on DataFrames.
 
@@ -303,9 +316,15 @@ def kmeans_centroids(
     ~that many rows (one narrow filter — no sort, no shuffle — cached
     across iterations). FAISS trains IVF coarse quantizers the same way
     (bounded training set regardless of corpus size); centroid quality
-    needs a representative sample, not every row. None (default) keeps
-    the exact full-corpus fit.
+    needs a representative sample, not every row.
+
+    ``"auto"`` (the default since r10) resolves the cap to
+    ``min(256 * n_cells, 8192)`` so training stays bounded at ANY corpus
+    size without the caller thinking about it; pass ``None`` to reach
+    the exact full-corpus fit explicitly, or an int to pick your own cap.
     """
+    if max_train_rows == "auto":
+        max_train_rows = _auto_train_cap(n_cells)
     sampled = False
     if max_train_rows:
         n = corpus.count()
@@ -453,7 +472,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     n_cells: int = 16,
     iters: int = 5,
-    max_train_rows: int | None = None,
+    max_train_rows: int | None | str = "auto",
 ) -> list[np.ndarray]:
     """Materialize an IVF index: ``{path}/vectors`` holds the corpus
     partitioned by cell id (with per-vector norms precomputed), and

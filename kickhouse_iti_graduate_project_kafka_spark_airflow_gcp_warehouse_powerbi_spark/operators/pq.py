@@ -502,7 +502,7 @@ def build_ivfpq_index(
     m: int = 8,
     ks: int = 16,
     pq_iters: int = 8,
-    max_train_rows: int | None = None,
+    max_train_rows: int | None | str = "auto",
 ) -> tuple[list[np.ndarray], np.ndarray]:
     """Materialize the IVF-PQ layout: ``{path}/codes`` holds (n_id, code)
     partitioned by cell directory (probe pruning = partition pruning at

@@ -161,7 +161,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str | None = None,
-    max_train_rows: int | None = None,
+    max_train_rows: int | None | str = "auto",
 ) -> DataFrame:
     """(id, cell, cent_cos, is_pruned) for every non-null vector.
 

@@ -266,3 +266,43 @@ def test_sampled_training_bounded_and_deterministic(spark, sf_oracle, tmp_path):
         emb, n_cells=N_CELLS, iters=2, max_train_rows=n + 1
     )
     assert all((a == b).all() for a, b in zip(c_full, c_cap))
+
+
+def test_auto_train_cap_default(spark, sf_oracle):
+    """r10: training is bounded BY DEFAULT — max_train_rows='auto'
+    resolves to min(256*n_cells, 8192) so a caller at any corpus scale
+    gets FAISS-style sampled training without opting in; None reaches
+    the exact full fit explicitly."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        TRAIN_CEIL,
+        TRAIN_PER_CELL,
+        _auto_train_cap,
+        kmeans_centroids,
+    )
+
+    assert _auto_train_cap(4) == 4 * TRAIN_PER_CELL
+    assert _auto_train_cap(645) == TRAIN_CEIL
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    n = emb.count()
+
+    # under the cap: auto == exact (the sf0.01 fixture never samples)
+    c_auto = kmeans_centroids(emb, n_cells=N_CELLS, iters=2)
+    c_full = kmeans_centroids(emb, n_cells=N_CELLS, iters=2, max_train_rows=None)
+    assert all((a == b).all() for a, b in zip(c_auto, c_full))
+
+    # over the cap: auto samples (differs from exact on a 2-cell fit
+    # whose cap is far below the corpus), deterministically
+    import kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf as ivf_mod
+
+    old = ivf_mod.TRAIN_PER_CELL
+    ivf_mod.TRAIN_PER_CELL = 8  # cap = 16 << n
+    try:
+        assert ivf_mod._auto_train_cap(2) == 16 < n
+        s1 = kmeans_centroids(emb, n_cells=2, iters=2)
+        s2 = kmeans_centroids(emb, n_cells=2, iters=2)
+        e = kmeans_centroids(emb, n_cells=2, iters=2, max_train_rows=None)
+    finally:
+        ivf_mod.TRAIN_PER_CELL = old
+    assert all((a == b).all() for a, b in zip(s1, s2))
+    assert not all((a == b).all() for a, b in zip(s1, e))
