@@ -960,3 +960,175 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("matched").cast("long").alias("n_matched"),
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse sequenceCount + retention (r10): the funnel siblings
+# --------------------------------------------------------------------------
+def sequence_count_expr(seq_col, steps: tuple[str, ...]):
+    """Greedy non-overlapping count of the ordered pattern
+    ``(?1).*(?2)…(?k)`` over a time-sorted array of
+    ``struct(e, event_type)`` — the ClickHouse ``sequenceCount``
+    automaton as ONE ``F.aggregate`` higher-order fold (k states; after
+    a chain completes the search RESTARTS, so an open chain consumes its
+    step events: for steps (A, B) the sequence A A B B counts 1, not the
+    maximum matching's 2)."""
+    k = len(steps)
+
+    def step(acc, x):
+        stage = None
+        for i, ev in enumerate(steps):
+            cond = (acc["stage"] == i) & (x["event_type"] == ev)
+            nxt = F.lit((i + 1) % k)
+            stage = F.when(cond, nxt) if stage is None else stage.when(cond, nxt)
+        completed = (acc["stage"] == k - 1) & (x["event_type"] == steps[-1])
+        return F.struct(
+            stage.otherwise(acc["stage"]).alias("stage"),
+            (acc["cnt"] + F.when(completed, 1).otherwise(0)).alias("cnt"),
+        )
+
+    return F.aggregate(
+        seq_col,
+        F.struct(F.lit(0).alias("stage"), F.lit(0).alias("cnt")),
+        step,
+    )["cnt"]
+
+
+@register(
+    "events_sequence_count",
+    tags=("WF2", "clickhouse-surface", "funnel"),
+    bench=True,
+    oracle="""
+    WITH RECURSIVE walk(user_id, pos, cnt) AS (
+        SELECT user_id, TIMESTAMP '1970-01-01', 0
+        FROM (SELECT DISTINCT user_id FROM events)
+        UNION ALL
+        SELECT user_id, m3, cnt + 1 FROM (
+            SELECT w.user_id, w.cnt,
+                (SELECT MIN(e3.ts) FROM events e3
+                 WHERE e3.user_id = w.user_id
+                   AND e3.event_type = 'purchase'
+                   AND e3.ts > (
+                    SELECT MIN(e2.ts) FROM events e2
+                    WHERE e2.user_id = w.user_id
+                      AND e2.event_type = 'signup'
+                      AND e2.ts > (
+                        SELECT MIN(e1.ts) FROM events e1
+                        WHERE e1.user_id = w.user_id
+                          AND e1.event_type = 'view'
+                          AND e1.ts > w.pos))) AS m3
+            FROM walk w
+        ) WHERE m3 IS NOT NULL
+    ),
+    per_user AS (SELECT user_id, MAX(cnt) AS c FROM walk GROUP BY user_id)
+    SELECT CAST(c AS INT) AS n_chains,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY c
+    """,
+)
+def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2).*(?3)')(ts, view, signup,
+    purchase)`` per user: how many NON-OVERLAPPING ordered
+    view -> signup -> purchase chains exist — greedy left-to-right,
+    restarting the search after each completed chain (the documented
+    ClickHouse semantics; NOT maximum matching: for A A B B a 2-step
+    count is 1, the second A is consumed by the open chain).
+
+    Spark-first shape = ClickHouse's own cost model: ClickHouse collects
+    each group's (timestamp, event) pairs in memory, sorts, and runs the
+    pattern automaton once. Here that is ``collect_list`` + ``array_sort``
+    per user and ONE ``F.aggregate`` higher-order fold running the 3-state
+    DFA — one exchange (the user-id aggregation), zero joins, zero pair
+    materialization, no Python in the row path. Per-user event counts
+    bound the array exactly as they bound ClickHouse's per-group arena.
+
+    The DuckDB oracle replays the greedy restart independently: a
+    recursive CTE advances a per-user cursor through correlated-MIN
+    chains (one recursion level per completed chain). Output is the
+    per-user chain-count distribution."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("double").alias("e"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("e", "event_type"))).alias("seq")
+    )
+    counts = per_user.select(
+        sequence_count_expr(F.col("seq"), ("view", "signup", "purchase")).alias("c")
+    )
+    return counts.groupBy("c").agg(
+        F.col("c").cast("int").alias("n_chains"),
+        F.count(F.lit(1)).alias("n_users"),
+    ).drop("c")
+
+
+@register(
+    "events_retention",
+    tags=("A3", "clickhouse-surface", "funnel"),
+    bench=True,
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+            MAX(CASE WHEN event_type = 'view' AND FLOOR(epoch(ts) / 86400) =
+                (SELECT MIN(FLOOR(epoch(ts) / 86400)) FROM events)
+                THEN 1 ELSE 0 END) AS r1,
+            MAX(CASE WHEN event_type = 'purchase' AND FLOOR(epoch(ts) / 86400) =
+                (SELECT MIN(FLOOR(epoch(ts) / 86400)) FROM events) + 1
+                THEN 1 ELSE 0 END) AS r2,
+            MAX(CASE WHEN event_type = 'purchase' AND FLOOR(epoch(ts) / 86400) =
+                (SELECT MIN(FLOOR(epoch(ts) / 86400)) FROM events) + 7
+                THEN 1 ELSE 0 END) AS r3,
+            MAX(CASE WHEN event_type = 'purchase' AND FLOOR(epoch(ts) / 86400) =
+                (SELECT MIN(FLOOR(epoch(ts) / 86400)) FROM events) + 14
+                THEN 1 ELSE 0 END) AS r4
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(r1) AS BIGINT) AS cohort_users,
+           CAST(SUM(r1 * r2) AS BIGINT) AS ret_d1,
+           CAST(SUM(r1 * r3) AS BIGINT) AS ret_d7,
+           CAST(SUM(r1 * r4) AS BIGINT) AS ret_d14
+    FROM pu
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, …, condN)``: per user an array of
+    flags where ``r1`` = cond1 ever held and ``r_i`` = cond1 AND cond_i
+    both held (the documented semantics — conditions are plain
+    predicates, no ordering requirement), then the usual
+    ``sum(r[i])`` rollup. Cohort = viewed on the fixture's first day;
+    retained = purchased on day +1 / +7 / +14.
+
+    Day bucketing is INTEGER epoch-day arithmetic
+    (``floor(epoch / 86400)``) on both sides — ``ts`` is an instant, so
+    any to_date/date_trunc spelling would regroup days under a non-UTC
+    driver session (the standing verify probe).
+
+    Plan: one tiny min-day aggregate broadcast onto the fact scan, one
+    user-keyed conditional aggregation (map-side partial), one final
+    single-row reduce — no joins beyond the broadcast, no window, scales
+    as a single fact pass at any user count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d"),
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    j = ev.join(F.broadcast(d0))
+    flag = lambda t, off: F.max(  # noqa: E731
+        ((F.col("event_type") == t) & (F.col("d") == F.col("d0") + off)).cast(
+            "int"
+        )
+    )
+    per_user = j.groupBy("user_id").agg(
+        flag("view", 0).alias("r1"),
+        flag("purchase", 1).alias("r2"),
+        flag("purchase", 7).alias("r3"),
+        flag("purchase", 14).alias("r4"),
+    )
+    return per_user.agg(
+        F.sum("r1").cast("long").alias("cohort_users"),
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("ret_d1"),
+        F.sum(F.col("r1") * F.col("r3")).cast("long").alias("ret_d7"),
+        F.sum(F.col("r1") * F.col("r4")).cast("long").alias("ret_d14"),
+    )

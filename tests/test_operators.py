@@ -994,3 +994,44 @@ def test_dict_hierarchy_truncation_is_loud(spark):
     # a deep-enough walk resolves the full chain with zero truncation
     full = dict_get_hierarchy(fact, d, "parent", "fk", "h", max_depth=8)
     assert {r.fk: r.h for r in full.collect()} == {1: [1, 2, 3, 4, 5], 4: [4, 5]}
+
+
+def test_sequence_count_greedy_restart_semantics(spark):
+    """sequenceCount is greedy NON-OVERLAPPING with restart (ClickHouse
+    docs: the search for the next chain starts after the current chain
+    matches) — an open chain consumes its step events, so A A B B is ONE
+    2-step chain, not the maximum matching's two."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.dq_suite import (
+        sequence_count_expr,
+    )
+
+    cases = [
+        # (events in time order, steps, expected count)
+        ("A A B B", ("A", "B"), 1),
+        ("A B A B", ("A", "B"), 2),
+        ("B A B", ("A", "B"), 1),
+        ("A B B A", ("A", "B"), 1),
+        ("A X B", ("A", "B"), 1),           # non-step events are invisible
+        ("V V S S P P", ("V", "S", "P"), 1),
+        ("V S P V S P", ("V", "S", "P"), 2),
+        # the 2nd V falls INSIDE the open chain's span — the restart
+        # begins after the completed chain's P, where no V remains
+        ("V S V P S P", ("V", "S", "P"), 1),
+        ("V S P V S V P", ("V", "S", "P"), 2),
+        ("P S V", ("V", "S", "P"), 0),
+        ("", ("V", "S", "P"), 0),
+    ]
+    rows = [
+        (i, [ (float(t), ev) for t, ev in enumerate(s.split()) ])
+        for i, (s, _, _) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, seq array<struct<e double, event_type string>>"
+    )
+    for i, (s, steps, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(sequence_count_expr(F.col("seq"), steps).alias("c"))
+            .head()[0]
+        )
+        assert got == want, (s, steps, got, want)

@@ -432,3 +432,26 @@ def test_replacing_final_is_partial_aggregate_not_sort_window(plans):
     # variant would sort every version through the exchange
     assert "partial_max_by" in p or "max_by" in p
     assert "Window" not in p
+
+
+def test_sequence_count_one_user_exchange_no_joins(plans):
+    """sequenceCount = collect_list per user + ONE HOF fold: the only
+    data-sized exchange is the user-id aggregation; no joins, no window,
+    no pair materialization — ClickHouse's per-group arena cost model."""
+    p = plans("events_sequence_count")
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "collect_list" in p and "aggregate(" in p
+
+
+def test_retention_is_broadcast_plus_conditional_agg(plans):
+    """retention() = one tiny min-day aggregate broadcast onto the fact
+    scan + a user-keyed conditional aggregation: the fact side never
+    shuffles for the join, and day bucketing is integer epoch-day
+    arithmetic (no timezone-dependent casts in the plan)."""
+    p = plans("events_retention")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    # the single-row min-day side may broadcast as a hash or (keyless)
+    # nested-loop join; either way the fact side must not exchange for it
+    assert "Broadcast" in p
