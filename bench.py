@@ -94,6 +94,28 @@ def main() -> None:
     spark = get_spark(app_name="kickhouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Calibration probe (r9 verdict #8): fixed CPU-bound work with ZERO
+    # fixture dependence, timed at suite start and end. Two same-code r9
+    # runs differed by ~15% purely from the ambient host window; this
+    # probe turns that window into a recorded number so round-over-round
+    # comparisons can normalize instead of eyeballing. One untimed warm
+    # run first so the probe measures the host, not codegen JIT.
+    def _calibration() -> float:
+        from pyspark.sql import functions as F
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            spark.range(0, 30_000_000, 1, 8).select(
+                # bit_xor, not sum: a 30M-hash sum overflows long under ANSI
+                F.bit_xor(F.xxhash64(F.col("id").cast("string")))
+            ).collect()
+            return time.perf_counter() - t0
+
+        once(), once()  # warm twice — the start probe runs on a cold JVM
+        return round(sorted(once() for _ in range(3))[1], 3)
+
+    calibration = {"start": _calibration()}
+
     # Warm pass: run EVERY selected query once so JIT/codegen compilation,
     # parquet footer reads and broadcast pools amortize before timing —
     # r02 showed cold-start landing on whichever queries ran early
@@ -533,6 +555,8 @@ def main() -> None:
             )
         con.close()
 
+    calibration["end"] = _calibration()
+
     total = round(sum(timings.values()), 3)
     prev_name, prev = previous_bench()
     deltas = {
@@ -549,6 +573,7 @@ def main() -> None:
         "collect_secs": collect_secs,
         "family_shared_secs": family_shared,
         "index_secs": index_secs,
+        "calibration_secs": calibration,
         "sf": SF_DIR,
     }
     if deltas:

@@ -802,6 +802,7 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly_gapfill_interpolate",
     tags=("A2", "clickhouse-surface", "with-fill", "interpolate"),
+    bench=True,
     oracle="""
     WITH obs AS (
         SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
@@ -898,6 +899,7 @@ def events_hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataF
 @register(
     "events_sequence_match",
     tags=("WF2", "clickhouse-surface", "funnel"),
+    bench=True,
     oracle="""
     WITH t1 AS (
         SELECT user_id, MIN(ts) AS m FROM events

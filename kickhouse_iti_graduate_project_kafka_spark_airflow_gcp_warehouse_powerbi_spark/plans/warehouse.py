@@ -272,6 +272,7 @@ def lineitem_inherit_order_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "customer_geo_dictget",
     tags=("J5", "W4"),
+    bench=True,
     oracle="""
     SELECT n.n_name AS nation, r.r_name AS region,
            COUNT(*) AS n_customers,
