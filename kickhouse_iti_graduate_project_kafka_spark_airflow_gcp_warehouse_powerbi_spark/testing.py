@@ -73,6 +73,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):
+            # multi-file fixtures (the sf1 ladder) write Spark-style
+            # directory tables; DuckDB needs the glob spelled out
+            path = os.path.join(path, "**", "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
