@@ -39,6 +39,16 @@ def decimal_sum(col: str | Column, scale: int = 2, precision: int = 18) -> Colum
     aggregation order — which is what makes distributed results reproducible
     and oracle-comparable. Use for money-like columns; plain float sums are
     only deterministic up to summation order.
+
+    Cross-engine exactness contract (r10 sf1 sweep finding): the final
+    decimal->double cast is only guaranteed identical across engines
+    while the SCALED integer (sum x 10^scale) stays below 2^53 — above
+    that, engines that convert via int->double->/10^scale double-round
+    (DuckDB) while BigDecimal-based casts round once (Spark), and the
+    results can differ in the last ulp. At scale 2 that bound is ~9e13,
+    far past any fixture; higher-scale decimal expressions must be
+    reduced to scale 2 BEFORE the double cast (see plans/tpch.py's
+    DECIMAL(38,2) pre-casts — sum_charge at scale 6 crossed 2^53 at sf1).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")

@@ -61,10 +61,10 @@ _REVENUE_SQL = (
            CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
                AS sum_base_price,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_REVENUE_SQL} *
-                    (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
-                AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_REVENUE_SQL} *
+                    (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))),
+                2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
                AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
@@ -89,8 +89,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             decimal_sum("l_quantity", 2, 14).alias("sum_qty"),
             decimal_sum("l_extendedprice", 2, 14).alias("sum_base_price"),
-            F.sum(rev).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.sum(rev).cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,2)").cast("double").alias("sum_charge"),
             decimal_avg("l_quantity", 2, 14).alias("avg_qty"),
             decimal_avg("l_extendedprice", 2, 14).alias("avg_price"),
             decimal_avg("l_discount", 2, 14).alias("avg_disc"),
@@ -108,7 +108,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J5", "A1", "A8"),
     oracle=f"""
     SELECT n.n_name AS nation, r.r_name AS region,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -135,7 +135,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -149,7 +149,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A9", "J5", "O1", "O2"),
     oracle=f"""
     SELECT c.c_custkey AS custkey, ANY_VALUE(c.c_name) AS name,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -172,7 +172,7 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_custkey").alias("custkey"))
         .agg(
             F.any_value(F.col("c_name")).alias("name"),
-            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
         .limit(10)
@@ -579,7 +579,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey AS orderkey,
            CAST(o.o_orderdate AS DATE) AS orderdate,
            o.o_orderpriority AS priority,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -611,7 +611,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("orderdate"),
             F.col("o_orderpriority").alias("priority"),
         )
-        .agg(F.sum(_revenue_dec()).cast("double").alias("revenue"))
+        .agg(F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
@@ -1027,7 +1027,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ELSE CAST(0 AS DECIMAL(14,2)) END)
                       / SUM({_REVENUE_SQL}) AS DOUBLE) + 1e-9, 4)
                AS promo_pct,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS total_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY strftime(l_shipdate, '%Y-%m')
     """,
@@ -1057,7 +1057,7 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.lit(100.0) * F.col("_p") / F.col("_t")).cast("double") + 1e-9, 4
             ).alias("promo_pct"),
-            F.col("_t").cast("double").alias("total_revenue"),
+            F.col("_t").cast("decimal(38,2)").cast("double").alias("total_revenue"),
         )
     )
 
@@ -1076,7 +1076,7 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
     ), tot AS (SELECT SUM(nation_rev) AS total FROM rev)
     SELECT nation,
-           CAST(nation_rev AS DOUBLE) AS nation_revenue,
+           CAST(ROUND(nation_rev, 2) AS DOUBLE) AS nation_revenue,
            ROUND(CAST(100.0 * nation_rev / total AS DOUBLE) + 1e-9, 4)
                AS revenue_share_pct
     FROM rev, tot
@@ -1113,7 +1113,7 @@ def top_revenue_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "nation",
-            F.col("nation_rev").cast("double").alias("nation_revenue"),
+            F.col("nation_rev").cast("decimal(38,2)").cast("double").alias("nation_revenue"),
             F.round(
                 (F.lit(100.0) * F.col("nation_rev") / F.col("total")).cast(
                     "double"
@@ -1135,7 +1135,7 @@ def top_revenue_share_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            strftime(l.l_shipdate, '%Y') AS ship_year,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey  = s.s_suppkey
@@ -1178,7 +1178,7 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("l_shipdate", "yyyy").alias("ship_year"),
         )
         .agg(
-            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1266,7 +1266,7 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_parts_revenue",
     tags=("A1", "J5", "tpch"),
     oracle=f"""
-    SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+    SELECT CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -1309,7 +1309,7 @@ def disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(pred)
         .agg(
-            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1770,7 +1770,7 @@ def sole_late_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J5", "tpch"),
     oracle=f"""
     SELECT n.n_name AS nation,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1806,7 +1806,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1822,7 +1822,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ELSE CAST(0 AS DECIMAL(14,2)) END)
                       / SUM({_REVENUE_SQL}) AS DOUBLE) + 1e-9, 4)
                AS share_pct,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS total_revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1856,7 +1856,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.lit(100.0) * F.col("_n") / F.col("_t")).cast("double") + 1e-9, 4
             ).alias("share_pct"),
-            F.col("_t").cast("double").alias("total_revenue"),
+            F.col("_t").cast("decimal(38,2)").cast("double").alias("total_revenue"),
         )
     )
 
@@ -1867,7 +1867,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_custkey AS custkey, ANY_VALUE(c.c_name) AS name,
            ANY_VALUE(n.n_name) AS nation,
-           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS lost_revenue
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS lost_revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1902,7 +1902,7 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("c_name").alias("name"),
             F.any_value("n_name").alias("nation"),
-            F.sum(_revenue_dec()).cast("double").alias("lost_revenue"),
+            F.sum(_revenue_dec()).cast("decimal(38,2)").cast("double").alias("lost_revenue"),
         )
         .orderBy(F.col("lost_revenue").desc(), F.col("custkey").asc())
         .limit(20)
@@ -1967,11 +1967,11 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-           CAST(SUM({_REVENUE_SQL} -
+           CAST(ROUND(SUM({_REVENUE_SQL} -
                     CAST(p.p_retailprice AS DECIMAL(14,2)) *
                     CAST(0.10 AS DECIMAL(3,2)) *
-                    CAST(l.l_quantity AS DECIMAL(14,2)))
-                AS DOUBLE) AS profit
+                    CAST(l.l_quantity AS DECIMAL(14,2))),
+                2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2011,7 +2011,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(_revenue_dec() - cost).cast("double").alias("profit"))
+        .agg(F.sum(_revenue_dec() - cost).cast("decimal(38,2)").cast("double").alias("profit"))
     )
 
 
@@ -2029,7 +2029,7 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey AS suppkey, s.s_name AS name,
-           CAST(r.total_rev AS DOUBLE) AS total_revenue
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_revenue
     FROM revenue r
     JOIN supplier s ON r.suppkey = s.s_suppkey
     WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
@@ -2063,6 +2063,6 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
-            F.col("total_rev").cast("double").alias("total_revenue"),
+            F.col("total_rev").cast("decimal(38,2)").cast("double").alias("total_revenue"),
         )
     )

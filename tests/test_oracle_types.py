@@ -93,3 +93,42 @@ def test_oracle_numeric_types_match_spark(spark, duck, name):
                     f"(cast the oracle expression to DOUBLE)"
                 )
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_money_sums_reduce_scale_before_double_cast(spark):
+    """r10 sf1 sweep finding: a DECIMAL(·,6) sum whose scaled integer
+    exceeds 2^53 casts to DIFFERENT doubles across engines (one vs two
+    roundings). The engine reduces money sums to scale 2 (cents) before
+    the double cast; this pins the behavior at the failing magnitude
+    without needing the sf1 fixture."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    # 2.7864e10-ish sum at scale 6 — the exact magnitude class that
+    # mismatched at sf1 (scaled int 2.79e16 > 2^53)
+    target = Decimal("27864155010.941590")
+    half = target / 2
+    df = spark.createDataFrame(
+        [(half,), (half,)], "v decimal(24,6)"
+    )
+    got = df.agg(
+        F.sum("v").cast("decimal(38,2)").cast("double").alias("d")
+    ).head()["d"]
+    import duckdb
+
+    want = duckdb.sql(
+        "SELECT CAST(CAST(CAST('27864155010.941590' AS DECIMAL(24,6)) "
+        "AS DECIMAL(38,2)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert got == want == float(Decimal("27864155010.94"))
+
+    # and WITHOUT the reduction the engines genuinely disagree at this
+    # magnitude — the property the fix exists for (if this ever starts
+    # passing, DuckDB fixed its cast and the pre-casts become optional)
+    raw_spark = df.agg(F.sum("v").cast("double").alias("d")).head()["d"]
+    raw_duck = duckdb.sql(
+        "SELECT CAST(CAST('27864155010.941590' AS DECIMAL(25,6)) AS DOUBLE)"
+    ).fetchone()[0]
+    assert raw_spark == float(target)  # Spark: one correctly-rounded cast
+    assert raw_duck != raw_spark

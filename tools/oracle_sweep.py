@@ -46,6 +46,9 @@ sys.path.insert(0, REPO)
 QUADRATIC_ORACLES = {
     "docs_ngram_jaccard_pairs": "exact all-pairs jaccard oracle, ~830 s at sf0.1 (BASELINE.md); companion docs_dup_span_stats / inverted-index legs are oracled",
     "docs_minhash_lsh_pairs": "same exact all-pairs jaccard base CTE as docs_ngram_jaccard_pairs",
+    "docs_dup_clusters": "cluster oracle built on the same all-pairs jaccard CTE (confirmed >600 s at sf1 in the r10 sweep)",
+    "docs_dedup_survivors": "survivor oracle built on the same all-pairs jaccard CTE (confirmed >600 s at sf1 in the r10 sweep)",
+    "docs_incremental_ingest": "oracle is an explicit odd-half x even-half all-pairs jaccard cross join (confirmed >600 s at sf1 in the r10 sweep); index-replay tests carry the operator",
 }
 
 
