@@ -687,8 +687,18 @@ def _funnel_by_scan(views, signups, purchases) -> DataFrame:
     last_view = F.max(F.when(F.col("k") == 2, F.col("e"))).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # reverse running min spelled as a GROWING frame over the DESCENDING
+    # order — NOT rowsBetween(1, unboundedFollowing): Spark's
+    # UnboundedFollowing frame recomputes the aggregate per row, O(n^2)
+    # in partition size (measured 15.4 s vs 0.48 s on one 30k-row user;
+    # the r10 skew probe caught the scan plan losing to the join plan it
+    # exists to replace). Same rows: positions AFTER i ascending ==
+    # positions BEFORE i descending, with the tie order mirrored.
+    w_rev = Window.partitionBy("user_id").orderBy(
+        F.col("e").desc(), F.col("k").desc()
+    )
     next_purchase = F.min(F.when(F.col("k") == 0, F.col("e"))).over(
-        w.rowsBetween(1, Window.unboundedFollowing)
+        w_rev.rowsBetween(Window.unboundedPreceding, -1)
     )
     sig = (
         ev3.withColumn("_lv", last_view)
@@ -864,10 +874,16 @@ def events_hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataF
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "next observed value" as a GROWING frame over the DESCENDING hour
+    # order — not (currentRow, unboundedFollowing): Spark recomputes
+    # UnboundedFollowing frames per row (O(n^2) in partition size), and
+    # the span clamp admits partitions up to MAX_FILL_HOURS rows. In
+    # descending order the rows at-or-after h sit at-or-before it, and
+    # the nearest one is the frame's LAST non-null.
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = j.select(
         "event_type",
@@ -877,8 +893,8 @@ def events_hourly_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataF
         F.last(F.when(F.col("mv").isNotNull(), F.col("h")), ignorenulls=True)
         .over(w_prev)
         .alias("ph"),
-        F.first("mv", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(F.when(F.col("mv").isNotNull(), F.col("h")), ignorenulls=True)
+        F.last("mv", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(F.when(F.col("mv").isNotNull(), F.col("h")), ignorenulls=True)
         .over(w_next)
         .alias("nh"),
     )

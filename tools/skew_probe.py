@@ -26,7 +26,7 @@ BASELINE.md.
 
 Usage:
     python tools/skew_probe.py [--sf-dir /root/testdata/sf0.1]
-        [--repeats 3] [--hot-share 0.10] [--doc-frac 0.5]
+        [--repeats 3] [--hot-shares 0.1,0.3,0.5] [--doc-frac 0.5] [--phrase-words 3,22]
 """
 
 from __future__ import annotations
@@ -49,8 +49,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--hot-share", type=float, default=0.10)
+    ap.add_argument("--hot-shares", default="0.1,0.3,0.5",
+                    help="comma list: share of ALL events moved to the hot user")
     ap.add_argument("--doc-frac", type=float, default=0.5)
+    ap.add_argument("--phrase-words", default="3,22",
+                    help="comma list: planted hot-phrase lengths (3-gram counts = w-2)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -85,32 +88,16 @@ def main() -> int:
     out: dict = {"sf_dir": args.sf_dir, "repeats": args.repeats}
 
     # ---- probe A: hot user vs events_window_funnel ----------------------
+    # measured as a CURVE over hot-user share: the gate exists for the
+    # cliff, so show where the cliff is, not one point on the flat part
     ev = load_table(spark, args.sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").cast("double").alias("e")
     )
     hot_id = -777
-    # deterministic ~hot_share of rows move to the hot user (md5-bucket
-    # selection — the engine-portable random contract)
-    bucket = F.conv(F.substring(F.md5(F.col("e").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    ) % 1000
-    skewed = ev.withColumn(
-        "user_id",
-        F.when(bucket < int(args.hot_share * 1000), F.lit(hot_id)).otherwise(
-            F.col("user_id")
-        ),
-    ).persist()
-    n_ev = skewed.count()
-    hot_n = skewed.filter(F.col("user_id") == hot_id).count()
     out["funnel"] = {
-        "events": n_ev,
-        "hot_user_events": hot_n,
-        "hot_user_share": round(hot_n / n_ev, 4),
+        "events": ev.count(),
         "gate_base": bool(should_salt(ev, ["user_id"], share_threshold=0.05)),
-        "gate_skewed": bool(should_salt(skewed, ["user_id"], share_threshold=0.05)),
-        "top_share_bound_skewed": round(
-            estimated_top_share(skewed, ["user_id"]), 4
-        ),
+        "shares": {},
     }
 
     def split(e):
@@ -120,7 +107,7 @@ def main() -> int:
             e.filter(F.col("event_type") == "purchase").select("user_id", F.col("e").alias("p")),
         )
 
-    for tag, frame in (("base", ev), ("skewed", skewed)):
+    def measure(frame):
         v, s, p = split(frame)
         res = {}
         for plan, fn in (("join", _funnel_by_join), ("scan", _funnel_by_scan)):
@@ -135,45 +122,69 @@ def main() -> int:
         b = sorted(map(tuple, _funnel_by_scan(v, s, p).collect()))
         res["results_equal"] = a == b
         res["users"] = len(a)
-        out["funnel"][tag] = res
-    skewed.unpersist()
+        return res
+
+    out["funnel"]["base"] = measure(ev)
+    # deterministic ~share of rows move to the hot user (md5-bucket
+    # selection — the engine-portable random contract)
+    bucket = F.conv(F.substring(F.md5(F.col("e").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 1000
+    for share in [float(x) for x in args.hot_shares.split(",") if x]:
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(bucket < int(share * 1000), F.lit(hot_id)).otherwise(
+                F.col("user_id")
+            ),
+        ).persist()
+        rec = measure(skewed)
+        rec["hot_user_events"] = skewed.filter(F.col("user_id") == hot_id).count()
+        rec["gate"] = bool(should_salt(skewed, ["user_id"], share_threshold=0.05))
+        rec["top_share_bound"] = round(estimated_top_share(skewed, ["user_id"]), 4)
+        out["funnel"]["shares"][str(share)] = rec
+        skewed.unpersist()
 
     # ---- probe B: hot shingle vs n-gram Jaccard guard --------------------
     docs = load_table(spark, args.sf_dir, "documents")
-    hot_phrase = " zq0 zq1 zq2"  # one planted 3-gram, unseen in the corpus
-    planted = docs.withColumn(
-        "text",
-        F.when(
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 1000
-            < int(args.doc_frac * 1000),
-            F.concat(F.col("text"), F.lit(hot_phrase)),
-        ).otherwise(F.col("text")),
-    ).persist()
-    n_docs = planted.count()
-    n_hot = planted.filter(F.col("text").endswith(hot_phrase)).count()
-    jac = {"docs": n_docs, "hot_shingle_docs": n_hot}
-    for tag, freq in (("guard_on", 1000), ("guard_off", None)):
-        samples, pairs = [], None
-        for _ in range(args.repeats):
-            clear_all_caches()
-            t0 = time.perf_counter()
-            pairs = ngram_jaccard_pairs(
-                planted, "text", "doc_id", n=3, threshold=0.5,
-                max_shingle_freq=freq,
-            ).count()
-            samples.append(time.perf_counter() - t0)
-        jac[tag] = {"secs": round(_median(samples), 3), "pairs": pairs}
-    clear_all_caches()
-    planted.unpersist()
-    out["jaccard"] = jac
+    out["jaccard"] = {}
+    for words in [int(x) for x in args.phrase_words.split(",") if x]:
+        # a planted phrase of W unseen tokens = W-2 hot 3-gram shingles,
+        # each with a posting list of ~doc_frac x |docs| documents — the
+        # stopword-run shape the guard exists for
+        hot_phrase = " " + " ".join(f"zq{i}" for i in range(words))
+        planted = docs.withColumn(
+            "text",
+            F.when(
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 1000
+                < int(args.doc_frac * 1000),
+                F.concat(F.col("text"), F.lit(hot_phrase)),
+            ).otherwise(F.col("text")),
+        ).persist()
+        n_docs = planted.count()
+        n_hot = planted.filter(F.col("text").endswith(hot_phrase)).count()
+        jac = {"docs": n_docs, "hot_docs": n_hot, "hot_shingles": max(words - 2, 1)}
+        for tag, freq in (("guard_on", 1000), ("guard_off", None)):
+            samples, pairs = [], None
+            for _ in range(args.repeats):
+                clear_all_caches()
+                t0 = time.perf_counter()
+                pairs = ngram_jaccard_pairs(
+                    planted, "text", "doc_id", n=3, threshold=0.5,
+                    max_shingle_freq=freq,
+                ).count()
+                samples.append(time.perf_counter() - t0)
+            jac[tag] = {"secs": round(_median(samples), 3), "pairs": pairs}
+        clear_all_caches()
+        planted.unpersist()
+        out["jaccard"][f"{words}w"] = jac
 
     print(json.dumps(out))
     ok = (
-        out["funnel"]["gate_skewed"]
-        and not out["funnel"]["gate_base"]
+        not out["funnel"]["gate_base"]
+        and all(r["gate"] for r in out["funnel"]["shares"].values())
         and out["funnel"]["base"]["results_equal"]
-        and out["funnel"]["skewed"]["results_equal"]
+        and all(r["results_equal"] for r in out["funnel"]["shares"].values())
     )
     return 0 if ok else 1
 
