@@ -455,3 +455,30 @@ def test_retention_is_broadcast_plus_conditional_agg(plans):
     # the single-row min-day side may broadcast as a hash or (keyless)
     # nested-loop join; either way the fact side must not exchange for it
     assert "Broadcast" in p
+
+
+def test_no_shrinking_window_frames_in_window_queries(plans):
+    """r10: Spark recomputes (k, unboundedFollowing) window frames per
+    row — O(n^2) in partition size (measured 15.4 s vs 0.48 s on one
+    30k-row partition; the skew probe caught the funnel scan losing to
+    the join plan it exists to replace). Reverse running aggregates must
+    be growing frames over the descending order: every window frame in
+    these plans starts at unboundedPreceding."""
+    import re
+
+    for q in (
+        "events_window_funnel",
+        "events_hourly_gapfill_interpolate",
+        "events_sequence_match",
+        "moving_avg_error_pct",
+        "latest_event_per_user",
+    ):
+        p = plans(q).lower()
+        for m in re.finditer(
+            r"specifiedwindowframe\((\w+), ([^,]+?), ([a-z$()0-9-]+)\)", p
+        ):
+            start, end = m.group(2), m.group(3)
+            if "unboundedfollowing" in end:
+                # whole-partition constant frames (unbounded both ways)
+                # evaluate once; anything else shrinking is the O(n^2)
+                assert "unboundedpreceding" in start, (q, m.group(0))
