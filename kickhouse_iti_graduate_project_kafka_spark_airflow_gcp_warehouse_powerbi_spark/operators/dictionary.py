@@ -140,7 +140,7 @@ def dict_get_hierarchy(
     out_col: str = "hierarchy",
     *,
     max_depth: int = 8,
-    on_truncated: str = "error",
+    on_truncated: str = "flag",
 ) -> DataFrame:
     """``dictGetHierarchy``: the ancestor chain ``[key, parent, …]`` as an
     array column, walking ``parent_attr`` links in the dictionary.
@@ -157,11 +157,16 @@ def dict_get_hierarchy(
     silently shortened (a shortened chain is a false-negative
     ``dict_is_in``). ``on_truncated`` picks the surfacing:
 
-    - ``"error"`` (default): one extra probe of the final tail; a
-      still-growing chain raises at execution time (JVM-side
-      ``raise_error``, no driver action) naming the key and depth.
-    - ``"flag"``: adds a boolean ``{out_col}_truncated`` column instead.
-    - ``"ignore"``: the pre-r10 silent behavior (skips the extra probe).
+    - ``"flag"`` (default): adds a boolean ``{out_col}_truncated``
+      column — loud but non-fatal, so pipelines over deep/cyclic
+      dictionary data keep running (ClickHouse itself silently bounds
+      the walk; the flag is the diagnosable version of that).
+    - ``"error"``: one extra probe of the final tail; a still-growing
+      chain raises at execution time (JVM-side ``raise_error``, no
+      driver action) naming the key and depth. Opt in where a shortened
+      chain must abort the job.
+    - ``"ignore"``: the exact ClickHouse bounded-walk behavior (skips
+      the extra probe and the flag column).
     """
     if on_truncated not in ("error", "flag", "ignore"):
         raise ValueError("on_truncated must be 'error', 'flag' or 'ignore'")
@@ -221,13 +226,14 @@ def dict_is_in(
     out_col: str = "is_in",
     *,
     max_depth: int = 8,
-    on_truncated: str = "error",
+    on_truncated: str = "flag",
 ) -> DataFrame:
     """``dictIsIn``: true iff ``ancestor_key`` appears in ``child_key``'s
     ancestor chain (the chain includes the child itself, matching the
     documented ClickHouse behavior). A ``max_depth``-truncated chain
     would silently answer false for deeper ancestors, so truncation
-    surfaces per ``on_truncated`` (default: execution-time error)."""
+    surfaces per ``on_truncated`` (default: a ``{out_col}_truncated``
+    flag column; pass ``"error"`` to abort instead)."""
     anc = F.col(ancestor_key) if isinstance(ancestor_key, str) else ancestor_key
     tmp = f"_isin{len(df.columns)}"
     walked = dict_get_hierarchy(

@@ -323,7 +323,15 @@ def kmeans_centroids(
     size without the caller thinking about it; pass ``None`` to reach
     the exact full-corpus fit explicitly, or an int to pick your own cap.
     """
-    if max_train_rows == "auto":
+    if isinstance(max_train_rows, str):
+        # fail fast on 'Auto'/'full'/etc — a non-'auto' string would fall
+        # through to `n > max_train_rows` and die with an opaque TypeError
+        # only after a full corpus count (mirrors on_truncated validation)
+        if max_train_rows != "auto":
+            raise ValueError(
+                "max_train_rows must be 'auto', an int cap, or None "
+                f"(got {max_train_rows!r})"
+            )
         max_train_rows = _auto_train_cap(n_cells)
     sampled = False
     if max_train_rows:

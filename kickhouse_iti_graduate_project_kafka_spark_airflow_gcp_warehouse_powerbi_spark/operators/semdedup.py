@@ -261,7 +261,7 @@ def semdedup_incremental(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_train_rows: int | None = None,
+    max_train_rows: int | None | str = "auto",
 ) -> DataFrame:
     """(id, cell, is_pruned, pruned_by) for each non-null batch vector —
     incremental-ingest semantic dedup with **first-seen-wins** policy: a
@@ -277,7 +277,17 @@ def semdedup_incremental(
     from the fitted corpus (or a persisted IVF index) — fitting on the
     batch alone would drift cell boundaries between ingests. With an
     empty corpus this reduces exactly to :func:`semdedup` on the batch
-    (tested)."""
+    (tested).
+
+    ``max_train_rows`` defaults to ``"auto"`` like the rest of the
+    family (:func:`semdedup`, ``build_ivf_index``, ``build_ivfpq_index``)
+    so sampling behavior is consistent across the API; it only applies
+    to the fallback k-means fit taken when ``centroids`` is None — the
+    recommended path passes the fitted corpus centroids, where training
+    never happens here at all. NOTE (since r10): corpora above the auto
+    cap train on a deterministic sample, so centroid (and hence cell /
+    pruning) assignments can differ from the pre-r10 exact fit; pass
+    ``max_train_rows=None`` to restore the exact full-corpus fit."""
     from .ivf import assign_cells_df, kmeans_centroids
 
     if centroids is None:

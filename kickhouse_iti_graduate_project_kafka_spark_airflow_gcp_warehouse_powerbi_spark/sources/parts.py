@@ -581,7 +581,13 @@ def _apply_ttl(df: DataFrame, meta: dict, as_of: float | None) -> DataFrame:
     if as_of is None or not meta.get("ttl_col"):
         return df
     # bare column-vs-literal comparison: pushdown-eligible, so parquet
-    # row-group stats prune parts with no expired rows at footer cost
+    # row-group stats prune parts with no expired rows at footer cost.
+    # The threshold is a driver-side Python float (as_of - ttl_seconds);
+    # a boundary value that isn't exactly representable can flip by 1 ulp
+    # vs the old column-side `col + ttl > as_of` spelling — acceptable
+    # for the pushdown win, and the maintenance sweep below uses the SAME
+    # precomputed-literal form, so read and expiry stay mutually
+    # consistent (a row is never visible to one and expired by the other)
     return df.filter(F.col(meta["ttl_col"]) > F.lit(as_of - meta["ttl_seconds"]))
 
 

@@ -306,3 +306,20 @@ def test_auto_train_cap_default(spark, sf_oracle):
         ivf_mod.TRAIN_PER_CELL = old
     assert all((a == b).all() for a, b in zip(s1, s2))
     assert not all((a == b).all() for a, b in zip(s1, e))
+
+
+def test_max_train_rows_rejects_unknown_strings(spark, sf_oracle):
+    """ADVICE r10: a string other than 'auto' (a typo like 'Auto' or
+    'full') must raise a clear ValueError up front — not fall through to
+    `n > max_train_rows` and die with an opaque TypeError after a full
+    corpus count."""
+    import pytest
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.ivf import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    for bad in ("Auto", "full", ""):
+        with pytest.raises(ValueError, match="max_train_rows"):
+            kmeans_centroids(emb, n_cells=2, iters=1, max_train_rows=bad)

@@ -953,8 +953,9 @@ def test_dict_get_or_default_null_attr_of_present_key_stays_null(spark):
 def test_dict_hierarchy_truncation_is_loud(spark):
     """A chain still growing at max_depth must never be returned
     silently shortened (a shortened chain is a false-negative dictIsIn):
-    default raises at execution time, 'flag' marks the row, 'ignore'
-    keeps the bounded-walk behavior."""
+    the default 'flag' marks the row (loud, non-fatal — ClickHouse-ish
+    pipelines over cyclic data keep running), 'error' raises at
+    execution time, 'ignore' keeps the exact bounded-walk behavior."""
     import pytest
 
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.dictionary import (
@@ -971,17 +972,29 @@ def test_dict_hierarchy_truncation_is_loud(spark):
     fact = spark.createDataFrame([(1,), (4,)], "fk int")
 
     with pytest.raises(Exception, match="still growing at max_depth=2"):
-        dict_get_hierarchy(fact, d, "parent", "fk", "h", max_depth=2).collect()
+        dict_get_hierarchy(
+            fact, d, "parent", "fk", "h", max_depth=2, on_truncated="error"
+        ).collect()
     with pytest.raises(Exception, match="still growing"):
-        dict_is_in(fact, d, "parent", "fk", F.lit(5), max_depth=2).collect()
+        dict_is_in(
+            fact, d, "parent", "fk", F.lit(5), max_depth=2, on_truncated="error"
+        ).collect()
 
+    # default = 'flag': loud column, no abort
     flagged = {
         r.fk: (r.h, r.h_truncated)
         for r in dict_get_hierarchy(
-            fact, d, "parent", "fk", "h", max_depth=2, on_truncated="flag"
+            fact, d, "parent", "fk", "h", max_depth=2
         ).collect()
     }
     assert flagged == {1: ([1, 2, 3], True), 4: ([4, 5], False)}
+    isin_flagged = {
+        r.fk: (r.is_in, r.is_in_truncated)
+        for r in dict_is_in(
+            fact, d, "parent", "fk", F.lit(5), max_depth=2
+        ).collect()
+    }
+    assert isin_flagged == {1: (False, True), 4: (True, False)}
 
     silent = {
         r.fk: r.h

@@ -101,11 +101,36 @@ def main() -> int:
             continue
         rec: dict = {}
         try:
-            t0 = time.perf_counter()
-            sdf = spec.fn(spark, args.sf_dir)
-            s_cols = list(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            rec["secs_spark"] = round(time.perf_counter() - t0, 3)
+            # The Spark side gets the same wall-clock budget as the
+            # oracle: one pathological query at a new scale must record
+            # a 'timeout' row, not hang the whole sweep. cancelAllJobs
+            # from a timer aborts the collect with a job-cancelled error.
+            s_timed_out = threading.Event()
+
+            def spark_watchdog():
+                s_timed_out.set()
+                spark.sparkContext.cancelAllJobs()
+
+            s_timer = threading.Timer(args.timeout_secs, spark_watchdog)
+            s_timer.start()
+            try:
+                t0 = time.perf_counter()
+                sdf = spec.fn(spark, args.sf_dir)
+                s_cols = list(sdf.columns)
+                s_rows = [tuple(r) for r in sdf.collect()]
+                rec["secs_spark"] = round(time.perf_counter() - t0, 3)
+            except Exception:
+                if s_timed_out.is_set():
+                    rec.update(
+                        status="timeout",
+                        detail=f"spark side exceeded {args.timeout_secs}s",
+                    )
+                    results[name] = rec
+                    print(f"[{i+1}/{len(names)}] {name}: TIMEOUT (spark)", flush=True)
+                    continue
+                raise
+            finally:
+                s_timer.cancel()
 
             con = testing.duckdb_connection(args.sf_dir)
             timed_out = threading.Event()
