@@ -950,12 +950,29 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it). The DuckDB oracle replays the same greedy chain
     independently via correlated MIN subqueries. Equal-timestamp events
     for one user order arbitrarily (as in ClickHouse); the fixtures have
-    none, and step comparisons are strict-in-time on both sides."""
+    none, and step comparisons are strict-in-time on both sides.
+
+    Whale-gated (r11): Spark's window exec spills a huge partition to
+    disk rather than OOM, but a 10⁸-event user still serializes one
+    task; under the ``should_salt`` gate the query reuses the
+    segment-fold counter (greedy earliest-first completes a chain iff
+    one exists, so matched ⇔ count ≥ 1) — equality-tested against the
+    window plan with a planted whale."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.col("ts").cast("double").alias("e"),
     )
+    from ..operators.heavy import should_salt
+
+    if should_salt(ev, ["user_id"], share_threshold=0.05):
+        per_user = _sequence_counts_by_segments(
+            ev, ("view", "signup", "purchase")
+        ).select("user_id", (F.col("c") >= 1).cast("int").alias("matched"))
+        return per_user.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("matched").cast("long").alias("n_matched"),
+        )
     prev = (
         Window.partitionBy("user_id")
         .orderBy("e")
@@ -983,14 +1000,9 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # ClickHouse sequenceCount + retention (r10): the funnel siblings
 # --------------------------------------------------------------------------
-def sequence_count_expr(seq_col, steps: tuple[str, ...]):
-    """Greedy non-overlapping count of the ordered pattern
-    ``(?1).*(?2)…(?k)`` over a time-sorted array of
-    ``struct(e, event_type)`` — the ClickHouse ``sequenceCount``
-    automaton as ONE ``F.aggregate`` higher-order fold (k states; after
-    a chain completes the search RESTARTS, so an open chain consumes its
-    step events: for steps (A, B) the sequence A A B B counts 1, not the
-    maximum matching's 2)."""
+def _dfa_step(steps: tuple[str, ...]):
+    """One transition of the greedy-restart ``sequenceCount`` automaton:
+    acc = struct(stage, cnt), x = struct(e, event_type)."""
     k = len(steps)
 
     def step(acc, x):
@@ -1005,11 +1017,116 @@ def sequence_count_expr(seq_col, steps: tuple[str, ...]):
             (acc["cnt"] + F.when(completed, 1).otherwise(0)).alias("cnt"),
         )
 
+    return step
+
+
+def sequence_count_expr(seq_col, steps: tuple[str, ...], init_stage: int = 0):
+    """Greedy non-overlapping count of the ordered pattern
+    ``(?1).*(?2)…(?k)`` over a time-sorted array of
+    ``struct(e, event_type)`` — the ClickHouse ``sequenceCount``
+    automaton as ONE ``F.aggregate`` higher-order fold (k states; after
+    a chain completes the search RESTARTS, so an open chain consumes its
+    step events: for steps (A, B) the sequence A A B B counts 1, not the
+    maximum matching's 2). ``init_stage`` starts the automaton mid-chain
+    (the segment-fold building block below)."""
     return F.aggregate(
         seq_col,
-        F.struct(F.lit(0).alias("stage"), F.lit(0).alias("cnt")),
-        step,
+        F.struct(F.lit(init_stage).alias("stage"), F.lit(0).alias("cnt")),
+        _dfa_step(steps),
     )["cnt"]
+
+
+def sequence_state_table_expr(seq_col, steps: tuple[str, ...]):
+    """The segment's full DFA transition summary: entry ``s`` = the
+    (end_stage, completed_count) of running the greedy automaton over
+    this time-sorted segment STARTING at stage ``s``. A sequential fold
+    becomes mergeable this way — tables compose like functions
+    (associatively), so per-user state can be carried across ordered
+    segments without ever materializing the user's whole event stream
+    in one task. k tables = k folds over the same array, still zero
+    Python in the row path."""
+    k = len(steps)
+    entries = []
+    for s0 in range(k):
+        folded = F.aggregate(
+            seq_col,
+            F.struct(F.lit(s0).alias("stage"), F.lit(0).alias("cnt")),
+            _dfa_step(steps),
+        )
+        entries.append(
+            F.struct(
+                folded["stage"].alias("end_stage"), folded["cnt"].alias("cnt")
+            )
+        )
+    return F.array(*entries)
+
+
+def _sequence_counts_by_collect(ev: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """(user_id, c): one collect_list + sort + fold per user — ClickHouse's
+    own per-group arena cost model. The default plan; a whale user's full
+    stream lands in ONE task's array, which is why it's gated."""
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("e", "event_type"))).alias("seq")
+    )
+    return per_user.select(
+        "user_id", sequence_count_expr(F.col("seq"), steps).alias("c")
+    )
+
+
+def _sequence_counts_by_segments(
+    ev: DataFrame, steps: tuple[str, ...], seg_secs: int = 3600
+) -> DataFrame:
+    """(user_id, c), whale-safe: events bucket into ``seg_secs`` time
+    segments, each (user, segment) folds to a k-entry DFA transition
+    table (bounded by the segment's event count), and the per-user
+    reduce composes the TABLES in segment order — array size = number of
+    segments (time-range / seg_secs), never the user's event count. A
+    10⁸-event bot user costs ~10⁴ tiny structs in the final fold instead
+    of a 10⁸-element array in one task. Result-identical to the collect
+    plan (equality-tested with a planted whale): segment boundaries
+    split on time, within-segment ties keep the same (e, event_type)
+    sort, and cross-segment ties cannot exist."""
+    per_seg = (
+        ev.withColumn("seg", F.floor(F.col("e") / seg_secs).cast("long"))
+        .groupBy("user_id", "seg")
+        .agg(F.array_sort(F.collect_list(F.struct("e", "event_type"))).alias("seq"))
+        .select(
+            "user_id",
+            "seg",
+            sequence_state_table_expr(F.col("seq"), steps).alias("t"),
+        )
+    )
+    per_user = per_seg.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("seg", "t"))).alias("segs")
+    )
+
+    def compose(acc, seg):
+        entry = F.element_at(seg["t"], acc["stage"] + 1)
+        return F.struct(
+            entry["end_stage"].alias("stage"),
+            (acc["cnt"] + entry["cnt"]).alias("cnt"),
+        )
+
+    final = F.aggregate(
+        F.col("segs"),
+        F.struct(F.lit(0).alias("stage"), F.lit(0).alias("cnt")),
+        compose,
+    )["cnt"]
+    return per_user.select("user_id", final.alias("c"))
+
+
+def _sequence_counts(ev: DataFrame, steps: tuple[str, ...]) -> DataFrame:
+    """Whale-gated per-user greedy chain counts (r10 verdict #5): the
+    count-min ``should_salt`` probe (same gate, same threshold as
+    ``events_window_funnel``) routes hot-user data to the segment-fold
+    plan whose task memory is bounded by events-per-hour, not
+    events-per-user; uniform data keeps the cheaper single-exchange
+    collect plan."""
+    from ..operators.heavy import should_salt
+
+    if should_salt(ev, ["user_id"], share_threshold=0.05):
+        return _sequence_counts_by_segments(ev, steps)
+    return _sequence_counts_by_collect(ev, steps)
 
 
 @register(
@@ -1058,7 +1175,11 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user and ONE ``F.aggregate`` higher-order fold running the 3-state
     DFA — one exchange (the user-id aggregation), zero joins, zero pair
     materialization, no Python in the row path. Per-user event counts
-    bound the array exactly as they bound ClickHouse's per-group arena.
+    bound the array exactly as they bound ClickHouse's per-group arena —
+    and (r11) the same whale gate as ``events_window_funnel`` routes
+    hot-user data to the segment-fold plan (:func:`_sequence_counts`),
+    whose task memory is bounded by events-per-hour, never
+    events-per-user.
 
     The DuckDB oracle replays the greedy restart independently: a
     recursive CTE advances a per-user cursor through correlated-MIN
@@ -1069,12 +1190,7 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ts").cast("double").alias("e"),
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("e", "event_type"))).alias("seq")
-    )
-    counts = per_user.select(
-        sequence_count_expr(F.col("seq"), ("view", "signup", "purchase")).alias("c")
-    )
+    counts = _sequence_counts(ev, ("view", "signup", "purchase"))
     return counts.groupBy("c").agg(
         F.col("c").cast("int").alias("n_chains"),
         F.count(F.lit(1)).alias("n_users"),

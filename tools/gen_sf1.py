@@ -35,12 +35,27 @@ Each table is written as MULTI-FILE parquet (`table.parquet/` dir) so
 the sf0.1 single-row-group scan-parallelism floor (BASELINE.md) does
 not contaminate the ladder.
 
+Skew mode (r10 verdict #1): the uniform fixture never exercises the
+data-dependent plan gates — ``--hot-user-share`` reassigns ~that share
+of ALL events to one user (routes ``events_window_funnel`` to the scan
+plan and stresses every per-user window/collect_list), ``--hot-cust-share``
+reassigns ~that share of orders to one customer (skews the orders⋈customer
+and orders⋈lineitem-side aggregations), and ``--hot-shingle-frac``
+appends one fixed 8-token phrase to ~that fraction of documents (gives
+the n-gram inverted index a stopword-grade posting list, the
+``max_shingle_freq`` guard's reason to exist). All selections are
+md5-bucket deterministic (the engine-portable random contract), hot ids
+are EXISTING copy-0 keys so FK joins still resolve, and both engines in
+an oracle sweep read the same skewed bytes — any divergence is a real
+plan-gate bug, not fixture noise.
+
 Usage:
     python tools/gen_sf1.py [--src DIR] [--dst DIR] [--copies N]
+        [--hot-user-share X] [--hot-cust-share X] [--hot-shingle-frac X]
 
 Defaults: src=/root/testdata/sf0.1, dst=<repo>/.benchdata/sf1
-(gitignored), copies=10. Deterministic: per-copy permutations seed from
-the copy index; no wall-clock anywhere.
+(gitignored), copies=10, no skew. Deterministic: per-copy permutations
+seed from the copy index; no wall-clock anywhere.
 """
 
 from __future__ import annotations
@@ -141,11 +156,58 @@ def _copy_df(
     return df
 
 
+#: Planted hot phrase: 8 fresh tokens = 6 hot 3-gram shingles per doc —
+#: long enough to matter to posting lists, short enough not to dominate
+#: per-doc token counts (the text-analysis queries keep realistic ratios).
+HOT_PHRASE = " " + " ".join(f"zqhot{i}" for i in range(8))
+
+
+def _md5_bucket(col) -> "F.Column":
+    """Deterministic uniform 0..999 bucket (engine-portable md5 contract)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000
+    )
+
+
+def _apply_skew(table: str, df: DataFrame, args) -> DataFrame:
+    """Post-union skew injection; identity when all shares are 0."""
+    if table == "events" and args.hot_user_share > 0:
+        # hot id = copy-0's user 0 (exists in every fixture)
+        df = df.withColumn(
+            "user_id",
+            F.when(
+                _md5_bucket(F.col("event_id")) < int(args.hot_user_share * 1000),
+                F.lit(0).cast("bigint"),
+            ).otherwise(F.col("user_id")),
+        )
+    if table == "orders" and args.hot_cust_share > 0:
+        df = df.withColumn(
+            "o_custkey",
+            F.when(
+                _md5_bucket(F.col("o_orderkey")) < int(args.hot_cust_share * 1000),
+                F.lit(0).cast("bigint"),
+            ).otherwise(F.col("o_custkey")),
+        )
+    if table == "documents" and args.hot_shingle_frac > 0:
+        df = df.withColumn(
+            "text",
+            F.when(
+                _md5_bucket(F.col("doc_id")) < int(args.hot_shingle_frac * 1000),
+                F.concat(F.col("text"), F.lit(HOT_PHRASE)),
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    return df
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(REPO, ".benchdata", "sf1"))
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--hot-user-share", type=float, default=0.0)
+    ap.add_argument("--hot-cust-share", type=float, default=0.0)
+    ap.add_argument("--hot-shingle-frac", type=float, default=0.0)
     args = ap.parse_args()
 
     spark = (
@@ -177,6 +239,7 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        out = _apply_skew(t, out, args)
         out.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(args.dst, f"{t}.parquet")
         )
