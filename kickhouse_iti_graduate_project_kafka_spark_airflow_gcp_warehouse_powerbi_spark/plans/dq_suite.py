@@ -1241,7 +1241,12 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one tiny min-day aggregate broadcast onto the fact scan, one
     user-keyed conditional aggregation (map-side partial), one final
     single-row reduce — no joins beyond the broadcast, no window, scales
-    as a single fact pass at any user count."""
+    as a single fact pass at any user count. Since r11 the per-user
+    flags come from the reusable :func:`operators.retention.retention`
+    (ClickHouse's N-arbitrary-predicate surface); this query is its
+    oracled instance."""
+    from ..operators.retention import retention
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1249,20 +1254,17 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d0 = ev.agg(F.min("d").alias("d0"))
     j = ev.join(F.broadcast(d0))
-    flag = lambda t, off: F.max(  # noqa: E731
-        ((F.col("event_type") == t) & (F.col("d") == F.col("d0") + off)).cast(
-            "int"
-        )
+    cond = lambda t, off: (  # noqa: E731
+        (F.col("event_type") == t) & (F.col("d") == F.col("d0") + off)
     )
-    per_user = j.groupBy("user_id").agg(
-        flag("view", 0).alias("r1"),
-        flag("purchase", 1).alias("r2"),
-        flag("purchase", 7).alias("r3"),
-        flag("purchase", 14).alias("r4"),
+    per_user = retention(
+        j,
+        [cond("view", 0), cond("purchase", 1), cond("purchase", 7), cond("purchase", 14)],
+        key_cols=("user_id",),
     )
     return per_user.agg(
         F.sum("r1").cast("long").alias("cohort_users"),
-        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("ret_d1"),
-        F.sum(F.col("r1") * F.col("r3")).cast("long").alias("ret_d7"),
-        F.sum(F.col("r1") * F.col("r4")).cast("long").alias("ret_d14"),
+        F.sum("r2").cast("long").alias("ret_d1"),
+        F.sum("r3").cast("long").alias("ret_d7"),
+        F.sum("r4").cast("long").alias("ret_d14"),
     )

@@ -1128,3 +1128,52 @@ def test_sequence_family_whale_guard(spark):
     # the whale's cycle view,signup,purchase,error repeats 250k times ->
     # 250k complete greedy chains (an independent closed form)
     assert seg[999] == n_whale // 4
+
+
+def test_retention_operator_clickhouse_gating(spark):
+    """operators.retention (r11): flag 1 = cond1 ever held per key;
+    flag i = cond1 AND cond_i both held (a key OUTSIDE the cohort
+    contributes 0 to every retained bucket even when cond_i held) —
+    the documented ClickHouse retention() semantics."""
+    import pytest
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.retention import (
+        retention,
+    )
+
+    rows = [
+        # u1: in cohort, retained at c2 only
+        (1, "a"), (1, "b"),
+        # u2: in cohort only
+        (2, "a"),
+        # u3: NOT in cohort but c2/c3 held -> all zeros except nothing
+        (3, "b"), (3, "c"),
+        # u4: everything
+        (4, "a"), (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ev string")
+    conds = [F.col("ev") == t for t in ("a", "b", "c")]
+    got = {
+        r.user_id: (r.r1, r.r2, r.r3)
+        for r in retention(df, conds).collect()
+    }
+    assert got == {
+        1: (1, 1, 0),
+        2: (1, 0, 0),
+        3: (0, 0, 0),
+        4: (1, 1, 1),
+    }
+
+    # rollup composes as plain sums (gating already applied per key)
+    tot = retention(df, conds).agg(
+        F.sum("r1").alias("s1"), F.sum("r2").alias("s2"), F.sum("r3").alias("s3")
+    ).head()
+    assert (tot.s1, tot.s2, tot.s3) == (3, 2, 1)
+
+    # multi-key grouping + custom prefix
+    df2 = df.withColumn("site", F.lit("x"))
+    out = retention(df2, conds, key_cols=("site", "user_id"), out_prefix="f")
+    assert set(out.columns) == {"site", "user_id", "f1", "f2", "f3"}
+
+    with pytest.raises(ValueError, match="at least one condition"):
+        retention(df, [])
