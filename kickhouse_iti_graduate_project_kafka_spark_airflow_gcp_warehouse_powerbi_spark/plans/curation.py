@@ -39,6 +39,57 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+#: Sweep-scale sampled-oracle contract (r10 verdict #3). The exact
+#: all-pairs jaccard oracles behind the near-dup family are quadratic BY
+#: DESIGN (~830 s at sf0.1, hours at sf1), so the full-catalog sweep
+#: skip-lists them and their at-scale correctness used to ride invariant
+#: companions. The ``*_sampled`` variants below restrict BOTH engines to
+#: the same deterministic md5-bucket sample of documents (4% ≈ 2k docs /
+#: ~2M oracle pairs at sf1 — minutes of DuckDB, not hours), giving the
+#: inverted-index, LSH, CC and incremental-ingest code paths DIRECT
+#: oracle rows at sweep scale. 4% balances oracle cost (quadratic in the
+#: sample) against planted-pair survival (quadratic thinning: a pair
+#: survives with p = 0.0016, so sf1's ~2.5k planted pairs keep a handful
+#: while the true-negative mass — what the index guards against — stays
+#: ~2k docs strong).
+SWEEP_SAMPLE_PCT = 4
+
+#: DuckDB spelling of ``sample_bucket(doc_id) < SWEEP_SAMPLE_PCT``
+SWEEP_SAMPLE_WHERE = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % 100 < {SWEEP_SAMPLE_PCT}"
+)
+
+
+def sweep_sample_key(sf_dir: str) -> str:
+    """Shared pair/shingle cache key for the sampled variants — distinct
+    from the full-corpus key so the two never collide, shared across the
+    sampled family so CC reuses the sampled pair cache."""
+    return f"{sf_dir}#s{SWEEP_SAMPLE_PCT}"
+
+
+def sampled_oracle(oracle: str) -> str:
+    """Rewrite a documents-table oracle to run on the deterministic
+    sample: every ``FROM documents`` (with or without alias) is pointed
+    at a prepended ``sd`` CTE holding the sampled rows. Keeping the
+    original SQL as the single source of truth means the sampled oracle
+    can never drift from the full one."""
+    sd = f"sd AS (SELECT * FROM documents WHERE {SWEEP_SAMPLE_WHERE}), "
+    body = oracle.replace("FROM documents", "FROM sd")
+    for kw in ("WITH RECURSIVE", "WITH"):
+        idx = body.find(kw)
+        if idx >= 0:
+            cut = idx + len(kw)
+            return body[:cut] + " " + sd + body[cut:]
+    return "WITH " + sd + body
+
+
+def _docs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).filter(
+        sample_bucket(F.col("doc_id")) < SWEEP_SAMPLE_PCT
+    )
+
+
 #: sf_dir -> persisted (id, component) labels for the standard near-dup
 #: clustering (3-gram Jaccard >= 0.5). docs_dup_clusters and
 #: docs_dedup_survivors consume the SAME clustering; without sharing, each
@@ -47,16 +98,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_CACHE: dict[str, DataFrame] = {}
 
 
-def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hit = _CC_CACHE.get(sf_dir)
+def _dup_components(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+) -> DataFrame:
+    key = sf_dir if sample_pct is None else sweep_sample_key(sf_dir)
+    hit = _CC_CACHE.get(key)
     if hit is not None:
         return hit
     docs = _docs(spark, sf_dir)
+    if sample_pct is not None:
+        docs = docs.filter(sample_bucket(F.col("doc_id")) < sample_pct)
     # materialize=False: CC's first eager checkpoint computes the pairs
     # through lineage, populating the persisted pair cache in the same
     # pass — no separate pair-materialization barrier.
     pairs = jaccard_pairs_cached(
-        docs, "text", "doc_id", n=3, threshold=0.5, cache_key=sf_dir,
+        docs, "text", "doc_id", n=3, threshold=0.5, cache_key=key,
         materialize=False,
     )
     comps = connected_components(
@@ -70,9 +126,14 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     comps.count()
     release_persisted()  # shingle-index intermediates; pairs/comps stay pinned
-    for k in [k for k in _CC_CACHE if k != sf_dir]:
+    # evict other FIXTURES only: the full and sampled clusterings of the
+    # same fixture serve adjacent catalog queries in an alphabetical
+    # sweep — evicting across the full/sampled boundary would recompute
+    # CC four times per suite instead of twice
+    base = key.split("#")[0]
+    for k in [k for k in _CC_CACHE if k.split("#")[0] != base]:
         _CC_CACHE.pop(k).unpersist()
-    _CC_CACHE[sf_dir] = comps
+    _CC_CACHE[key] = comps
     return comps
 
 
@@ -1282,3 +1343,68 @@ def docs_weighted_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFr
         F.min(F.when(F.col("cw") * 10 >= 9 * F.col("tw"), F.col("v"))).alias("w_p90"),
         F.max("tw").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-scale sampled variants of the quadratic-oracle near-dup family
+# (r10 verdict #3). Each reuses the ORIGINAL oracle SQL rewritten onto the
+# deterministic 4% sample (sampled_oracle — zero drift possible) and the
+# SAME Spark operator over the identically-sampled input, so the sf1 sweep
+# records direct oracle rows for the inverted-index / CC / incremental
+# code paths that the full quadratic oracles cannot verify at scale.
+# ---------------------------------------------------------------------------
+
+from ..catalog import REGISTRY as _REGISTRY  # noqa: E402 — originals above
+
+
+@register(
+    "docs_dup_clusters_sampled",
+    tags=("dedup", "cc", "sweep-sampled"),
+    oracle=sampled_oracle(_REGISTRY["docs_dup_clusters"].oracle),
+)
+def docs_dup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_dup_clusters over the deterministic 4% md5-bucket sample —
+    the direct at-scale oracle row for pair generation + large/small-star
+    CC (the full recursive-CTE oracle is quadratic; tools/oracle_sweep.py
+    skip-lists it above sf0.1)."""
+    comps = _dup_components(spark, sf_dir, sample_pct=SWEEP_SAMPLE_PCT)
+    return cluster_sizes(comps).select(
+        F.col("component").alias("cluster_rep"), "cluster_size"
+    )
+
+
+@register(
+    "docs_dedup_survivors_sampled",
+    tags=("dedup", "cc", "sweep-sampled"),
+    oracle=sampled_oracle(_REGISTRY["docs_dedup_survivors"].oracle),
+)
+def docs_dedup_survivors_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_dedup_survivors over the deterministic 4% sample — keep/drop
+    decisions per language with a direct oracle at sweep scale."""
+    docs = _docs_sampled(spark, sf_dir)
+    comps = _dup_components(spark, sf_dir, sample_pct=SWEEP_SAMPLE_PCT)
+    labeled = docs.join(comps, docs["doc_id"] == comps["id"])
+    kept = F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
+    return labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept)).alias("n_dropped"),
+    )
+
+
+@register(
+    "docs_incremental_ingest_sampled",
+    tags=("dedup", "incremental", "sweep-sampled"),
+    oracle=sampled_oracle(_REGISTRY["docs_incremental_ingest"].oracle),
+)
+def docs_incremental_ingest_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs_incremental_ingest over the deterministic 4% sample: odd
+    sampled doc_ids arrive as the batch, even sampled doc_ids are the
+    corpus — the bipartite batch-vs-corpus classifier with a direct
+    oracle at sweep scale."""
+    from ..operators.dedup import incremental_dedup
+
+    docs = _docs_sampled(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(corpus, batch, "text", "doc_id", n=3, threshold=0.5)

@@ -41,14 +41,18 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: Oracles infeasible at 10x by construction (exact all-pairs replays);
-#: each name's invariant companion is oracled and green in the catalog.
+#: Oracles infeasible at 10x by construction (exact all-pairs replays).
+#: Since r11 each one ALSO has a direct ``*_sampled`` companion in the
+#: catalog (same operator + same oracle SQL rewritten onto a
+#: deterministic 4% md5-bucket sample — plans/curation.sampled_oracle)
+#: that runs un-skipped in this sweep, so at-scale correctness no longer
+#: rides invariant companions alone.
 QUADRATIC_ORACLES = {
-    "docs_ngram_jaccard_pairs": "exact all-pairs jaccard oracle, ~830 s at sf0.1 (BASELINE.md); companion docs_dup_span_stats / inverted-index legs are oracled",
-    "docs_minhash_lsh_pairs": "same exact all-pairs jaccard base CTE as docs_ngram_jaccard_pairs",
-    "docs_dup_clusters": "cluster oracle built on the same all-pairs jaccard CTE (confirmed >600 s at sf1 in the r10 sweep)",
-    "docs_dedup_survivors": "survivor oracle built on the same all-pairs jaccard CTE (confirmed >600 s at sf1 in the r10 sweep)",
-    "docs_incremental_ingest": "oracle is an explicit odd-half x even-half all-pairs jaccard cross join (confirmed >600 s at sf1 in the r10 sweep); index-replay tests carry the operator",
+    "docs_ngram_jaccard_pairs": "exact all-pairs jaccard oracle, ~830 s at sf0.1 (BASELINE.md); direct sampled companion docs_ngram_jaccard_pairs_sampled runs in this sweep",
+    "docs_minhash_lsh_pairs": "same exact all-pairs jaccard base CTE as docs_ngram_jaccard_pairs; direct sampled companion docs_minhash_lsh_pairs_sampled runs in this sweep",
+    "docs_dup_clusters": "cluster oracle built on the same all-pairs jaccard CTE (confirmed >600 s at sf1 in the r10 sweep); direct sampled companion docs_dup_clusters_sampled runs in this sweep",
+    "docs_dedup_survivors": "survivor oracle built on the same all-pairs jaccard CTE (confirmed >600 s at sf1 in the r10 sweep); direct sampled companion docs_dedup_survivors_sampled runs in this sweep",
+    "docs_incremental_ingest": "oracle is an explicit odd-half x even-half all-pairs jaccard cross join (confirmed >600 s at sf1 in the r10 sweep); direct sampled companion docs_incremental_ingest_sampled runs in this sweep",
 }
 
 
