@@ -17,6 +17,16 @@ Also supported:
     --repeats=N      cold repeats per suite query (default 3; median wins)
     --oracle         additionally time the DuckDB oracle per query (stderr)
     --explain        print each query's formatted physical plan (stderr)
+    --interleave=A,B paired A/B comparison of two treatments (git refs or
+                     checkout dirs; "." = this tree). Two persistent
+                     worker sessions run side by side and every repeat
+                     alternates A/B back-to-back (order flipped per
+                     repeat), so both treatments see the SAME ambient
+                     host window — the honest way to claim a perf win
+                     (the fixed-work calibration probe was refuted as a
+                     window normalizer in r10: probe −11% while the
+                     suite moved +34% on identical code). Reports paired
+                     per-query deltas; negative delta = B faster.
 """
 
 from __future__ import annotations
@@ -73,16 +83,165 @@ def previous_bench() -> tuple[str | None, dict[str, float]]:
         return os.path.basename(path), {}
 
 
+class _Worker:
+    """One treatment session for --interleave (see tools/ab_worker.py)."""
+
+    def __init__(self, tag: str, repo_dir: str, sf_dir: str):
+        import subprocess
+
+        self.tag = tag
+        self.repo = repo_dir
+        self.log = open(f"/tmp/ab_worker_{tag}.log", "w")
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "ab_worker.py"),
+             repo_dir, sf_dir],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=self.log,
+            text=True,
+        )
+        ready = json.loads(self.proc.stdout.readline())
+        assert ready.get("ready"), ready
+
+    def call(self, op: str, name: str) -> dict:
+        self.proc.stdin.write(json.dumps({"op": op, "name": name}) + "\n")
+        self.proc.stdin.flush()
+        line = self.proc.stdout.readline()
+        if not line:
+            raise RuntimeError(f"worker {self.tag} died (see {self.log.name})")
+        return json.loads(line)
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write(json.dumps({"op": "quit"}) + "\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:  # noqa: BLE001
+            self.proc.kill()
+        self.log.close()
+
+
+def run_interleave(ref_arg: str, names: set[str], repeats: int) -> None:
+    """Paired A/B bench: alternate every repeat between two treatments so
+    the ambient window hits both equally; report per-query paired deltas."""
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    ref_a, ref_b = ref_arg.split(",", 1)
+    registry = load_all()
+    qnames = sorted(
+        n for n, s in registry.items() if (n in names or (not names and s.bench))
+    )
+
+    tmp_roots: list[str] = []
+
+    def materialize(ref: str) -> str:
+        if ref in (".", "HEAD-TREE") or os.path.isdir(ref):
+            return REPO if ref in (".", "HEAD-TREE") else os.path.abspath(ref)
+        root = tempfile.mkdtemp(prefix="kickhouse-ab-")
+        tmp_roots.append(root)
+        wt = os.path.join(root, "wt")
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", wt, ref],
+            check=True, capture_output=True,
+        )
+        return wt
+
+    try:
+        dir_a, dir_b = materialize(ref_a), materialize(ref_b)
+        wa = _Worker("a", dir_a, SF_DIR)
+        wb = _Worker("b", dir_b, SF_DIR)
+        per_q: dict[str, dict] = {}
+        errors: dict[str, str] = {}
+        try:
+            # settle pass: one untimed timed-shape execution per worker so
+            # whole-stage-codegen JIT and parquet footer caches amortize
+            # before the FIRST paired sample (the per-query warm alone
+            # leaves the first query's initial repeat measurably cold)
+            for w in (wa, wb):
+                r = w.call("warm", qnames[0])
+                if "error" not in r:
+                    w.call("time", qnames[0])
+            for name in qnames:
+                ra, rb = wa.call("warm", name), wb.call("warm", name)
+                if "error" in ra or "error" in rb:
+                    errors[name] = ra.get("error") or rb.get("error")
+                    continue
+                sa: list[float] = []
+                sb: list[float] = []
+                deltas: list[float] = []
+                for i in range(repeats):
+                    # flip order per repeat so neither treatment always
+                    # pays the "first after idle" slot
+                    order = [(wa, sa), (wb, sb)] if i % 2 == 0 else [(wb, sb), (wa, sa)]
+                    got: dict[str, float] = {}
+                    for w, bucket in order:
+                        r = w.call("time", name)
+                        if "error" in r:
+                            errors[name] = r["error"]
+                            break
+                        bucket.append(r["secs"])
+                        got[w.tag] = r["secs"]
+                    if name in errors:
+                        break
+                    deltas.append(round(got["b"] - got["a"], 3))
+                if name in errors:
+                    continue
+                med_a, med_b = statistics.median(sa), statistics.median(sb)
+                per_q[name] = {
+                    "a": round(med_a, 3),
+                    "b": round(med_b, 3),
+                    "paired_deltas": deltas,
+                    "delta_median": round(statistics.median(deltas), 3),
+                    "pct": round(100.0 * (med_b - med_a) / med_a, 1) if med_a else None,
+                }
+                print(
+                    f"{name}: a={med_a:.3f}s b={med_b:.3f}s "
+                    f"paired_delta={per_q[name]['delta_median']:+.3f}s",
+                    file=sys.stderr, flush=True,
+                )
+        finally:
+            wa.quit()
+            wb.quit()
+        total_a = round(sum(q["a"] for q in per_q.values()), 3)
+        total_b = round(sum(q["b"] for q in per_q.values()), 3)
+        print(json.dumps({
+            "metric": "ab_paired_suite_seconds",
+            "ref_a": ref_a, "ref_b": ref_b,
+            "value": total_b, "unit": "sec",
+            "total_a": total_a, "total_b": total_b,
+            "total_delta": round(total_b - total_a, 3),
+            "repeats": repeats,
+            "errors": errors,
+            "sf": SF_DIR,
+            "queries": per_q,
+        }))
+    finally:
+        for root in tmp_roots:
+            wt = os.path.join(root, "wt")
+            subprocess.run(
+                ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+                capture_output=True,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = set(sys.argv[1:])
     run_all = "--all" in args
     time_oracle = "--oracle" in args
     show_explain = "--explain" in args
     repeats = 3
+    interleave = None
     for a in args:
         if a.startswith("--repeats="):
             repeats = max(1, int(a.split("=", 1)[1]))
+        if a.startswith("--interleave="):
+            interleave = a.split("=", 1)[1]
     names = {a for a in args if not a.startswith("--")}
+    if interleave:
+        run_interleave(interleave, names, repeats)
+        return
 
     registry = load_all()
     selected = [
