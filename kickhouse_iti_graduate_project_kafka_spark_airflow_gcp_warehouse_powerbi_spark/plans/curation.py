@@ -74,14 +74,14 @@ def sampled_oracle(oracle: str) -> str:
     at a prepended ``sd`` CTE holding the sampled rows. Keeping the
     original SQL as the single source of truth means the sampled oracle
     can never drift from the full one."""
-    sd = f"sd AS (SELECT * FROM documents WHERE {SWEEP_SAMPLE_WHERE}), "
+    sd = f"sd AS (SELECT * FROM documents WHERE {SWEEP_SAMPLE_WHERE})"
     body = oracle.replace("FROM documents", "FROM sd")
     for kw in ("WITH RECURSIVE", "WITH"):
         idx = body.find(kw)
         if idx >= 0:
             cut = idx + len(kw)
-            return body[:cut] + " " + sd + body[cut:]
-    return "WITH " + sd + body
+            return body[:cut] + " " + sd + ", " + body[cut:]
+    return "WITH " + sd + " " + body
 
 
 def _docs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1177,3 +1177,40 @@ def test_retention_operator_clickhouse_gating(spark):
 
     with pytest.raises(ValueError, match="at least one condition"):
         retention(df, [])
+
+
+def test_sampled_oracle_rewrite_shapes():
+    """sampled_oracle must (a) prepend the sd CTE right after the WITH
+    keyword (RECURSIVE preserved), (b) repoint every FROM documents —
+    bare, aliased, or WHERE-suffixed — at sd, and (c) synthesize a WITH
+    for oracle bodies that had none."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.curation import (
+        SWEEP_SAMPLE_WHERE,
+        sampled_oracle,
+    )
+
+    rec = sampled_oracle(
+        "WITH RECURSIVE t AS (SELECT doc_id FROM documents) "
+        "SELECT * FROM documents d JOIN t ON t.doc_id = d.doc_id "
+        "WHERE d.doc_id % 2 = 1"
+    )
+    assert rec.startswith("WITH RECURSIVE sd AS (SELECT * FROM documents WHERE")
+    assert SWEEP_SAMPLE_WHERE in rec
+    # every original documents reference now reads sd (alias kept intact)
+    assert "FROM sd) SELECT * FROM sd d JOIN" in rec.replace("  ", " ")
+    assert rec.count("FROM documents") == 1  # only inside the sd CTE
+
+    plain = sampled_oracle("SELECT COUNT(*) AS n FROM documents")
+    assert plain.startswith("WITH sd AS (")
+    assert plain.endswith("FROM sd")
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    full = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    sampled = con.execute(plain).fetchone()[0]
+    assert 0 < sampled < full  # the predicate actually thins the table
