@@ -37,9 +37,14 @@ latest right row with ``r.ts <= l.ts`` (equal timestamps DO match, because
 right rows sort before left rows at the same instant); ``forward`` matches
 the earliest right row with ``r.ts >= l.ts``. Among right rows sharing one
 exact timestamp the winner follows ``tiebreak`` (highest wins backward,
-lowest wins forward); engines leave this unspecified, so oracle fixtures
-must be tie-free on (key, ts) — the driver tables are (verified at all
-scale factors).
+lowest wins forward). Engines leave that corner unspecified — and the r11
+skewed sweep caught it biting for real: a whale user aggregating events
+from many sources accumulates duplicate (key, ts) rows, and without a
+pinned order the engine and the oracle silently chose different winners.
+Production queries over data that can tie should ALWAYS pass ``tiebreak``
+(the catalog as-of queries pass ``event_id``); an oracle replicates the
+contract by collapsing right rows to MAX(tiebreak) per (key, ts) backward
+/ MIN forward before its native ASOF.
 """
 
 from __future__ import annotations

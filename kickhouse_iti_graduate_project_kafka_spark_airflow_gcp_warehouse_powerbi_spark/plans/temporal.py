@@ -8,9 +8,16 @@ snapshot-as-of-fact joins. These queries make the engine's as-of operator
 (`operators/asof.py` — union-tag sweep, one shuffle, no range blow-up)
 driver-checkable against DuckDB's native ``ASOF JOIN``.
 
-Determinism: the driver fixtures have no duplicate (user_id, ts) pairs at
-any scale factor (verified), so ASOF's tie-unspecified corner never fires;
-gaps are exact integer microseconds on both engines.
+Determinism: engines leave ASOF's equal-timestamp corner unspecified, and
+the r11 SKEWED sweep proved it bites — reassigning 10% of events to one
+whale user creates thousands of duplicate (user_id, ts) right rows (the
+10-copy fixture reuses sf0.1 timestamps), and the engine and DuckDB
+silently picked different winners. Every as-of query therefore pins a
+TOTAL order: the engine passes ``tiebreak="event_id"`` (highest id wins
+backward, lowest wins forward — operators/asof.py contract) and each
+oracle pre-collapses the right side to one row per (user_id, ts) with the
+same MAX/MIN(event_id) rule, which keeps DuckDB's native ASOF exact while
+staying O(n log n). Gaps are exact integer microseconds on both engines.
 """
 
 from __future__ import annotations
@@ -37,7 +44,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), v AS (
-        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+        -- tie contract: highest event_id wins an equal-(user, ts) group;
+        -- collapsing to that winner FIRST keeps native ASOF deterministic
+        SELECT user_id, ts, MAX(event_id) AS event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
     )
     SELECT p.event_id AS purchase_id,
            p.user_id AS user_id,
@@ -61,7 +71,9 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.filter(F.col("event_type") == "view").select(
         "user_id", "event_id", "ts"
     )
-    out = asof_join(p, v, on=["user_id"], left_ts="ts", right_ts="ts")
+    out = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="ts", tiebreak="event_id"
+    )
     return out.select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
@@ -81,7 +93,9 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), v AS (
-        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+        -- same tie contract as purchase_attribution_asof
+        SELECT user_id, ts, MAX(event_id) AS event_id
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
     )
     SELECT p.event_id AS purchase_id,
            p.user_id AS user_id,
@@ -108,7 +122,7 @@ def purchase_attribution_asof_bucketed(spark: SparkSession, sf_dir: str) -> Data
     )
     out = asof_join_bucketed(
         p, v, on=["user_id"], left_ts="ts", right_ts="ts",
-        bucket_micros=6 * 3_600_000_000,
+        bucket_micros=6 * 3_600_000_000, tiebreak="event_id",
     )
     return out.select(
         F.col("event_id").alias("purchase_id"),
@@ -128,7 +142,9 @@ def purchase_attribution_asof_bucketed(spark: SparkSession, sf_dir: str) -> Data
     WITH p AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     ), e AS (
-        SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'
+        -- forward mirror of the tie contract: LOWEST event_id wins
+        SELECT user_id, ts, MIN(event_id) AS event_id
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
     )
     SELECT p.event_id AS purchase_id,
            e.event_id AS error_id,
@@ -149,7 +165,8 @@ def purchase_next_error_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
     out = asof_join(
-        p, e, on=["user_id"], left_ts="ts", right_ts="ts", direction="forward"
+        p, e, on=["user_id"], left_ts="ts", right_ts="ts",
+        direction="forward", tiebreak="event_id",
     )
     return out.select(
         F.col("event_id").alias("purchase_id"),

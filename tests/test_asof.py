@@ -364,3 +364,54 @@ def test_asof_join_auto_gates_on_observed_skew(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "_bkt" in hot_plan or "bucket" in hot_plan.lower()
     assert ("_bkt" in uni_plan or "bucket" in uni_plan.lower()) is False
+
+
+def test_asof_catalog_queries_survive_timestamp_ties(spark, tmp_path):
+    """r11 skewed-sweep regression: a whale key accumulating duplicate
+    (user, ts) right rows must produce the SAME winners in the engine and
+    the DuckDB oracle. The three catalog as-of queries pin the order via
+    tiebreak=event_id (engine) and MAX/MIN-collapse (oracle); this fixture
+    plants heavy ties on one user — the exact shape that diverged before
+    the contract existed."""
+    import os
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.catalog import (
+        load_all,
+    )
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.testing import (
+        compare_query,
+    )
+
+    base = "/root/testdata/sf0.001"
+    fix = tmp_path / "tiedfix"
+    fix.mkdir()
+    for t in os.listdir(base):
+        if t != "events.parquet":
+            os.symlink(os.path.join(base, t), fix / t)
+    rows = []
+    rid = 0
+    # whale user 0: every second carries 3 tied views, 2 tied errors and a
+    # purchase AT the same instant; user 1 stays tie-free as a control
+    for s in range(40):
+        for _ in range(3):
+            rows.append((rid, _ts(s), 0, "view", 1.0, "{}")); rid += 1
+        for _ in range(2):
+            rows.append((rid, _ts(s), 0, "error", 1.0, "{}")); rid += 1
+        rows.append((rid, _ts(s), 0, "purchase", 1.0, "{}")); rid += 1
+        rows.append((rid, _ts(s), 1, "view", 1.0, "{}")); rid += 1
+        if s % 3 == 0:
+            rows.append((rid, _ts(s), 1, "purchase", 1.0, "{}")); rid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(fix / "events.parquet"))
+
+    reg = load_all()
+    for name in (
+        "purchase_attribution_asof",
+        "purchase_attribution_asof_bucketed",
+        "purchase_next_error_asof",
+    ):
+        spec = reg[name]
+        res = compare_query(spark, name, spec.fn, spec.oracle, str(fix))
+        assert res.ok, f"{name}: {res.detail}"
