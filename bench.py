@@ -415,8 +415,23 @@ def main() -> None:
             # reproduce the historical sf0.1 values (64 / 16 / 64).
             n_emb = emb.count()
             n_docs = docs.count()
-            ivf_cells = max(16, round(n_emb / 31))      # 64 at sf0.1
-            ivfpq_cells = max(4, round(n_emb / 125))    # 16 at sf0.1
+            # Two defensible cell geometries, both calibrated to the
+            # historical sf0.1 values (64 / 16 at 2000 vectors):
+            # - linear (default, rows/cell constant): within-cell work
+            #   stays flat but EXACT coarse assignment is Θ(n·cells·d) =
+            #   Θ(n²d/31) — the r11 sf10 probe measured it dominating
+            #   (build 85.6 s vs 14.6 s, semdedup batch 109.7 vs 39.4 s);
+            # - sqrt (FAISS sizing, cells ≈ 1.43√n): assignment and
+            #   within-cell work balance at Θ(n^1.5).
+            # The default stays linear so the cross-round ladder remains
+            # comparable; BASELINE.md carries the sqrt datum and analysis.
+            import math as _math
+            if os.environ.get("BENCH_ANN_GEOMETRY", "linear") == "sqrt":
+                ivf_cells = max(16, round(1.43 * _math.sqrt(n_emb)))
+                ivfpq_cells = max(4, round(0.358 * _math.sqrt(n_emb)))
+            else:
+                ivf_cells = max(16, round(n_emb / 31))      # 64 at sf0.1
+                ivfpq_cells = max(4, round(n_emb / 125))    # 16 at sf0.1
             term_buckets = max(16, round(n_docs / 78))  # 64 at sf0.1
             t0 = time.perf_counter()
             build_ivf_index(emb, f"{idx_root}/ivf", n_cells=ivf_cells, iters=2)
