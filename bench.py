@@ -357,7 +357,7 @@ def main() -> None:
             t3 = time.perf_counter()
             cached.collect()
             collect_secs[spec.name] = round(time.perf_counter() - t3, 3)
-            cached.unpersist()
+            cached.unpersist(blocking=True)
     _clear_operator_caches()
 
     # Index lifecycles: ingest-side build/refresh costs (dedup inverted

@@ -76,14 +76,14 @@ def bm25_postings_cached(
         return hit
     p = bm25_postings(corpus, id_col, text_col).persist()
     for k in [k for k in _POSTINGS_CACHE if k[0] != cache_key]:
-        _POSTINGS_CACHE.pop(k).unpersist()
+        _POSTINGS_CACHE.pop(k).unpersist(blocking=True)
     _POSTINGS_CACHE[key] = p
     return p
 
 
 def clear_postings_cache() -> None:
     for k in list(_POSTINGS_CACHE):
-        _POSTINGS_CACHE.pop(k).unpersist()
+        _POSTINGS_CACHE.pop(k).unpersist(blocking=True)
 
 
 def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -336,7 +336,7 @@ def append_to_bm25_index(
             stats, "n_docs long, avgdl double, term_buckets int"
         ).write.mode("overwrite").parquet(f"{path}/meta")
     finally:
-        fresh.unpersist()
+        fresh.unpersist(blocking=True)
     return {
         "n_batch": int(n_batch),
         "n_appended": int(n_new),

@@ -7,6 +7,13 @@ session (the driver's 100+-query sweep, a BI server) calls
 :func:`release_tracked` once consuming actions finish. Unpersist is
 correctness-safe at any time — lineage recomputes — so an early release
 costs at most a recompute.
+
+DataFrame releases are BLOCKING: PySpark's default ``unpersist()`` only
+enqueues eviction, so a caller that immediately starts the next
+memory-hungry pass (a bench repeat, the next micro-batch, the next sweep
+query) races its own stale blocks for heap — observed at sf10 as
+monotonically growing repeat times under GC pressure. Waiting for the
+eviction is the price of a cache clear that actually cleared.
 """
 
 from __future__ import annotations
@@ -42,7 +49,7 @@ def release_tracked() -> int:
     while _TRACKED:
         df = _TRACKED.pop()
         try:
-            df.unpersist()
+            df.unpersist(blocking=True)
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass

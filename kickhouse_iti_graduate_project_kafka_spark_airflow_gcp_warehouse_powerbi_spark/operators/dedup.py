@@ -87,13 +87,13 @@ def shingle_hashes_cached(
             corpora.append(k[0])
     stale = set(corpora[SHINGLE_CACHE_CORPORA:])
     for k in [k for k in _SHINGLE_CACHE if k[0] in stale]:
-        _SHINGLE_CACHE.pop(k).unpersist()
+        _SHINGLE_CACHE.pop(k).unpersist(blocking=True)
     return sh
 
 
 def clear_shingle_cache() -> None:
     for k in list(_SHINGLE_CACHE):
-        _SHINGLE_CACHE.pop(k).unpersist()
+        _SHINGLE_CACHE.pop(k).unpersist(blocking=True)
 
 
 def clear_all_caches() -> None:
@@ -143,14 +143,14 @@ def jaccard_pairs_cached(
         pairs.count()  # materialize now: the shingle index becomes releasable
         release_persisted()
     for k in [k for k in _PAIR_CACHE if k[0] != cache_key]:
-        _PAIR_CACHE.pop(k).unpersist()
+        _PAIR_CACHE.pop(k).unpersist(blocking=True)
     _PAIR_CACHE[key] = pairs
     return pairs
 
 
 def clear_pair_cache() -> None:
     for k in list(_PAIR_CACHE):
-        _PAIR_CACHE.pop(k).unpersist()
+        _PAIR_CACHE.pop(k).unpersist(blocking=True)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

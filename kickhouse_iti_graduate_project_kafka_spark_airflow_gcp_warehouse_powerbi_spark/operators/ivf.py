@@ -425,7 +425,7 @@ def kmeans_centroids(
             for j, prev in enumerate(centroids)
         ]
     if sampled:
-        corpus.unpersist()
+        corpus.unpersist(blocking=True)
     return centroids
 
 
@@ -574,9 +574,9 @@ def append_to_ivf_index(
                     .parquet(f"{path}/vectors")
                 )
         finally:
-            fresh.unpersist()
+            fresh.unpersist(blocking=True)
     finally:
-        assigned.unpersist()
+        assigned.unpersist(blocking=True)
     return {
         "n_batch": n_batch,
         "n_appended": n_new,

@@ -592,9 +592,9 @@ def append_to_ivfpq_index(
                     .parquet(f"{path}/codes")
                 )
         finally:
-            fresh.unpersist()
+            fresh.unpersist(blocking=True)
     finally:
-        encoded.unpersist()
+        encoded.unpersist(blocking=True)
     return {
         "n_batch": int(n_batch),
         "n_appended": int(n_new),

@@ -132,14 +132,14 @@ def _dup_components(
     # CC four times per suite instead of twice
     base = key.split("#")[0]
     for k in [k for k in _CC_CACHE if k.split("#")[0] != base]:
-        _CC_CACHE.pop(k).unpersist()
+        _CC_CACHE.pop(k).unpersist(blocking=True)
     _CC_CACHE[key] = comps
     return comps
 
 
 def clear_component_cache() -> None:
     for k in list(_CC_CACHE):
-        _CC_CACHE.pop(k).unpersist()
+        _CC_CACHE.pop(k).unpersist(blocking=True)
 
 
 @register(

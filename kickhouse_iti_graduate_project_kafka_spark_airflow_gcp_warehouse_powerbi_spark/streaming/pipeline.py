@@ -211,7 +211,7 @@ def docs_leg(
         stats["parts_land"] = {"replayed": ins["replayed"], "version": ins["version"]}
         _boundary(fail_after, "parts_land")
     finally:
-        gated.unpersist()
+        gated.unpersist(blocking=True)
     return stats
 
 

@@ -142,11 +142,11 @@ def upsert_semdedup_batch(
                         survivors_path
                     )
             finally:
-                new_rows.unpersist()
+                new_rows.unpersist(blocking=True)
         finally:
-            fresh.unpersist()
+            fresh.unpersist(blocking=True)
     finally:
-        src.unpersist()
+        src.unpersist(blocking=True)
     return {
         "n_batch": n_batch,
         "n_new": n_new,
