@@ -1268,3 +1268,76 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r3").cast("long").alias("ret_d7"),
         F.sum("r4").cast("long").alias("ret_d14"),
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse windowFunnel strict modes (r11): the mode flags the join/scan
+# funnel cannot express, via the operators/funnel.py automaton fold
+# --------------------------------------------------------------------------
+_FUNNEL_STEPS = ("view", "signup", "purchase")
+_FUNNEL_WINDOW = 21600
+
+
+def _funnel_mode_query(spark: SparkSession, sf_dir: str, **mode) -> DataFrame:
+    from ..operators.funnel import window_funnel_levels
+
+    ev = load_table(spark, sf_dir, "events")
+    levels = window_funnel_levels(ev, _FUNNEL_STEPS, _FUNNEL_WINDOW, **mode)
+    return levels.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def _register_funnel_mode(name: str, doc: str, **mode) -> None:
+    from ..operators.funnel import window_funnel_oracle_sql
+
+    @register(
+        name,
+        tags=("WF2", "funnel", "clickhouse-surface"),
+        oracle=window_funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW, **mode),
+    )
+    def q(spark: SparkSession, sf_dir: str, _mode=dict(mode)) -> DataFrame:
+        return _funnel_mode_query(spark, sf_dir, **_mode)
+
+    q.__doc__ = doc
+    q.__name__ = name
+
+
+_register_funnel_mode(
+    "events_funnel_strict_order",
+    """ClickHouse ``windowFunnel(21600, 'strict_order')(ts, view, signup,
+    purchase)`` level distribution: once the chain has started, ANY event
+    matching no condition (a click or an error) terminates the per-user
+    search — "A->B->D->C stops at D, level 2". The one mode that must
+    scan the FULL event stream (non-chain events carry meaning), so no
+    type filter is pushed; everything else is the shared automaton fold
+    in ``operators/funnel.py`` (one shuffle, zero Python, per-user arena
+    = ClickHouse's own cost model). Oracled by the same automaton as a
+    DuckDB recursive CTE over the identical (ts, event_id) total
+    order.""",
+    strict_order=True,
+)
+
+_register_funnel_mode(
+    "events_funnel_strict_dedup",
+    """ClickHouse ``windowFunnel(21600, 'strict_dedup')(ts, view, signup,
+    purchase)`` level distribution: a repeated event whose condition slot
+    is already satisfied (a second signup after one already chained)
+    interrupts the search and returns that condition's level. Cond-1
+    repeats are exempt (they restart the candidate chain, per the
+    published scan). Non-chain event types are pruned at the parquet
+    scan; one collect+sort+fold per user.""",
+    strict_dedup=True,
+)
+
+_register_funnel_mode(
+    "events_funnel_strict_increase",
+    """ClickHouse ``windowFunnel(21600, 'strict_increase')(ts, view,
+    signup, purchase)`` level distribution: each chain step must carry a
+    STRICTLY larger timestamp than the previous step's event — equal-
+    timestamp bursts (bot replays, batched ingests) never chain, where
+    the default mode lets them. Identical to the default on tie-free
+    data; diverges exactly on duplicate (user, ts) streams — the skewed
+    fixture exercises it. Same fold, same pushed type filter.""",
+    strict_increase=True,
+)
