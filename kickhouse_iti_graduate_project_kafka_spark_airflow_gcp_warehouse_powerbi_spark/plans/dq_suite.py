@@ -1341,3 +1341,57 @@ _register_funnel_mode(
     fixture exercises it. Same fold, same pushed type filter.""",
     strict_increase=True,
 )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse sequenceMatch time-constraint atoms (r11): (?t<=n) / (?t>n)
+# --------------------------------------------------------------------------
+def _register_seq_timed(name: str, steps, gaps, doc: str) -> None:
+    from ..operators.seqmatch import (
+        sequence_match_timed,
+        sequence_match_timed_oracle_sql,
+    )
+
+    @register(
+        name,
+        tags=("WF2", "clickhouse-surface", "funnel"),
+        oracle=sequence_match_timed_oracle_sql(steps, gaps),
+    )
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        per_user = sequence_match_timed(ev, steps, gaps)
+        return per_user.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("matched").cast("long").alias("n_matched"),
+        )
+
+    q.__doc__ = doc
+    q.__name__ = name
+
+
+_register_seq_timed(
+    "events_sequence_match_within1h",
+    ("view", "signup", "purchase"),
+    (("<=", 3600), ("<=", 3600)),
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)(?t<=3600)(?3)')(ts,
+    view, signup, purchase)``: an ordered chain where EACH step lands
+    within an hour of the previous one (arbitrary events in between).
+    Greedy earliest-first matching is incomplete under gap bounds, so
+    this runs the keep-latest DP in ``operators/seqmatch.py`` — two
+    strictly-preceding running maxes, one shuffle, linear per user, and
+    the identical window-function SQL is the DuckDB oracle (no
+    recursion).""",
+)
+
+_register_seq_timed(
+    "events_sequence_match_spaced",
+    ("view", "signup", "purchase"),
+    (("<=", 3600), (">", 600)),
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)(?t>600)(?3)')(ts,
+    view, signup, purchase)``: signup within an hour of a view, then a
+    purchase MORE than ten minutes after such a signup (deliberation
+    gate — the pattern shape dwell-time analyses use). Exercises both
+    carry directions of the DP: a running MAX feeds the ``<=`` bound, a
+    running MIN feeds the ``>`` bound (the earliest qualifying signup is
+    the one a late-enough purchase clears first).""",
+)
