@@ -2066,3 +2066,72 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("decimal(38,2)").cast("double").alias("total_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse maxIntersections / maxIntersectionsPosition (r11)
+# --------------------------------------------------------------------------
+@register(
+    "supplier_max_intransit_overlap",
+    tags=("clickhouse-surface", "intervals", "A-ext"),
+    oracle="""
+    WITH ev AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   + CAST(l_quantity AS BIGINT) + 1 AS d,
+               0 AS k, -1 AS delta
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT),
+               1 AS k, 1 AS delta
+        FROM lineitem
+    ),
+    scored AS (
+        SELECT suppkey, d,
+               SUM(delta) OVER (
+                   PARTITION BY suppkey ORDER BY d, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS rs
+        FROM ev
+    ),
+    m AS (SELECT suppkey, MAX(rs) AS mx FROM scored GROUP BY suppkey)
+    SELECT s.suppkey,
+           CAST(m.mx AS INT) AS max_overlap,
+           CAST(MIN(s.d) AS BIGINT) AS first_peak_day
+    FROM scored s JOIN m ON s.suppkey = m.suppkey AND s.rs = m.mx
+    GROUP BY s.suppkey, m.mx
+    """,
+)
+def supplier_max_intransit_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` + ``maxIntersectionsPosition`` per
+    supplier: the peak number of simultaneously in-transit line items and
+    the first day that peak is reached. The fixture's lineitem carries no
+    receipt date, so transit time is the documented deterministic
+    stand-in ``ceil(l_quantity)`` days — interval [ship_day,
+    ship_day + qty] inclusive, all integer wall-date day indexes
+    (NTZ-safe and session-timezone-proof on both engines).
+
+    Spark-first: the classic sweep — each interval explodes to a +1
+    entry and a -1 exit at ``end + 1``, one per-supplier running sum
+    over the (day, kind) order with exits processed BEFORE entries at
+    equal coordinates (intervals touching end-to-start never double
+    count), then ``max(struct(rs, -day))`` reads off the peak AND its
+    first position in a single aggregation. Within an equal (day, kind)
+    run all deltas share a sign, so prefix values are order-invariant —
+    no per-row tiebreak is needed for cross-engine equality. One explode
+    (2n rows), one shuffle, one sort; at 100 TB the sweep stays fully
+    partition-parallel because intervals never cross suppliers."""
+    from ..operators.intervals import max_intersections
+
+    li = _t(spark, sf_dir, "lineitem")
+    # wall-date day index: NTZ-safe and session-TZ-proof on both engines
+    ds = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    de = ds + F.col("l_quantity").cast("long")
+    return max_intersections(li, "l_suppkey", ds, de).select(
+        F.col("key").alias("suppkey"),
+        "max_overlap",
+        F.col("first_peak_pos").alias("first_peak_day"),
+    )
