@@ -1395,3 +1395,48 @@ _register_seq_timed(
     running MIN feeds the ``>`` bound (the earliest qualifying signup is
     the one a late-enough purchase clears first).""",
 )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse largestTriangleThreeBuckets (r11): dashboard downsampling
+# --------------------------------------------------------------------------
+def _lttb_oracle() -> str:
+    from ..operators.lttb import lttb_oracle_sql
+
+    return lttb_oracle_sql(
+        20,
+        base_sql=(
+            "SELECT event_type AS s, "
+            "CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS x, "
+            "CAST(COUNT(*) AS BIGINT) AS y "
+            "FROM events GROUP BY 1, 2"
+        ),
+        series_alias="event_type",
+    )
+
+
+@register(
+    "events_hourly_lttb",
+    tags=("A2", "clickhouse-surface", "downsample"),
+    oracle=_lttb_oracle(),
+)
+def events_hourly_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(20)(hour, count)`` per
+    event type: each hourly series downsampled to the 20 visually
+    dominant points (first, last, and the largest-triangle pick from 18
+    equal-count buckets) — what a Grafana panel should pull instead of
+    the full series at 100 TB. Integer hour buckets and integer-scaled
+    triangle scores keep the argmax exact and engine-portable (see
+    ``operators/lttb.py``); the DuckDB oracle replays the identical
+    selection as a recursive CTE. Series no longer than 20 points pass
+    through unchanged."""
+    from ..operators.lttb import lttb
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return lttb(hourly, "event_type", "x", "y", 20).select(
+        F.col("s").alias("event_type"), "x", "y"
+    )

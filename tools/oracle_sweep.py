@@ -193,6 +193,15 @@ def main() -> int:
             f"spark={rec.get('secs_spark', '-')}s oracle={rec.get('secs_oracle', '-')}s",
             flush=True,
         )
+        # incremental flush: a killed/cut-short sweep still leaves a
+        # readable partial artifact (long at-scale runs can exceed a
+        # session; the final write below overwrites with the summary)
+        _partial = args.out or os.path.join(REPO, "sweeps", f"sweep_{args.tag}.json")
+        os.makedirs(os.path.dirname(_partial), exist_ok=True)
+        with open(_partial + ".partial", "w") as f:
+            json.dump({"summary": {"partial": True, "done": i + 1,
+                                   "of": len(names), "sf_dir": args.sf_dir},
+                       "queries": results}, f, indent=1, sort_keys=True)
 
     statuses = [r["status"] for r in results.values()]
     summary = {
