@@ -146,6 +146,7 @@ def window_funnel_levels(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Per-user ClickHouse ``windowFunnel`` level -> (user_id, funnel_level).
 
@@ -155,6 +156,14 @@ def window_funnel_levels(
     event. In non-``strict_order`` modes events matching no condition
     are dropped at the scan (ClickHouse skips them at insert), so the
     filter pushes to the parquet reader.
+
+    The funnel state anchors to absolute chain-start timestamps, so
+    unlike the ``sequenceCount`` DFA it is NOT segment-associative —
+    a whale user's stream cannot be chunk-folded and lands in one
+    task's array (ClickHouse's per-group arena has the same bound).
+    ``max_events_per_key`` makes that bound LOUD: exceeding it raises
+    with the offending key instead of silently straining an executor —
+    the ``max_bytes_before_external_group_by`` posture.
     """
     if len(set(steps)) != len(steps) or len(steps) < 2:
         raise ValueError(f"steps must be >=2 distinct event types, got {steps!r}")
@@ -180,11 +189,25 @@ def window_funnel_levels(
         F.struct(*init_fields),
         _funnel_step(steps, window, strict_order, strict_dedup, strict_increase),
     )
-    per_user = (
-        base.groupBy("user_id")
-        .agg(F.array_sort(F.collect_list(F.struct("e", "eid", "event_type"))).alias("seq"))
-        .select("user_id", folded.alias("st"))
-    )
+    seq_col = F.array_sort(F.collect_list(F.struct("e", "eid", "event_type")))
+    per_user = base.groupBy("user_id").agg(seq_col.alias("seq"))
+    if max_events_per_key is not None:
+        per_user = per_user.withColumn(
+            "seq",
+            F.when(
+                F.size("seq") > max_events_per_key,
+                F.raise_error(
+                    F.concat(
+                        F.lit("window_funnel_levels: key "),
+                        F.col("user_id").cast("string"),
+                        F.lit(f" exceeds max_events_per_key={max_events_per_key} ("),
+                        F.size("seq").cast("string"),
+                        F.lit(" events) - route whales out or raise the bound"),
+                    )
+                ),
+            ).otherwise(F.col("seq")),
+        )
+    per_user = per_user.select("user_id", folded.alias("st"))
 
     def _slot(i: int) -> Column:
         if i >= k:

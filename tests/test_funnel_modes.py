@@ -159,3 +159,16 @@ def test_rejects_degenerate_steps(spark):
         window_funnel_levels(ev, ("A",), 10)
     with pytest.raises(ValueError):
         window_funnel_levels(ev, ("A", "A"), 10)
+
+
+def test_arena_guard_fires_loudly(spark):
+    import py4j.protocol
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(1, t, "A", t + 1) for t in range(50)]
+    ev = _ev(spark, rows)
+    # under the bound: fine
+    out = window_funnel_levels(ev, ("A", "B"), 10, max_events_per_key=50)
+    assert out.count() == 1
+    with pytest.raises((SparkRuntimeException, py4j.protocol.Py4JJavaError)):
+        window_funnel_levels(ev, ("A", "B"), 10, max_events_per_key=49).collect()
