@@ -1440,3 +1440,110 @@ def events_hourly_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(hourly, "event_type", "x", "y", 20).select(
         F.col("s").alias("event_type"), "x", "y"
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse sequenceNextNode + uniqUpTo (r11): path analysis rollup
+# --------------------------------------------------------------------------
+@register(
+    "events_sequence_next_node",
+    tags=("WF2", "clickhouse-surface", "path-analysis"),
+    oracle="""
+    WITH pts AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS pos
+        FROM events
+    ),
+    p1 AS (
+        SELECT user_id, MIN(pos) AS p1 FROM pts
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    nxt AS (
+        SELECT p.user_id,
+               MAX(CASE WHEN t.pos = p.p1 + 1 AND t.event_type = 'signup'
+                        THEN 1 ELSE 0 END) AS chained,
+               MAX(CASE WHEN t.pos = p.p1 + 2 THEN t.event_type END) AS nx
+        FROM p1 p JOIN pts t ON t.user_id = p.user_id
+                  AND t.pos BETWEEN p.p1 + 1 AND p.p1 + 2
+        GROUP BY p.user_id
+    )
+    SELECT COALESCE(CASE WHEN chained = 1 THEN nx END, '(none)')
+               AS next_event,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM nxt GROUP BY 1
+    """,
+)
+def events_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'first_match')(ts,
+    event_type, event_type = 'view', event_type = 'signup')`` rolled up
+    to the next-step distribution — path analysis ("after the first
+    view that is IMMEDIATELY followed by a signup, where do users go
+    next?"), the query behind a sankey panel. Per user: the chain
+    anchors at the FIRST view, must match consecutively (the next event
+    is the signup), and the value returned is the event after the
+    chain; unmatched users roll up under '(none)' (ClickHouse returns
+    NULL). One row_number window + one conditional aggregation over a
+    2-row neighborhood join — no collect, no recursion, identical SQL
+    on both engines; ties pin to the (ts, event_id) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id")))
+        .alias("pos"),
+    )
+    p1 = (
+        pts.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("pos").alias("p1"))
+    )
+    nxt = (
+        p1.join(pts, "user_id")
+        .filter(F.col("pos").between(F.col("p1") + 1, F.col("p1") + 2))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pos") == F.col("p1") + 1)
+                    & (F.col("event_type") == "signup"),
+                    1,
+                ).otherwise(0)
+            ).alias("chained"),
+            F.max(
+                F.when(F.col("pos") == F.col("p1") + 2, F.col("event_type"))
+            ).alias("nx"),
+        )
+    )
+    return nxt.groupBy(
+        F.coalesce(
+            F.when(F.col("chained") == 1, F.col("nx")), F.lit("(none)")
+        ).alias("next_event")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "events_uniq_upto",
+    tags=("A-ext", "clickhouse-surface"),
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN COUNT(DISTINCT user_id) <= 100
+                     THEN COUNT(DISTINCT user_id) ELSE 101 END AS BIGINT)
+               AS uniq_upto_100
+    FROM events GROUP BY event_type
+    """,
+)
+def events_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(100)(user_id)`` per event type: the exact
+    distinct count while it is <= 100, else 101 — the cheap "are there
+    more than N distinct?" gate ClickHouse uses for alerting thresholds.
+    Spark computes the same capped exact distinct; at 100 TB the cap is
+    what matters — the answer saturates, so a pre-aggregated
+    first-100-per-group pass (LIMIT-BY shape) can bound state where a
+    full distinct would not."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.countDistinct("user_id")
+    return ev.groupBy("event_type").agg(
+        F.when(d <= 100, d).otherwise(F.lit(101)).cast("long").alias("uniq_upto_100")
+    )
