@@ -73,3 +73,58 @@ def max_intersections(
         F.col("b.m").cast("int").alias("max_overlap"),
         (-F.col("b.nd")).cast("long").alias("first_peak_pos"),
     )
+
+
+def interval_length_sum(
+    df: DataFrame,
+    key_col: str,
+    start: Column,
+    end: Column,
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` -> (key, covered long): total
+    length of the UNION of half-open integer intervals [start, end) per
+    key — overlap merged, gaps excluded (``maxIntersections``'s
+    complement: how much of the axis is covered at all).
+
+    Sweep with NO tie ordering to pin: deltas collapse per (key,
+    coordinate) first (one groupBy), so the running active count is a
+    pure function of the coordinate; each segment [d, next_d) counts
+    when the active count after d is positive. Empty intervals
+    (end == start) contribute 0; end < start raises loudly.
+    """
+    guard = F.when(
+        end < start,
+        F.raise_error(
+            F.concat(
+                F.lit("interval_length_sum: interval end < start for key "),
+                F.col(key_col).cast("string"),
+            )
+        ),
+    ).otherwise(end)
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                F.struct(start.cast("long").alias("d"), F.lit(1).alias("delta")),
+                F.struct(guard.cast("long").alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x"),
+    ).select("key", "x.*")
+    per_coord = ev.groupBy("key", "d").agg(F.sum("delta").alias("delta"))
+    w = Window.partitionBy("key").orderBy("d")
+    scored = per_coord.withColumn(
+        "active", F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("next_d", F.lead("d").over(w))
+    return (
+        scored.groupBy("key")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("active") > 0) & F.col("next_d").isNotNull(),
+                    F.col("next_d") - F.col("d"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered")
+        )
+    )

@@ -1547,3 +1547,43 @@ def events_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.when(d <= 100, d).otherwise(F.lit(101)).cast("long").alias("uniq_upto_100")
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse deltaSumTimestamp (r11): counter-reset-aware monotone sum
+# --------------------------------------------------------------------------
+@register(
+    "events_value_delta_sum",
+    tags=("clickhouse-surface", "A-ext", "monitoring"),
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, value,
+               LAG(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT event_type,
+           ROUND(SUM(CASE WHEN prev IS NOT NULL AND value > prev
+                          THEN value - prev ELSE 0 END) + 1e-9, 4)
+               AS delta_sum
+    FROM ordered GROUP BY event_type
+    """,
+)
+def events_value_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSumTimestamp(value, ts)`` per event type: the
+    sum of POSITIVE increments along the time-ordered value sequence —
+    the counter-reset-aware rate primitive Prometheus-style monitoring
+    uses (a counter that resets to 0 contributes nothing negative). The
+    order is the pinned (ts, event_id) total order on both engines; one
+    lag window + one aggregation, and the double sum follows the repo's
+    float-hash discipline (ROUND(x + 1e-9, 4) on BOTH sides)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts"), F.col("event_id"))
+    d = ev.withColumn("prev", F.lag("value").over(w))
+    inc = F.when(
+        F.col("prev").isNotNull() & (F.col("value") > F.col("prev")),
+        F.col("value") - F.col("prev"),
+    ).otherwise(F.lit(0.0))
+    return d.groupBy("event_type").agg(
+        F.round(F.sum(inc) + F.lit(1e-9), 4).alias("delta_sum")
+    )

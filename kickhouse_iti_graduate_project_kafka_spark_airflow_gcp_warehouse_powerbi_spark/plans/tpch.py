@@ -2135,3 +2135,55 @@ def supplier_max_intransit_overlap(spark: SparkSession, sf_dir: str) -> DataFram
         "max_overlap",
         F.col("first_peak_pos").alias("first_peak_day"),
     )
+
+
+@register(
+    "supplier_intransit_covered_days",
+    tags=("clickhouse-surface", "intervals", "A-ext"),
+    oracle="""
+    WITH ev AS (
+        SELECT l_suppkey AS key,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               1 AS delta
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   + CAST(l_quantity AS BIGINT) + 1,
+               -1
+        FROM lineitem
+    ),
+    per_coord AS (SELECT key, d, SUM(delta) AS delta FROM ev GROUP BY key, d),
+    scored AS (
+        SELECT key, d, delta,
+               SUM(delta) OVER (PARTITION BY key ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS active,
+               LEAD(d) OVER (PARTITION BY key ORDER BY d) AS next_d
+        FROM per_coord
+    )
+    SELECT key AS suppkey,
+           CAST(SUM(CASE WHEN active > 0 AND next_d IS NOT NULL
+                         THEN next_d - d ELSE 0 END) AS BIGINT) AS covered_days
+    FROM scored GROUP BY key
+    """,
+)
+def supplier_intransit_covered_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` per supplier: how many distinct
+    days had at least one line item in transit — the union length of the
+    same closed [ship_day, ship_day + qty] intervals
+    ``supplier_max_intransit_overlap`` sweeps (passed half-open as
+    [start, end+1)), overlap merged, idle gaps excluded. Utilization's
+    denominator, peak-load's complement. Deltas collapse per (key, day)
+    BEFORE the running sum, so no tie order exists to pin — the sweep is
+    a pure function of the coordinates on any engine."""
+    from ..operators.intervals import interval_length_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    ds = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    de = ds + F.col("l_quantity").cast("long") + 1
+    return interval_length_sum(li, "l_suppkey", ds, de).select(
+        F.col("key").alias("suppkey"), F.col("covered").alias("covered_days")
+    )

@@ -61,3 +61,42 @@ def test_matches_bruteforce_on_random_intervals(spark):
         m = max(conc.values())
         pos = min(t for t, c in conc.items() if c == m)
         assert got[k] == (m, pos), k
+
+
+def test_interval_length_sum_union_semantics(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.intervals import (
+        interval_length_sum,
+    )
+
+    # half-open [s, e): overlaps merge, gaps excluded, empty adds 0
+    rows = [(1, 0, 5), (1, 3, 8), (1, 10, 12), (1, 12, 12), (2, 4, 4)]
+    df = spark.createDataFrame(rows, "key long, s long, e long")
+    out = {
+        r.key: r.covered
+        for r in interval_length_sum(df, "key", F.col("s"), F.col("e")).collect()
+    }
+    assert out == {1: 10, 2: 0}  # [0,8)=8 + [10,12)=2
+
+
+def test_interval_length_sum_matches_bruteforce(spark):
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.intervals import (
+        interval_length_sum,
+    )
+
+    rng = random.Random(99)
+    rows = []
+    for k in range(6):
+        for _ in range(rng.randint(1, 25)):
+            s = rng.randint(0, 80)
+            rows.append((k, s, s + rng.randint(0, 20)))
+    df = spark.createDataFrame(rows, "key long, s long, e long")
+    out = {
+        r.key: r.covered
+        for r in interval_length_sum(df, "key", F.col("s"), F.col("e")).collect()
+    }
+    for k in {r[0] for r in rows}:
+        cover = set()
+        for kk, s, e in rows:
+            if kk == k:
+                cover.update(range(s, e))
+        assert out[k] == len(cover), k
