@@ -1288,12 +1288,13 @@ def _funnel_mode_query(spark: SparkSession, sf_dir: str, **mode) -> DataFrame:
     )
 
 
-def _register_funnel_mode(name: str, doc: str, **mode) -> None:
+def _register_funnel_mode(name: str, doc: str, bench: bool = False, **mode) -> None:
     from ..operators.funnel import window_funnel_oracle_sql
 
     @register(
         name,
         tags=("WF2", "funnel", "clickhouse-surface"),
+        bench=bench,
         oracle=window_funnel_oracle_sql(_FUNNEL_STEPS, _FUNNEL_WINDOW, **mode),
     )
     def q(spark: SparkSession, sf_dir: str, _mode=dict(mode)) -> DataFrame:
@@ -1327,6 +1328,7 @@ _register_funnel_mode(
     repeats are exempt (they restart the candidate chain, per the
     published scan). Non-chain event types are pruned at the parquet
     scan; one collect+sort+fold per user.""",
+    bench=True,
     strict_dedup=True,
 )
 
@@ -1346,7 +1348,7 @@ _register_funnel_mode(
 # --------------------------------------------------------------------------
 # ClickHouse sequenceMatch time-constraint atoms (r11): (?t<=n) / (?t>n)
 # --------------------------------------------------------------------------
-def _register_seq_timed(name: str, steps, gaps, doc: str) -> None:
+def _register_seq_timed(name: str, steps, gaps, doc: str, bench: bool = False) -> None:
     from ..operators.seqmatch import (
         sequence_match_timed,
         sequence_match_timed_oracle_sql,
@@ -1355,6 +1357,7 @@ def _register_seq_timed(name: str, steps, gaps, doc: str) -> None:
     @register(
         name,
         tags=("WF2", "clickhouse-surface", "funnel"),
+        bench=bench,
         oracle=sequence_match_timed_oracle_sql(steps, gaps),
     )
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,6 +1384,7 @@ _register_seq_timed(
     strictly-preceding running maxes, one shuffle, linear per user, and
     the identical window-function SQL is the DuckDB oracle (no
     recursion).""",
+    bench=True,
 )
 
 _register_seq_timed(
@@ -1418,6 +1422,7 @@ def _lttb_oracle() -> str:
 @register(
     "events_hourly_lttb",
     tags=("A2", "clickhouse-surface", "downsample"),
+    bench=True,
     oracle=_lttb_oracle(),
 )
 def events_hourly_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2074,6 +2074,7 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "supplier_max_intransit_overlap",
     tags=("clickhouse-surface", "intervals", "A-ext"),
+    bench=True,
     oracle="""
     WITH ev AS (
         SELECT l_suppkey AS suppkey,
