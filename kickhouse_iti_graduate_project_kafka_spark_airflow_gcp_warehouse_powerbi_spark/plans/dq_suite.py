@@ -1592,3 +1592,79 @@ def events_value_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("event_type").agg(
         F.round(F.sum(inc) + F.lit(1e-9), 4).alias("delta_sum")
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse exponentialMovingAverage (r11): EWMA smoothing per series
+# --------------------------------------------------------------------------
+@register(
+    "events_hourly_ewma",
+    tags=("clickhouse-surface", "A2", "smoothing"),
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT event_type, h, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS pos,
+               COUNT(*)    OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    st AS (
+        SELECT event_type, h, y, pos, n, y AS ewma FROM pts WHERE pos = 1
+        UNION ALL
+        SELECT p.event_type, p.h, p.y, p.pos, p.n,
+               (2.0 / 11.0) * p.y + (1.0 - 2.0 / 11.0) * s.ewma
+        FROM st s JOIN pts p
+          ON p.event_type = s.event_type AND p.pos = s.pos + 1
+        WHERE s.pos < s.n
+    )
+    SELECT event_type, h AS hour_epoch, ROUND(ewma + 1e-9, 4) AS ewma
+    FROM st
+    """,
+)
+def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage`` over each type's hourly
+    count series (span-10 fixed alpha = 2/11, seeded with the first
+    observation — the pandas ``ewm(span=10, adjust=False)`` recurrence):
+    ``s_i = a*y_i + (1-a)*s_{i-1}``, the smoothing behind every
+    dashboard trend line. The recurrence uses ONLY multiply/add on the
+    same operands in the same order on both engines, so the floats are
+    bit-identical before the defensive ROUND; the closed-form
+    prefix-product rewrite would overflow ``(1-a)^-i`` and is exactly
+    the trap this sequential fold avoids. One fold per series over the
+    hourly aggregate (state = one double — series length is bounded by
+    the time span, never by raw event count)."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    per_series = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "y"))).alias("pts")
+    )
+    a = 2.0 / 11.0
+
+    def step(acc, p):
+        prev = F.element_at(acc, -1)
+        sm = F.when(
+            F.size(acc) == 0, p["y"]
+        ).otherwise(F.lit(a) * p["y"] + F.lit(1.0 - a) * prev["ewma"])
+        return F.concat(
+            acc, F.array(F.struct(p["h"].alias("h"), sm.alias("ewma")))
+        )
+
+    folded = F.aggregate(
+        F.col("pts"),
+        F.expr("CAST(array() AS array<struct<h: bigint, ewma: double>>)"),
+        step,
+    )
+    return per_series.select(
+        "event_type", F.explode(folded).alias("p")
+    ).select(
+        "event_type",
+        F.col("p.h").alias("hour_epoch"),
+        F.round(F.col("p.ewma") + F.lit(1e-9), 4).alias("ewma"),
+    )
