@@ -472,6 +472,12 @@ def test_no_shrinking_window_frames_in_window_queries(plans):
         "events_sequence_match",
         "moving_avg_error_pct",
         "latest_event_per_user",
+        "events_sequence_match_within1h",
+        "events_sequence_match_spaced",
+        "supplier_max_intransit_overlap",
+        "supplier_intransit_covered_days",
+        "events_value_delta_sum",
+        "events_sequence_next_node",
     ):
         p = plans(q).lower()
         for m in re.finditer(
@@ -482,3 +488,26 @@ def test_no_shrinking_window_frames_in_window_queries(plans):
                 # whole-partition constant frames (unbounded both ways)
                 # evaluate once; anything else shrinking is the O(n^2)
                 assert "unboundedpreceding" in start, (q, m.group(0))
+
+
+def test_funnel_strict_modes_push_type_filter_no_python(plans):
+    """r11: non-strict_order funnel modes prune non-chain event types at
+    the parquet scan (ClickHouse skips them at insert), and the whole
+    automaton is a JVM-side fold — no Python plan nodes, no joins."""
+    for q in ("events_funnel_strict_dedup", "events_funnel_strict_increase"):
+        p = plans(q)
+        assert "PushedFilters: [In(event_type" in p, q
+        assert "Join" not in p and "Python" not in p, q
+    # strict_order must SCAN ALL types (non-chain events carry meaning)
+    p = plans("events_funnel_strict_order")
+    assert "PushedFilters: [In(event_type" not in p
+    assert "Join" not in p and "Python" not in p
+
+
+def test_lttb_no_python_no_cartesian(plans):
+    """r11: LTTB = window algebra + per-series bucket folds; everything
+    stays JVM-side and the only joins are the tiny first/last-point
+    broadcasts."""
+    p = plans("events_hourly_lttb")
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
