@@ -1668,3 +1668,42 @@ def events_hourly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.h").alias("hour_epoch"),
         F.round(F.col("p.ewma") + F.lit(1e-9), 4).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse entropy() (r11): behavioral diversity per user
+# --------------------------------------------------------------------------
+@register(
+    "events_user_type_entropy",
+    tags=("clickhouse-surface", "A-ext", "quality"),
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS k FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, SUM(k) AS n FROM c GROUP BY 1)
+    SELECT c.user_id,
+           ROUND(-SUM((k * 1.0 / n) * LOG2(k * 1.0 / n)) + 1e-9, 4)
+               AS type_entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy(event_type)`` per user: Shannon entropy (bits)
+    of each user's event-type distribution — the behavioral-diversity
+    signal bot detection and curation filters use (a scripted client
+    hammering one event type scores ~0; organic users spread). Two
+    map-side-combining aggregations (per (user, type) counts, then the
+    per-user reduce) — no window, no collect, scales as a pure
+    double-groupBy at any user count. The float follows the repo's hash
+    discipline (ROUND(x + 1e-9, 4) both sides; log2 libm drift is
+    ~1e-15, four decimals absorb it)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    t = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k") / F.col("n")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(p * F.log2(p)) + F.lit(1e-9), 4).alias("type_entropy"))
+    )
