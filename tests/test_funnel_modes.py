@@ -15,7 +15,6 @@ import random
 import duckdb
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.funnel import (
     window_funnel_levels,

@@ -9,7 +9,6 @@ from fractions import Fraction
 import duckdb
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.lttb import (
     lttb,
