@@ -12,6 +12,8 @@ Every query here has a DuckDB oracle; cross-engine determinism notes inline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -52,7 +54,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: survives with p = 0.0016, so sf1's ~2.5k planted pairs keep a handful
 #: while the true-negative mass — what the index guards against — stays
 #: ~2k docs strong).
-SWEEP_SAMPLE_PCT = 4
+#:
+#: Env-tunable (read ONCE at import, so the Spark filter and the oracle
+#: SQL can never disagree): the quadratic oracle cost is
+#: (pct * n_docs)^2 — 4% is calibrated for sf1 (~2k docs); at sf10 the
+#: same 4% is 20k docs / 400M pairs and blows the sweep watchdog, so
+#: big-fixture sweeps set KICKHOUSE_SWEEP_SAMPLE_PCT=1 (driver runs and
+#: CI keep the default). Smaller samples thin planted POSITIVES
+#: quadratically — the check trends toward pure true-negative
+#: verification, which is still the guard that matters at scale.
+SWEEP_SAMPLE_PCT = int(os.environ.get("KICKHOUSE_SWEEP_SAMPLE_PCT", "4"))
 
 #: DuckDB spelling of ``sample_bucket(doc_id) < SWEEP_SAMPLE_PCT``
 SWEEP_SAMPLE_WHERE = (
