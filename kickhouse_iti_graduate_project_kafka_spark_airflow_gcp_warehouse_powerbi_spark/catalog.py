@@ -67,6 +67,7 @@ def load_all() -> dict[str, QuerySpec]:
         mergetree,
         retrieval,
         scalars,
+        stats,
         temporal,
         tpch,
         validator,
