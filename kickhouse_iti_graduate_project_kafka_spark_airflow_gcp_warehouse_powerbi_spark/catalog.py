@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every plans module so its @register calls run, then return
     the registry."""
     from .plans import (  # noqa: F401
+        aggregates,
         curation,
         dq_suite,
         json_flatten,

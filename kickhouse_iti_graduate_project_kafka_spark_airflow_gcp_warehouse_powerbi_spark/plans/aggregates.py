@@ -1,0 +1,227 @@
+"""Aggregate-combinator and quantile surface of the ClickHouse warehouse.
+
+ClickHouse's hallmark aggregate spellings that the reference BI layer
+leans on and that are not yet named by other catalog queries:
+
+- the ``-If`` combinator family (``countIf`` / ``sumIf`` / ``avgIf`` /
+  ``minIf`` / ``maxIf`` / ``uniqExactIf``) — conditional aggregation
+  without a pre-filter, so one pass feeds many differently-filtered
+  aggregates;
+- ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor``;
+- ``avgWeighted``;
+- ``quantilesExact`` (multi-level exact quantiles);
+- ``quantileTDigest``-style approximate quantiles with a verifiable
+  rank-error contract (Spark's ``percentile_approx`` sketch stands in;
+  the query materializes the rank-error INVARIANT as its result so the
+  oracle row is a real at-scale check, the repo's
+  ``*_equals_bruteforce`` companion pattern).
+
+All Spark-side spellings are single conditional aggregations — the -If
+family is exactly what Catalyst's partial aggregation loves: one
+exchange, map-side combine, no pre-filter scans repeated per condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources.tables import load_table
+
+#: the -If condition every combinator below shares
+_HI_VAL = 100.0
+
+
+@register(
+    "events_if_combinator_suite",
+    tags=("clickhouse-surface", "A-ext", "combinator"),
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE value > {_HI_VAL}) AS BIGINT)
+               AS cnt_hi,
+           ROUND(COALESCE(SUM(value) FILTER (WHERE value > {_HI_VAL}), 0)
+                 + 1e-9, 4) AS sum_hi,
+           ROUND(AVG(value) FILTER (WHERE value > {_HI_VAL}) + 1e-9, 4)
+               AS avg_hi,
+           MIN(value) FILTER (WHERE value > {_HI_VAL}) AS min_hi,
+           MAX(value) FILTER (WHERE value > {_HI_VAL}) AS max_hi,
+           CAST(COUNT(DISTINCT user_id)
+                    FILTER (WHERE value > {_HI_VAL}) AS BIGINT)
+               AS uniq_users_hi
+    FROM events GROUP BY event_type
+    """,
+)
+def events_if_combinator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-If`` combinator family in one pass per event type:
+    ``countIf / sumIf / avgIf / minIf / maxIf / uniqExactIf`` with a
+    shared high-value predicate.  Spark spelling: ``F.when`` inside each
+    aggregate — one exchange, no repeated filtered scans (the reason the
+    combinator exists in ClickHouse).  min/max are exact value picks and
+    need no hash rounding; the double sum/avg follow the 4dp discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = F.when(F.col("value") > _HI_VAL, F.col("value"))
+    hi_user = F.when(F.col("value") > _HI_VAL, F.col("user_id"))
+    return ev.groupBy("event_type").agg(
+        F.count(hi).alias("cnt_hi"),
+        F.round(F.coalesce(F.sum(hi), F.lit(0.0)) + F.lit(1e-9), 4).alias(
+            "sum_hi"
+        ),
+        F.round(F.avg(hi) + F.lit(1e-9), 4).alias("avg_hi"),
+        F.min(hi).alias("min_hi"),
+        F.max(hi).alias("max_hi"),
+        F.countDistinct(hi_user).alias("uniq_users_hi"),
+    )
+
+
+@register(
+    "orders_bit_aggregates",
+    tags=("clickhouse-surface", "A-ext", "combinator"),
+    oracle="""
+    SELECT o_orderstatus,
+           BIT_AND(o_orderkey) AS key_bit_and,
+           BIT_OR(o_orderkey) AS key_bit_or,
+           BIT_XOR(o_orderkey) AS key_bit_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd / groupBitOr / groupBitXor`` over the
+    order keys per status — the bitmask rollups ClickHouse uses for
+    flag-column compaction.  Pure integer lattice aggregates: fully
+    associative/commutative, so map-side combine carries them at any
+    scale, and results are exact (no float discipline needed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_bit_and"),
+        F.bit_or("o_orderkey").alias("key_bit_or"),
+        F.bit_xor("o_orderkey").alias("key_bit_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "lineitem_avg_weighted",
+    tags=("clickhouse-surface", "A-ext", "combinator"),
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity)
+                 + 1e-9, 4) AS avg_price_weighted,
+           ROUND(SUM(l_quantity) + 1e-9, 4) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(l_extendedprice, l_quantity)`` per
+    return flag: quantity-weighted mean price.  One exchange; the ratio
+    of two map-side-combined sums (scale-free output under the 4dp hash
+    discipline — the raw sums never surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity")
+            + F.lit(1e-9),
+            4,
+        ).alias("avg_price_weighted"),
+        F.round(F.sum("l_quantity") + F.lit(1e-9), 4).alias("total_qty"),
+    )
+
+
+_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@register(
+    "events_quantiles_exact",
+    tags=("clickhouse-surface", "A-ext", "quantile"),
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.25) + 1e-9, 4) AS p25,
+           ROUND(quantile_cont(value, 0.50) + 1e-9, 4) AS p50,
+           ROUND(quantile_cont(value, 0.75) + 1e-9, 4) AS p75,
+           ROUND(quantile_cont(value, 0.90) + 1e-9, 4) AS p90,
+           ROUND(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantilesExact(0.25,…,0.99)(value)`` per event type.
+    Both engines use the R-7 linearly-interpolated definition (Spark
+    ``percentile``, DuckDB ``quantile_cont``), so values agree to float
+    ulps and the 4dp discipline closes them.  Exact quantiles sort
+    within the aggregation — per-group cost is the group's row count;
+    the approximate sibling below is the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for q in _QS:
+        aggs.append(
+            F.round(
+                F.percentile("value", F.lit(q)) + F.lit(1e-9), 4
+            ).alias(f"p{int(q * 100)}")
+        )
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+#: percentile_approx accuracy knob: guaranteed rank error <= n/accuracy
+_TDIGEST_ACC = 1000
+
+
+@register(
+    "events_quantile_sketch_rank_invariant",
+    tags=("clickhouse-surface", "A-ext", "quantile", "sketch"),
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def events_quantile_sketch_rank_invariant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``quantileTDigest``-class sketch with its contract
+    MATERIALIZED: Spark's ``percentile_approx`` (a GK/QuantileSummaries
+    sketch — mergeable, bounded memory, the quantile you actually run on
+    100 TB) guarantees rank error <= n/accuracy.  The query computes the
+    approximate p50/p90 per event type, then counts how many values fall
+    strictly below / at each approximation in the SAME pass shape, and
+    returns 1 only when the target rank lies within the guaranteed
+    error band of the approximation's true rank interval.  The oracle
+    pins the contract (all 1s) — the repo's invariant-companion pattern
+    for sketch operators whose exact output is implementation-defined."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(_TDIGEST_ACC)).alias(
+            "_a50"
+        ),
+        F.percentile_approx("value", F.lit(0.9), F.lit(_TDIGEST_ACC)).alias(
+            "_a90"
+        ),
+    )
+    ranked = (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.count(F.when(F.col("value") < F.col("_a50"), 1)).alias("_lt50"),
+            F.count(F.when(F.col("value") <= F.col("_a50"), 1)).alias("_le50"),
+            F.count(F.when(F.col("value") < F.col("_a90"), 1)).alias("_lt90"),
+            F.count(F.when(F.col("value") <= F.col("_a90"), 1)).alias("_le90"),
+        )
+    )
+    err = (F.col("n") / _TDIGEST_ACC) + 1  # +1 absorbs rank-convention off-by-one
+    def ok(target, lt, le):
+        lo, hi = target - err, target + err
+        # the approx value's true rank is anywhere in [lt, le]; pass if
+        # that interval intersects the allowed band
+        return (
+            (F.col(le) >= lo) & (F.col(lt) <= hi)
+        ).cast("long")
+    return ranked.select(
+        "event_type",
+        "n",
+        ok(0.5 * F.col("n"), "_lt50", "_le50").alias("p50_ok"),
+        ok(0.9 * F.col("n"), "_lt90", "_le90").alias("p90_ok"),
+    )

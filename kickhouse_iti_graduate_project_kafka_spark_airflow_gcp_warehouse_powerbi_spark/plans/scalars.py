@@ -180,3 +180,117 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# ClickHouse URL- and IPv4-function families (r11)
+# --------------------------------------------------------------------------
+@register(
+    "url_function_suite",
+    tags=("clickhouse-surface", "scalar-url"),
+    oracle=r"""
+    WITH u AS (
+        SELECT o_orderkey,
+               'https://shop-' || LOWER(o_orderstatus) || '.example.co.uk'
+                   || '/cat/' || LOWER(REPLACE(o_orderpriority, ' ', '-'))
+                   || '/item?id=' || CAST(o_orderkey AS VARCHAR)
+                   || '&src=bi' AS url
+        FROM orders
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS url_path,
+           regexp_extract(url, '\?(.*)$', 1) AS query_string,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS param_id,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+                          '([^.]+)$', 1) AS top_level_domain
+    FROM u
+    """,
+)
+def url_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function family (``protocol`` / ``domain`` /
+    ``path`` / ``queryString`` / ``extractURLParameter`` /
+    ``topLevelDomain``): URLs are fabricated deterministically from
+    order columns JVM-side (the repo's fabricate-then-parse pattern —
+    same as the multimodal byte suites), then parsed back with Spark's
+    builtin ``parse_url`` (JVM, codegen) — never a Python UDF.  The
+    oracle re-parses the same strings with regexes, so any divergence in
+    the parser itself shows as a hash mismatch."""
+    o = load_table(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop-"),
+        F.lower("o_orderstatus"),
+        F.lit(".example.co.uk/cat/"),
+        F.lower(F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("-"))),
+        F.lit("/item?id="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&src=bi"),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        host.alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("url_path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("id")).alias("param_id"),
+        F.substring_index(host, ".", -1).alias("top_level_domain"),
+    )
+
+
+@register(
+    "ipv4_function_suite",
+    tags=("clickhouse-surface", "scalar-ip"),
+    oracle="""
+    WITH ids AS (SELECT DISTINCT user_id FROM events),
+    ip AS (
+        SELECT user_id,
+               '10.' || CAST((user_id // 65536) % 256 AS VARCHAR)
+                     || '.' || CAST((user_id // 256) % 256 AS VARCHAR)
+                     || '.' || CAST(user_id % 256 AS VARCHAR) AS ip_str
+        FROM ids
+    )
+    SELECT user_id, ip_str,
+           10 * 16777216
+             + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_num,
+           CAST(CAST(string_split(ip_str, '.')[2] AS BIGINT) = 0
+                AS BIGINT) AS in_10_0_16
+    FROM ip
+    """,
+)
+def ipv4_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4-function family (``IPv4NumToString`` /
+    ``IPv4StringToNum`` / ``isIPAddressInRange``): a deterministic
+    10.x.y.z address is fabricated per distinct user, then parsed BACK
+    from the string with split+cast (the string->num direction is the
+    one that exercises real parsing) and range-checked against
+    10.0.0.0/16.  All JVM string/arithmetic builtins — the oracle
+    performs the identical split-and-weigh on the same strings."""
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select("user_id").distinct()
+    ip_str = F.concat(
+        F.lit("10."),
+        ((F.col("user_id") / 65536).cast("long") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 256).cast("string"),
+    )
+    ip = ids.select("user_id", ip_str.alias("ip_str"))
+    part = lambda i: F.split("ip_str", r"\.").getItem(i).cast("long")
+    ip_num = (
+        F.lit(10 * 16777216)
+        + part(1) * 65536
+        + part(2) * 256
+        + part(3)
+    )
+    return ip.select(
+        "user_id",
+        "ip_str",
+        ip_num.alias("ip_num"),
+        (part(1) == 0).cast("long").alias("in_10_0_16"),
+    )
