@@ -294,3 +294,75 @@ def ipv4_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ip_num.alias("ip_num"),
         (part(1) == 0).cast("long").alias("in_10_0_16"),
     )
+
+
+@register(
+    "array_hof_suite",
+    tags=("clickhouse-surface", "scalar-array", "hof"),
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey,
+               CAST(o_orderkey % 6 + 2 AS BIGINT) AS n,
+               CAST(o_orderkey % 7 + 1 AS BIGINT) AS k
+        FROM orders
+    ),
+    a AS (SELECT o_orderkey, k, generate_series(1, n) AS arr FROM b)
+    SELECT o_orderkey,
+           arr,
+           list_transform(arr, x -> x * k) AS mapped,
+           list_filter(arr, x -> x % 2 = 0) AS evens,
+           CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+           list_transform(generate_series(1, len(arr)),
+                          i -> list_sum(arr[1:i])) AS cum_sum,
+           list_sort(list_distinct(list_concat(arr, arr)), 'DESC')
+               AS dedup_desc,
+           list_reverse(arr) AS rev,
+           arr[2:3] AS sliced,
+           CAST(len(list_filter(arr, x -> x > 6)) > 0 AS BIGINT)
+               AS has_gt6,
+           array_to_string(arr, ',') AS joined
+    FROM a
+    """,
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array higher-order family (``arrayMap`` /
+    ``arrayFilter`` / ``arraySum`` / ``arrayCumSum`` / ``arraySort`` +
+    ``arrayDistinct`` / ``arrayReverse`` / ``arraySlice`` /
+    ``arrayExists`` / ``arrayStringConcat``): deterministic per-order
+    arrays (``sequence(1, orderkey%6+2)``), every op a JVM
+    lambda-codegen builtin — ``transform`` / ``filter`` / ``aggregate``
+    / ``sort_array`` / ``reverse`` / ``slice`` / ``exists`` /
+    ``array_join``.  ``arrayCumSum`` is spelled as transform-with-index
+    over slices (quadratic in ELEMENT count — arrays here are <= 7 long;
+    the row-stream prefix-sum operators in dq_suite are the scale path
+    for long sequences, this is the per-array scalar family)."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 6 + 2).alias("n"),
+        (F.col("o_orderkey") % 7 + 1).alias("k"),
+    )
+    arr = F.sequence(F.lit(1).cast("long"), F.col("n"))
+    b = b.select("o_orderkey", "k", arr.alias("arr"))
+    a = F.col("arr")
+    zero = F.lit(0).cast("long")
+    return b.select(
+        "o_orderkey",
+        "arr",
+        F.transform(a, lambda x: x * F.col("k")).alias("mapped"),
+        F.filter(a, lambda x: x % 2 == 0).alias("evens"),
+        F.aggregate(a, zero, lambda acc, x: acc + x).alias("arr_sum"),
+        F.transform(
+            a,
+            lambda x, i: F.aggregate(
+                F.slice(a, 1, i + 1), zero, lambda acc, y: acc + y
+            ),
+        ).alias("cum_sum"),
+        F.sort_array(F.array_distinct(F.concat(a, a)), asc=False).alias(
+            "dedup_desc"
+        ),
+        F.reverse(a).alias("rev"),
+        F.slice(a, 2, 2).alias("sliced"),
+        F.exists(a, lambda x: x > 6).cast("long").alias("has_gt6"),
+        F.array_join(a, ",").alias("joined"),
+    )
