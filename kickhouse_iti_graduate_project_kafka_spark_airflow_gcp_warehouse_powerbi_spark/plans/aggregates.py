@@ -225,3 +225,91 @@ def events_quantile_sketch_rank_invariant(
         ok(0.5 * F.col("n"), "_lt50", "_le50").alias("p50_ok"),
         ok(0.9 * F.col("n"), "_lt90", "_le90").alias("p90_ok"),
     )
+
+
+@register(
+    "lineitem_summap_qty",
+    tags=("clickhouse-surface", "A-ext", "map-agg"),
+    oracle="""
+    WITH b AS (
+        SELECT l_linestatus,
+               [l_returnflag, 'ALL'] AS ks,
+               [l_quantity, l_quantity] AS vs
+        FROM lineitem
+    ),
+    e AS (SELECT l_linestatus, unnest(ks) AS k, unnest(vs) AS v FROM b),
+    p AS (SELECT l_linestatus, k, SUM(v) AS c FROM e GROUP BY 1, 2)
+    SELECT l_linestatus,
+           list(k ORDER BY k) AS map_keys,
+           list(c ORDER BY k) AS map_values
+    FROM p GROUP BY l_linestatus
+    """,
+)
+def lineitem_summap_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap([l_returnflag, 'ALL'], [qty, qty])`` per line
+    status: per-key summed quantity plus a rolled-up 'ALL' key in the
+    same map — the counter-map idiom ClickHouse dashboards aggregate
+    with the -Map combinator.  Distributed spelling: explode + hash
+    aggregation on (group, key) + aligned-array reassembly
+    (operators/maps.agg_map).  Quantities are integral doubles, so the
+    per-key sums are exact and need no hash rounding."""
+    from ..operators.maps import agg_map
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_map(
+        li,
+        F.array(F.col("l_returnflag"), F.lit("ALL")),
+        F.array(F.col("l_quantity"), F.col("l_quantity")),
+        by=("l_linestatus",),
+        combine="sum",
+    )
+
+
+@register(
+    "events_minmax_map_by_type",
+    tags=("clickhouse-surface", "A-ext", "map-agg"),
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 4 AS VARCHAR)
+                   AS k,
+               value AS v
+        FROM events
+    ),
+    p AS (
+        SELECT event_type, k, MIN(v) AS mn, MAX(v) AS mx
+        FROM b GROUP BY 1, 2
+    )
+    SELECT event_type,
+           list(k ORDER BY k) AS map_keys,
+           list(mn ORDER BY k) AS min_values,
+           list(mx ORDER BY k) AS max_values
+    FROM p GROUP BY event_type
+    """,
+)
+def events_minmax_map_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` per event type, keyed by an
+    hour-of-epoch phase bucket: per-key extreme values re-assembled as
+    aligned sorted arrays.  Two agg_map passes (min and max) joined on
+    the group key — min/max pick exact stored doubles, so no rounding.
+    The epoch-hour bucket is integer arithmetic (session-timezone-proof,
+    the repo's epoch-day idiom)."""
+    from ..operators.maps import agg_map
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        ((F.col("ts").cast("double") / 3600).cast("long") % 4)
+        .cast("string")
+        .alias("k"),
+        F.col("value").alias("v"),
+    )
+    mn = agg_map(
+        keyed, F.array("k"), F.array("v"), by=("event_type",), combine="min"
+    ).withColumnRenamed("map_values", "min_values")
+    mx = agg_map(
+        keyed, F.array("k"), F.array("v"), by=("event_type",), combine="max"
+    ).select("event_type", F.col("map_values").alias("max_values"))
+    return mn.join(mx, "event_type").select(
+        "event_type", "map_keys", "min_values", "max_values"
+    )
