@@ -227,7 +227,11 @@ def cramers_v(df: DataFrame, a: Column, b: Column) -> DataFrame:
         F.countDistinct("_a").alias("_da"),
         F.countDistinct("_b").alias("_db"),
     )
-    joined = cell.join(ra, "_a").join(cb, "_b").crossJoin(F.broadcast(tot))
+    joined = (
+        cell.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
     e = F.col("_ra") * F.col("_cb") / F.col("_n")
     # sum(o^2/e) - n == sum over ALL cells of (o-e)^2/e: empty cells
     # (absent from the observed-cell groupBy) contribute e each, and the
@@ -257,7 +261,7 @@ def theils_u(df: DataFrame, x: Column, y: Column) -> DataFrame:
     )
     my = cell.groupBy("_y").agg(F.sum("_k").alias("_ky"))
     tot = cell.agg(F.sum("_k").alias("_n"))
-    j = cell.join(my, "_y").crossJoin(F.broadcast(tot))
+    j = cell.join(F.broadcast(my), "_y").crossJoin(F.broadcast(tot))
     pxy = F.col("_k") / F.col("_n")
     # H(x|y) = -sum p(x,y) * log2( p(x,y) / p(y) )
     hxgy = -F.sum(pxy * F.log2(F.col("_k") / F.col("_ky")))

@@ -134,6 +134,7 @@ _QS = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 @register(
     "events_quantiles_exact",
+    bench=True,
     tags=("clickhouse-surface", "A-ext", "quantile"),
     oracle="""
     SELECT event_type,
@@ -229,6 +230,7 @@ def events_quantile_sketch_rank_invariant(
 
 @register(
     "lineitem_summap_qty",
+    bench=True,
     tags=("clickhouse-surface", "A-ext", "map-agg"),
     oracle="""
     WITH b AS (

@@ -84,6 +84,7 @@ _TTEST_ORACLE_BODY = """
 
 @register(
     "orders_price_welch_ttest",
+    bench=True,
     tags=("clickhouse-surface", "stats", "A-ext"),
     oracle=_TTEST_ORACLE_BODY
     + """
@@ -128,6 +129,7 @@ def orders_price_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_value_mannwhitney",
+    bench=True,
     tags=("clickhouse-surface", "stats", "A-ext"),
     oracle="""
     WITH d AS (

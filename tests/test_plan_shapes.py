@@ -511,3 +511,75 @@ def test_lttb_no_python_no_cartesian(plans):
     p = plans("events_hourly_lttb")
     assert "Python" not in p
     assert "CartesianProduct" not in p
+
+
+def test_stats_family_no_python_no_cartesian(plans):
+    """r11 statistical aggregates: every query stays JVM-side (no
+    Arrow/Python eval nodes) and never degenerates to a cartesian fact
+    join — the only cross joins are deliberate 1-row broadcast totals."""
+    for q in (
+        "orders_price_welch_ttest",
+        "orders_price_student_ttest",
+        "events_value_mannwhitney",
+        "events_value_ks_test",
+        "orders_priority_status_cramers_v",
+        "orders_status_priority_theils_u",
+        "events_value_time_linreg",
+        "events_type_bounding_ratio",
+        "events_value_pop_moments",
+    ):
+        p = plans(q)
+        assert "EvalPython" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_ttest_is_single_conditional_aggregation(plans):
+    """-If-style conditional aggregation: one hash aggregate pass over
+    the fact, no join, no window, no second scan per condition."""
+    p = plans("orders_price_welch_ttest")
+    assert "Join" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_rank_tests_window_rides_on_reduced_values(plans):
+    """mann-whitney / KS: the window input must be the per-distinct-value
+    aggregate (HashAggregate below the Window), never the raw fact."""
+    for q in ("events_value_mannwhitney", "events_value_ks_test"):
+        p = plans(q)
+        assert "Window" in p, q
+        # the distinct-value reduction appears as an aggregate on the
+        # value column feeding the window
+        assert "HashAggregate" in p, q
+        assert "Join" not in p, q
+
+
+def test_contingency_stats_broadcast_marginals(plans):
+    """cramersV / theilsU: marginal and total tables join back into the
+    cell table as broadcasts — no sort-merge exchange after the single
+    fact-pass groupBy."""
+    for q in (
+        "orders_priority_status_cramers_v",
+        "orders_status_priority_theils_u",
+    ):
+        p = plans(q)
+        assert "Broadcast" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_map_combinators_no_window_no_python(plans):
+    """sumMap/minMap/maxMap: explode + two key-hash aggregations; never a
+    window, never Python, never a cartesian."""
+    for q in ("lineitem_summap_qty", "events_minmax_map_by_type"):
+        p = plans(q)
+        assert "Generate explode" in p or "Generate" in p, q
+        assert "Window" not in p, q
+        assert "EvalPython" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_scalar_suites_are_pure_projections(plans):
+    """url / array-HOF suites: fabricate-then-parse is a single narrow
+    projection — any Exchange in these plans is a regression."""
+    for q in ("url_function_suite", "array_hof_suite"):
+        assert "Exchange" not in plans(q), q
