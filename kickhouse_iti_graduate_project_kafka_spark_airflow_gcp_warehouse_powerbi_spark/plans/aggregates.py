@@ -315,3 +315,78 @@ def events_minmax_map_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mn.join(mx, "event_type").select(
         "event_type", "map_keys", "min_values", "max_values"
     )
+
+
+@register(
+    "events_topk_types_per_user",
+    tags=("clickhouse-surface", "A-ext", "topk"),
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type) AS rk
+        FROM c
+    )
+    SELECT user_id,
+           list(event_type ORDER BY rk) AS top_types,
+           list(cnt ORDER BY rk) AS top_counts
+    FROM r WHERE rk <= 3 GROUP BY user_id
+    """,
+)
+def events_topk_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(3)(event_type)`` per user, made DETERMINISTIC:
+    ClickHouse's topK is a SpaceSaving sketch with unspecified tie
+    order; this exact spelling counts per (user, type), ranks by
+    (count desc, type) — a pinned total order, the repo's tie-break
+    discipline — and keeps 3.  The ranking window partitions by user
+    over the per-type count table, so its per-task bound is types per
+    user (single digits), not events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    r = c.select(
+        "user_id", "event_type", "cnt", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 3)
+    pairs = r.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rk", "event_type", "cnt"))
+        ).alias("_p")
+    )
+    return pairs.select(
+        "user_id",
+        F.transform("_p", lambda p: p["event_type"]).alias("top_types"),
+        F.transform("_p", lambda p: p["cnt"]).alias("top_counts"),
+    )
+
+
+@register(
+    "user_event_type_arrays",
+    tags=("clickhouse-surface", "A-ext", "group-array"),
+    oracle="""
+    SELECT user_id,
+           list(DISTINCT event_type ORDER BY event_type) AS uniq_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray(event_type)`` per user (sorted for
+    the cross-engine hash — ClickHouse's own array order is arena-
+    dependent, the same unspecified-order hazard topK has).  Spark:
+    ``collect_set`` + ``sort_array``, one user-keyed exchange with
+    map-side partial sets."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("uniq_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -366,3 +366,45 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(a, lambda x: x > 6).cast("long").alias("has_gt6"),
         F.array_join(a, ",").alias("joined"),
     )
+
+
+@register(
+    "docs_text_search_suite",
+    tags=("clickhouse-surface", "scalar-string", "search"),
+    oracle="""
+    SELECT doc_id,
+           CAST(strpos(text, 'table') AS BIGINT) AS pos_table,
+           CAST(len(regexp_extract_all(text, 'value')) AS BIGINT)
+               AS matches_value,
+           CAST(starts_with(text, 'key') AS BIGINT) AS starts_key,
+           CAST(ends_with(text, 'scan') AS BIGINT) AS ends_scan,
+           CAST(strpos(text, 'join') > 0 OR strpos(text, 'merge') > 0
+                AS BIGINT) AS any_join_merge,
+           CAST(strpos(text, 'join') > 0 AND strpos(text, 'scan') > 0
+                AS BIGINT) AS all_join_scan
+    FROM documents
+    """,
+)
+def docs_text_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse text-search family (``position`` / ``countMatches`` /
+    ``startsWith`` / ``endsWith`` / ``multiSearchAny`` /
+    ``multiSearchAllPositions``-style all-of check) over the documents
+    corpus — the substring predicates the reference's quality filters
+    compose.  All JVM builtins (``locate`` / ``regexp_count`` /
+    ``startswith`` / ``endswith`` / boolean algebra); 1-based position
+    with 0 = absent matches both engines' convention."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.locate("table", t).cast("long").alias("pos_table"),
+        F.regexp_count(t, F.lit("value")).cast("long").alias("matches_value"),
+        F.startswith(t, F.lit("key")).cast("long").alias("starts_key"),
+        F.endswith(t, F.lit("scan")).cast("long").alias("ends_scan"),
+        ((F.locate("join", t) > 0) | (F.locate("merge", t) > 0))
+        .cast("long")
+        .alias("any_join_merge"),
+        ((F.locate("join", t) > 0) & (F.locate("scan", t) > 0))
+        .cast("long")
+        .alias("all_join_scan"),
+    )
