@@ -390,3 +390,66 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("uniq_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "event_type_audience_overlap",
+    tags=("clickhouse-surface", "A-ext", "bitmap"),
+    oracle="""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY event_type),
+    i AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM d a JOIN d b ON a.user_id = b.user_id
+        WHERE a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           sa.n + sb.n - i.n_common AS n_union,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common) + 1e-9, 4)
+               AS jaccard
+    FROM i JOIN s sa ON i.type_a = sa.event_type
+           JOIN s sb ON i.type_b = sb.event_type
+    """,
+)
+def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``bitmapAndCardinality`` / ``bitmapOrCardinality``
+    audience overlap: for every pair of event types, the exact number of
+    shared users, the union size (inclusion–exclusion), and the audience
+    jaccard.  ClickHouse materializes roaring bitmaps per group and
+    intersects them in one arena; the distributed spelling is a distinct
+    (type, user) reduction self-joined on user — the join key is the
+    user, so co-grouping shuffles each user's type-set once and pair
+    counts combine map-side.  Per-user work is quadratic in the types
+    that user touches (single digits here; a capped-types guard would
+    precede this at 100 TB for pathological keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    s = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    i = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = s.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("_na")
+    )
+    sb = s.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("_nb")
+    )
+    out = i.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    union = F.col("_na") + F.col("_nb") - F.col("n_common")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_common",
+        union.alias("n_union"),
+        F.round(F.col("n_common") / union + F.lit(1e-9), 4).alias("jaccard"),
+    )
