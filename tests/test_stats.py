@@ -199,3 +199,43 @@ def test_ttest_grouped_runs_per_group(spark):
     assert set(out) == {"g1", "g2"}
     assert out["g1"]["n1"] + out["g1"]["n2"] == len(A)
     assert out["g2"]["n1"] + out["g2"]["n2"] == len(B)
+
+
+def test_mann_whitney_grouped_matches_per_group(spark):
+    a1, b1 = np.array([1.0, 2.0, 2.0, 9.0]), np.array([2.0, 3.0])
+    a2, b2 = np.array([5.0, 5.0, 6.0]), np.array([4.0, 5.0, 7.0, 7.0])
+    rows = (
+        [("g1", float(v), "a") for v in a1]
+        + [("g1", float(v), "b") for v in b1]
+        + [("g2", float(v), "a") for v in a2]
+        + [("g2", float(v), "b") for v in b2]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, s string")
+    out = {
+        r["g"]: r
+        for r in mann_whitney_u(
+            df, F.col("v"), F.col("s") == "a", F.col("s") == "b", by=("g",)
+        ).collect()
+    }
+    for g, (a, b) in {"g1": (a1, b1), "g2": (a2, b2)}.items():
+        u1, z = _mw_reference(a, b)
+        assert out[g]["u_stat"] == pytest.approx(u1, abs=1e-12), g
+        assert out[g]["z_stat"] == pytest.approx(z, rel=1e-12), g
+
+
+def test_ks_grouped_partitions_independently(spark):
+    rows = [("g1", 1.0, "a"), ("g1", 2.0, "b"), ("g2", 5.0, "a"),
+            ("g2", 5.0, "b"), ("g2", 6.0, "a"), ("g2", 7.0, "b")]
+    df = spark.createDataFrame(rows, "g string, v double, s string")
+    out = {
+        r["g"]: r["d_stat"]
+        for r in ks_2samp(
+            df, F.col("v"), F.col("s") == "a", F.col("s") == "b", by=("g",)
+        ).collect()
+    }
+    assert out["g1"] == pytest.approx(1.0)  # disjoint singletons
+    a, b = np.array([5.0, 6.0]), np.array([5.0, 7.0])
+    grid = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), grid, side="right") / 2
+    f2 = np.searchsorted(np.sort(b), grid, side="right") / 2
+    assert out["g2"] == pytest.approx(float(np.abs(f1 - f2).max()))
