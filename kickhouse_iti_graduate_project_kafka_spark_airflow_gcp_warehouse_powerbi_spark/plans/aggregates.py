@@ -453,3 +453,91 @@ def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         union.alias("n_union"),
         F.round(F.col("n_common") / union + F.lit(1e-9), 4).alias("jaccard"),
     )
+
+
+@register(
+    "events_daily_type_pivot",
+    tags=("clickhouse-surface", "A-ext", "pivot"),
+    oracle="""
+    SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_epoch,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS view,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS error,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+               AS signup
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI cross-tab: daily event counts PIVOTed to one column per
+    event type — Spark's ``groupBy().pivot(values=...)`` relational
+    operator with the value list pinned (pinning skips the extra
+    distinct-scan job AND fixes the output schema, which an oracle needs
+    anyway).  Catalyst compiles this to exactly the oracle's spelling:
+    one hash aggregation with N conditional counts, map-side combined —
+    a pivot over K values is never K passes.  Day bucketing is integer
+    epoch-day arithmetic (timezone-proof)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("double") / 86400).cast("long").alias("day_epoch")
+    types = ["click", "view", "purchase", "error", "signup"]
+    out = (
+        ev.select(day, "event_type")
+        .groupBy("day_epoch")
+        .pivot("event_type", types)
+        .count()
+    )
+    # pivot leaves absent combinations NULL; the cross-tab contract is 0
+    return out.select(
+        "day_epoch",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types],
+    )
+
+
+@register(
+    "orders_measures_unpivot",
+    tags=("clickhouse-surface", "A-ext", "pivot"),
+    oracle="""
+    SELECT o_orderkey, measure, ROUND(val + 1e-9, 4) AS val
+    FROM (
+        SELECT o_orderkey, 'total_price' AS measure, o_totalprice AS val
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'days_since_95',
+               CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS DOUBLE)
+        FROM orders
+    ) u
+    """,
+)
+def orders_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse cross-tab: wide measure columns melted to
+    (key, measure, value) rows with Spark's ``unpivot`` (SQL UNPIVOT /
+    pandas melt) — the shape BI tools want for generic measure pickers.
+    A generator projection (one scan, no shuffle, no join); the date
+    measure uses day arithmetic on a DATE cast (NTZ-safe, the repo's
+    datetime-suite idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("double")
+        .alias("days_since_95"),
+    )
+    melted = wide.unpivot(
+        ids="o_orderkey",
+        values=["total_price", "days_since_95"],
+        variableColumnName="measure",
+        valueColumnName="_v",
+    )
+    return melted.select(
+        "o_orderkey",
+        "measure",
+        F.round(F.col("_v") + F.lit(1e-9), 4).alias("val"),
+    )
