@@ -1859,3 +1859,80 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("q_id", F.col("label").alias("predicted"), "votes")
     )
+
+
+@register(
+    "embedding_distance_suite",
+    tags=("similarity", "clickhouse-surface", "distance"),
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    d AS (
+        SELECT e.vec_id,
+               list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        - CAST(q.qv[i] AS DOUBLE)) AS diff,
+               list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(q.qv[i] AS DOUBLE)) AS prod,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+               list_transform(q.qv, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id < 1000
+    )
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(diff, x -> ABS(x))) + 1e-9, 4)
+               AS l1_dist,
+           ROUND(SQRT(list_sum(list_transform(diff, x -> x * x))) + 1e-9, 4)
+               AS l2_dist,
+           ROUND(list_max(list_transform(diff, x -> ABS(x))) + 1e-9, 4)
+               AS linf_dist,
+           ROUND(list_sum(prod) + 1e-9, 4) AS dot_product,
+           ROUND(list_sum(prod)
+                 / (SQRT(list_sum(list_transform(ev, x -> x * x)))
+                    * SQRT(list_sum(list_transform(qv, x -> x * x))))
+                 + 1e-9, 4) AS cosine_sim
+    FROM d
+    """,
+)
+def embedding_distance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse vector-distance family (``L1Distance`` /
+    ``L2Distance`` / ``LinfDistance`` / ``dotProduct`` /
+    ``cosineDistance``) against a fixed query vector (vec_id 0,
+    broadcast — the single-probe shape of a vector-search scoring
+    pass).  All five metrics come from ONE ``zip_with`` difference /
+    product array per row folded with ``F.aggregate`` — JVM
+    lambda-codegen, no Python, no shuffle except the final collect; the
+    oracle spells the identical elementwise arithmetic with DuckDB list
+    lambdas (both engines fold left-to-right over the same 64-element
+    order, so the 4dp hash discipline closes libm noise).  Row-bounded
+    to vec_id < 1000 to keep the compare collect small; the operator
+    family's unbounded path is `knn_bruteforce_cosine`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    d = emb.where(F.col("vec_id") < 1000).crossJoin(F.broadcast(q))
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    qv = F.transform("qv", lambda x: x.cast("double"))
+    diff = F.zip_with(ev, qv, lambda a, b: a - b)
+    prod = F.zip_with(ev, qv, lambda a, b: a * b)
+    zero = F.lit(0.0)
+    ssum = lambda arr: F.aggregate(arr, zero, lambda acc, x: acc + x)
+    sq = lambda arr: ssum(F.transform(arr, lambda x: x * x))
+    r4 = lambda c: F.round(c + F.lit(1e-9), 4)
+    return d.select(
+        "vec_id",
+        r4(ssum(F.transform(diff, lambda x: F.abs(x)))).alias("l1_dist"),
+        r4(F.sqrt(sq(diff))).alias("l2_dist"),
+        r4(F.array_max(F.transform(diff, lambda x: F.abs(x)))).alias(
+            "linf_dist"
+        ),
+        r4(ssum(prod)).alias("dot_product"),
+        r4(ssum(prod) / (F.sqrt(sq(ev)) * F.sqrt(sq(qv)))).alias(
+            "cosine_sim"
+        ),
+    )
