@@ -1707,3 +1707,58 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.round(-F.sum(p * F.log2(p)) + F.lit(1e-9), 4).alias("type_entropy"))
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function surface depth (r11): the full ranking/navigation family
+# --------------------------------------------------------------------------
+@register(
+    "events_window_function_suite",
+    tags=("WF2", "clickhouse-surface", "window"),
+    oracle="""
+    SELECT event_id,
+           event_type,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_val,
+           NTH_VALUE(value, 3) OVER w AS third_val,
+           CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY
+               ROUND(value) ) AS BIGINT) AS value_dense_rank,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY
+               event_id) + 1e-9, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY
+               event_id) + 1e-9, 4) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
+)
+def events_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window navigation/ranking family in one pass per event
+    type (ClickHouse window functions: ``lagInFrame`` / ``leadInFrame``
+    / ``first_value`` / ``nth_value`` / ``dense_rank`` / ``ntile`` /
+    ``percent_rank`` / ``cume_dist``): ordered by the pinned
+    (ts, event_id) total order — every rank here is tie-deterministic
+    (ntile/percent_rank/cume_dist order by the unique event_id; the
+    dense_rank orders by the quantized value so ranks are genuinely
+    dense).  ONE Window exchange per partition spec; the navigation
+    frame is the Spark default (unbounded preceding → current row),
+    growing — never shrinking (the r10 frame lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wid = Window.partitionBy("event_type").orderBy("event_id")
+    wv = Window.partitionBy("event_type").orderBy(F.round("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+        F.dense_rank().over(wv).cast("long").alias("value_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(wid) + F.lit(1e-9), 4).alias(
+            "pct_rank"
+        ),
+        F.round(F.cume_dist().over(wid) + F.lit(1e-9), 4).alias("cume"),
+    )
