@@ -541,3 +541,65 @@ def orders_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         F.round(F.col("_v") + F.lit(1e-9), 4).alias("val"),
     )
+
+
+@register(
+    "orders_distinct_mode_suite",
+    tags=("clickhouse-surface", "A-ext", "combinator"),
+    oracle="""
+    WITH pc AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority)
+                   AS rk
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+                   AS uniq_prices,
+               CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_distinct_price
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT s.o_orderstatus, s.uniq_prices, s.sum_distinct_price,
+           pc.o_orderpriority AS mode_priority, pc.cnt AS mode_count
+    FROM s JOIN pc ON s.o_orderstatus = pc.o_orderstatus AND pc.rk = 1
+    """,
+)
+def orders_distinct_mode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqExact`` / ``sumDistinct`` / ``mode`` (topK(1)
+    exact) per order status.  The distinct money sum goes through the
+    repo's exact-decimal discipline (DECIMAL(18,2) accumulate, double
+    cast at the end — a raw double distinct-sum is summation-order
+    dependent at ~1e-3 absolute here, far outside hash rounding).  The
+    mode pins ties to the smallest priority string via a (count desc,
+    value) total order — ClickHouse's own mode/topK tie order is
+    arena-dependent.  Two fact-pass aggregations + a tiny broadcast
+    join."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_totalprice").alias("uniq_prices"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+    )
+    pc = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    mode = (
+        pc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    return s.join(F.broadcast(mode), "o_orderstatus")
