@@ -408,3 +408,59 @@ def docs_text_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("all_join_scan"),
     )
+
+
+@register(
+    "customer_geo_distance_suite",
+    tags=("clickhouse-surface", "scalar-geo"),
+    oracle="""
+    WITH g AS (
+        SELECT c_custkey,
+               (c_custkey % 160) - 80 + 0.5 AS lat,
+               ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+        FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           ROUND(2 * 6371000.0 * ASIN(SQRT(
+               POWER(SIN(RADIANS(lat - 52.52) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(52.52))
+                 * POWER(SIN(RADIANS(lon - 13.405) / 2), 2)
+           )) + 1e-9, 2) AS meters_to_berlin,
+           CAST(lat BETWEEN 35.0 AND 71.0 AND lon BETWEEN -10.0 AND 40.0
+                AS BIGINT) AS in_europe_box
+    FROM g
+    """,
+)
+def customer_geo_distance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse geo family (``greatCircleDistance`` /
+    ``pointInEllipses``-style box containment): deterministic lat/lon
+    fabricated from customer keys (fabricate-then-compute), haversine
+    great-circle distance to a fixed point spelled identically on both
+    engines (sin/cos/asin are IEEE to ~1 ulp across JVM and C libm —
+    relative 1e-15 on a 2e7 m range is 2e-8 m, closed by 2dp rounding),
+    plus a bounding-box predicate.  Pure narrow projection, no
+    exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 160) - 80 + F.lit(0.5)
+    lon = ((F.col("c_custkey") * 7) % 360) - 180 + F.lit(0.5)
+    g = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat") - 52.52) / 2), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians(F.lit(52.52)))
+        * F.pow(F.sin(F.radians(F.col("lon") - 13.405) / 2), 2)
+    )
+    return g.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(
+            2 * 6371000.0 * F.asin(F.sqrt(hav)) + F.lit(1e-9), 2
+        ).alias("meters_to_berlin"),
+        (
+            F.col("lat").between(35.0, 71.0)
+            & F.col("lon").between(-10.0, 40.0)
+        )
+        .cast("long")
+        .alias("in_europe_box"),
+    )
