@@ -337,11 +337,14 @@ def pop_moments(
     ``m3 / m2^1.5`` and kurtosis ``m4 / m2^2`` per ``by`` group, from
     TWO-PASS central moments (mean first, then powers of the residual —
     identical arithmetic on both engines, no single-pass shortcut whose
-    definition differs between their builtin skewness/kurtosis)."""
+    definition differs between their builtin skewness/kurtosis).
+
+    The mean table has one row per group; the join back is left to AQE
+    (broadcast when small, shuffle when the group count is itself huge)
+    rather than hint-forced — a hard broadcast would OOM the driver at
+    1e8 groups.  The global case is a deliberate 1-row cross join."""
     mean = df.groupBy(*by).agg(F.avg(value).alias("_mu"))
-    j = df.join(F.broadcast(mean), list(by)) if by else df.crossJoin(
-        F.broadcast(mean)
-    )
+    j = df.join(mean, list(by)) if by else df.crossJoin(F.broadcast(mean))
     d = value - F.col("_mu")
     m = j.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
