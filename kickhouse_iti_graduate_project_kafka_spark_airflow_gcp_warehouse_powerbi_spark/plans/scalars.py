@@ -416,8 +416,8 @@ def docs_text_search_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT c_custkey,
-               (c_custkey % 160) - 80 + 0.5 AS lat,
-               ((c_custkey * 7) % 360) - 180 + 0.5 AS lon
+               CAST((c_custkey % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+               CAST(((c_custkey * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
         FROM customer
     )
     SELECT c_custkey, lat, lon,
