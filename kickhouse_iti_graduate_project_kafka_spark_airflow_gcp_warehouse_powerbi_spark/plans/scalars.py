@@ -304,7 +304,7 @@ def ipv4_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                CAST(o_orderkey % 6 + 2 AS BIGINT) AS n,
                CAST(o_orderkey % 7 + 1 AS BIGINT) AS k
-        FROM orders
+        FROM orders WHERE o_orderkey < 100000
     ),
     a AS (SELECT o_orderkey, k, generate_series(1, n) AS arr FROM b)
     SELECT o_orderkey,
@@ -337,7 +337,11 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row-stream prefix-sum operators in dq_suite are the scale path
     for long sequences, this is the per-array scalar family)."""
     o = load_table(spark, sf_dir, "orders")
-    b = o.select(
+    # key-bounded (pushdown-eligible) so the COMPARE collect stays small
+    # at any fixture scale — the suite checks function semantics, not
+    # bulk throughput; unbounded array transforms run inside the dedup
+    # and llm_text operators
+    b = o.where(F.col("o_orderkey") < 100000).select(
         "o_orderkey",
         (F.col("o_orderkey") % 6 + 2).alias("n"),
         (F.col("o_orderkey") % 7 + 1).alias("k"),
