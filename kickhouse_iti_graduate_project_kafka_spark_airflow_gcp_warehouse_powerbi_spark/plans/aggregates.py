@@ -603,3 +603,97 @@ def orders_distinct_mode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.join(F.broadcast(mode), "o_orderstatus")
+
+
+@register(
+    "events_topk_weighted_types",
+    tags=("clickhouse-surface", "A-ext", "topk"),
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type,
+               ROUND(SUM(value) + 1e-9, 4) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT user_id, event_type, w,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY w DESC, event_type) AS rk
+        FROM c
+    )
+    SELECT user_id,
+           list(event_type ORDER BY rk) AS top_types,
+           list(w ORDER BY rk) AS top_weights
+    FROM r WHERE rk <= 2 GROUP BY user_id
+    """,
+)
+def events_topk_weighted_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(2)(event_type, value)`` per user, made
+    deterministic the same way as ``events_topk_types_per_user``: weights
+    are per-(user,type) value sums (hash-rounded BEFORE ranking so both
+    engines rank identical weights — ranking raw double sums would let a
+    1-ulp summation difference flip an order), ranked by (weight desc,
+    type).  Same bounded-window shape: types per user, not events."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value") + F.lit(1e-9), 4).alias("w")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("w").desc(), F.col("event_type")
+    )
+    r = c.select(
+        "user_id", "event_type", "w", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= 2)
+    pairs = r.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("rk", "event_type", "w"))).alias(
+            "_p"
+        )
+    )
+    return pairs.select(
+        "user_id",
+        F.transform("_p", lambda p: p["event_type"]).alias("top_types"),
+        F.transform("_p", lambda p: p["w"]).alias("top_weights"),
+    )
+
+
+@register(
+    "orders_argminmax_if",
+    tags=("clickhouse-surface", "A-ext", "combinator"),
+    oracle="""
+    SELECT o_orderstatus,
+           ARG_MAX(o_orderkey, o_totalprice * 16777216 + (131071 - o_orderkey % 131072))
+               FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS priciest_urgent_key,
+           ARG_MIN(o_orderkey, o_totalprice * 16777216 + (o_orderkey % 131072))
+               FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS cheapest_urgent_key,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+               ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_argminmax_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMaxIf`` / ``argMinIf``: the order key carrying the
+    extreme price among urgent orders only, per status.  Spark spells it
+    ``max_by``/``min_by`` over a ``when``-masked expression; DuckDB's
+    arg_min/arg_max take only scalar orderings, so BOTH sides pin price
+    ties through one composite scalar: price scaled by 2^24 (an exact
+    exponent shift) plus a 17-bit key-derived term oriented so the
+    SMALLEST key wins either extreme.  Prices are 2dp-quantized, so the
+    smallest distinct-price gap scales to 0.01*2^24 = 167,772 — strictly
+    above the 131,071 tie-term range, which is what makes the tie term
+    unable to reorder distinct prices (a 2^17 scale would NOT clear that
+    bar; caught in review)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    kmod = F.col("o_orderkey") % 131072
+    hi_key = F.when(
+        urgent, F.col("o_totalprice") * 16777216 + (131071 - kmod)
+    )
+    lo_key = F.when(urgent, F.col("o_totalprice") * 16777216 + kmod)
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", hi_key).alias("priciest_urgent_key"),
+        F.min_by("o_orderkey", lo_key).alias("cheapest_urgent_key"),
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+    )
