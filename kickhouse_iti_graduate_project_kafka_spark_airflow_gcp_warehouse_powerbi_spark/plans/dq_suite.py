@@ -1762,3 +1762,54 @@ def events_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.cume_dist().over(wid) + F.lit(1e-9), 4).alias("cume"),
     )
+
+
+@register(
+    "events_rolling_7d_uniques",
+    tags=("clickhouse-surface", "A-ext", "window", "rolling-distinct"),
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+               user_id
+        FROM events
+    ),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM du),
+    cover AS (
+        SELECT du.user_id, du.d + g.o AS wd
+        FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) g
+    )
+    SELECT c.wd AS day_epoch,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS uniques_7d
+    FROM cover c, span s
+    WHERE c.wd BETWEEN s.d0 AND s.d1
+    GROUP BY c.wd
+    """,
+)
+def events_rolling_7d_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the BI "7-day active
+    users" series.  Distinct counts are NOT associative, so no window
+    frame can roll them; the distributed spelling is the covering-window
+    explode: reduce to distinct (day, user) pairs (tiny vs the fact),
+    explode each pair into the 7 window-end days it contributes to
+    (constant fan-out), and run one countDistinct per window day.
+    Cost: 7 x |distinct day-user pairs| — independent of event volume,
+    the property that makes this shape survive 100 TB where a naive
+    per-day self-join over raw events would not.  Day bucketing is
+    integer epoch-day (timezone-proof); the grid is clamped to observed
+    days so both engines emit identical rows."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        (F.col("ts").cast("double") / 86400).cast("long").alias("d"),
+        "user_id",
+    ).distinct()
+    span = du.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cover = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(span))
+        .where(F.col("wd").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("wd").alias("day_epoch"))
+        .agg(F.countDistinct("user_id").alias("uniques_7d"))
+    )
