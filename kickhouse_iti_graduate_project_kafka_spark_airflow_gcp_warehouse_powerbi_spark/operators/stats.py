@@ -167,7 +167,9 @@ def mann_whitney_u(
     n = n1 + n2
     u1 = F.col("_r1") - n1 * (n1 + 1) / 2.0
     var = n1 * n2 / 12.0 * ((n + 1) - F.col("_ties") / (n * (n - 1)))
-    z = (u1 - n1 * n2 / 2.0) / F.sqrt(var)
+    # var == 0 when EVERY value ties (one rank block): z is undefined,
+    # surface NULL instead of an ANSI divide-by-zero (hypothesis-found)
+    z = F.when(var > 0, (u1 - n1 * n2 / 2.0) / F.sqrt(var))
     return g.select(
         *by,
         n1.alias("n1"),
