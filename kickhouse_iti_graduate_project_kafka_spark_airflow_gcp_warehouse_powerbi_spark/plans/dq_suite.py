@@ -1797,19 +1797,14 @@ def events_rolling_7d_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day self-join over raw events would not.  Day bucketing is
     integer epoch-day (timezone-proof); the grid is clamped to observed
     days so both engines emit identical rows."""
+    from ..operators.rolling import rolling_distinct
+
     ev = load_table(spark, sf_dir, "events")
-    du = ev.select(
-        (F.col("ts").cast("double") / 86400).cast("long").alias("d"),
-        "user_id",
-    ).distinct()
-    span = du.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    cover = du.select(
-        "user_id",
-        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wd"),
-    )
-    return (
-        cover.crossJoin(F.broadcast(span))
-        .where(F.col("wd").between(F.col("d0"), F.col("d1")))
-        .groupBy(F.col("wd").alias("day_epoch"))
-        .agg(F.countDistinct("user_id").alias("uniques_7d"))
+    return rolling_distinct(
+        ev,
+        (F.col("ts").cast("double") / 86400).cast("long"),
+        F.col("user_id"),
+        window=7,
+        out_period="day_epoch",
+        out_count="uniques_7d",
     )

@@ -116,3 +116,49 @@ def test_mann_whitney_all_tied_yields_null_z(spark):
     ).first()
     assert row["z_stat"] is None
     assert row["u_stat"] == pytest.approx(2.0)  # n1*n2/2 under full ties
+
+
+def test_rolling_distinct_operator_matches_bruteforce(spark):
+    import itertools
+    from pyspark.sql import functions as F
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.rolling import (
+        rolling_distinct,
+    )
+
+    rows = [(d, u) for d, u in [(0, 1), (0, 2), (1, 1), (3, 3), (5, 1),
+                                 (5, 4), (6, 2), (9, 1)]]
+    df = spark.createDataFrame(rows, "d long, u long")
+    out = {
+        r["period"]: r["rolling_uniques"]
+        for r in rolling_distinct(df, F.col("d"), F.col("u"), window=3).collect()
+    }
+    for p in range(0, 10):
+        expect = len({u for d, u in rows if p - 2 <= d <= p})
+        assert out.get(p, 0) == expect, p
+    assert min(out) == 0 and max(out) == 9  # clamped to observed span
+
+
+def test_rolling_distinct_window_one_is_per_period(spark):
+    from pyspark.sql import functions as F
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.rolling import (
+        rolling_distinct,
+    )
+
+    df = spark.createDataFrame([(0, 1), (0, 1), (2, 2)], "d long, u long")
+    out = {
+        r["period"]: r["rolling_uniques"]
+        for r in rolling_distinct(df, F.col("d"), F.col("u"), window=1).collect()
+    }
+    assert out == {0: 1, 2: 1}
+
+
+def test_rolling_distinct_rejects_bad_window(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators.rolling import (
+        rolling_distinct,
+    )
+
+    df = spark.createDataFrame([(0, 1)], "d long, u long")
+    with _pytest.raises(ValueError, match="window"):
+        rolling_distinct(df, F.col("d"), F.col("u"), window=0)
