@@ -33,6 +33,26 @@ from ..sources.tables import load_table
 _HI_VAL = 100.0
 
 
+def _dec4_strings(col) -> "F.Column":
+    """Canonical per-element string form of an ``array<double>``: the
+    repo-wide hash convention (``round(x + 1e-9, 4)``) followed by a
+    ``decimal(18,4)`` cast so BOTH engines print the identical
+    fixed-scale text (double→string formatting differs between Spark
+    and DuckDB; decimal→string does not).  Used by the array/map
+    queries that must serialize numeric arrays as scalar strings for
+    the driver's pandas canonicalizer."""
+    return F.transform(
+        col,
+        lambda x: F.round(x + F.lit(1e-9), 4)
+        .cast("decimal(18,4)")
+        .cast("string"),
+    )
+
+
+#: the matching DuckDB spelling of one element (``{v}`` = value expr)
+_DEC4_SQL = "CAST(CAST(ROUND({v} + 1e-9, 4) AS DECIMAL(18,4)) AS VARCHAR)"
+
+
 @register(
     "events_if_combinator_suite",
     tags=("clickhouse-surface", "A-ext", "combinator"),
@@ -242,8 +262,9 @@ def events_quantile_sketch_rank_invariant(
     e AS (SELECT l_linestatus, unnest(ks) AS k, unnest(vs) AS v FROM b),
     p AS (SELECT l_linestatus, k, SUM(v) AS c FROM e GROUP BY 1, 2)
     SELECT l_linestatus,
-           list(k ORDER BY k) AS map_keys,
-           list(c ORDER BY k) AS map_values
+           string_agg(k, ',' ORDER BY k) AS map_keys,
+           string_agg(CAST(CAST(c AS BIGINT) AS VARCHAR), ',' ORDER BY k)
+               AS map_values
     FROM p GROUP BY l_linestatus
     """,
 )
@@ -254,16 +275,26 @@ def lineitem_summap_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the -Map combinator.  Distributed spelling: explode + hash
     aggregation on (group, key) + aligned-array reassembly
     (operators/maps.agg_map).  Quantities are integral doubles, so the
-    per-key sums are exact and need no hash rounding."""
+    per-key sums are exact and need no hash rounding.  The aligned
+    arrays are serialized as comma-joined scalar strings — the driver's
+    canonicalizer (pandas sort over every output column) cannot hash
+    list cells, so array/map results leave the catalog as their
+    canonical string form (the array order is already pinned)."""
     from ..operators.maps import agg_map
 
-    li = load_table(spark, sf_dir, "lineitem")
-    return agg_map(
-        li,
+    m = agg_map(
+        load_table(spark, sf_dir, "lineitem"),
         F.array(F.col("l_returnflag"), F.lit("ALL")),
         F.array(F.col("l_quantity"), F.col("l_quantity")),
         by=("l_linestatus",),
         combine="sum",
+    )
+    return m.select(
+        "l_linestatus",
+        F.array_join("map_keys", ",").alias("map_keys"),
+        F.array_join(
+            F.col("map_values").cast("array<long>").cast("array<string>"), ","
+        ).alias("map_values"),
     )
 
 
@@ -283,9 +314,11 @@ def lineitem_summap_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY 1, 2
     )
     SELECT event_type,
-           list(k ORDER BY k) AS map_keys,
-           list(mn ORDER BY k) AS min_values,
-           list(mx ORDER BY k) AS max_values
+           string_agg(k, ',' ORDER BY k) AS map_keys,
+           string_agg(""" + _DEC4_SQL.format(v="mn") + """, ',' ORDER BY k)
+               AS min_values,
+           string_agg(""" + _DEC4_SQL.format(v="mx") + """, ',' ORDER BY k)
+               AS max_values
     FROM p GROUP BY event_type
     """,
 )
@@ -313,7 +346,14 @@ def events_minmax_map_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, F.array("k"), F.array("v"), by=("event_type",), combine="max"
     ).select("event_type", F.col("map_values").alias("max_values"))
     return mn.join(mx, "event_type").select(
-        "event_type", "map_keys", "min_values", "max_values"
+        "event_type",
+        F.array_join("map_keys", ",").alias("map_keys"),
+        F.array_join(_dec4_strings(F.col("min_values")), ",").alias(
+            "min_values"
+        ),
+        F.array_join(_dec4_strings(F.col("max_values")), ",").alias(
+            "max_values"
+        ),
     )
 
 
@@ -332,8 +372,8 @@ def events_minmax_map_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT user_id,
-           list(event_type ORDER BY rk) AS top_types,
-           list(cnt ORDER BY rk) AS top_counts
+           string_agg(event_type, ',' ORDER BY rk) AS top_types,
+           string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY rk) AS top_counts
     FROM r WHERE rk <= 3 GROUP BY user_id
     """,
 )
@@ -364,8 +404,12 @@ def events_topk_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "user_id",
-        F.transform("_p", lambda p: p["event_type"]).alias("top_types"),
-        F.transform("_p", lambda p: p["cnt"]).alias("top_counts"),
+        F.array_join(
+            F.transform("_p", lambda p: p["event_type"]), ","
+        ).alias("top_types"),
+        F.array_join(
+            F.transform("_p", lambda p: p["cnt"].cast("string")), ","
+        ).alias("top_counts"),
     )
 
 
@@ -374,7 +418,8 @@ def events_topk_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("clickhouse-surface", "A-ext", "group-array"),
     oracle="""
     SELECT user_id,
-           list(DISTINCT event_type ORDER BY event_type) AS uniq_types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS uniq_types,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -387,7 +432,9 @@ def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial sets."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("uniq_types"),
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("uniq_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -621,8 +668,9 @@ def orders_distinct_mode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT user_id,
-           list(event_type ORDER BY rk) AS top_types,
-           list(w ORDER BY rk) AS top_weights
+           string_agg(event_type, ',' ORDER BY rk) AS top_types,
+           string_agg(CAST(CAST(w AS DECIMAL(18,4)) AS VARCHAR),
+                      ',' ORDER BY rk) AS top_weights
     FROM r WHERE rk <= 2 GROUP BY user_id
     """,
 )
@@ -652,8 +700,16 @@ def events_topk_weighted_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select(
         "user_id",
-        F.transform("_p", lambda p: p["event_type"]).alias("top_types"),
-        F.transform("_p", lambda p: p["w"]).alias("top_weights"),
+        F.array_join(
+            F.transform("_p", lambda p: p["event_type"]), ","
+        ).alias("top_types"),
+        F.array_join(
+            F.transform(
+                "_p",
+                lambda p: p["w"].cast("decimal(18,4)").cast("string"),
+            ),
+            ",",
+        ).alias("top_weights"),
     )
 
 

@@ -308,16 +308,17 @@ def ipv4_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     a AS (SELECT o_orderkey, k, generate_series(1, n) AS arr FROM b)
     SELECT o_orderkey,
-           arr,
-           list_transform(arr, x -> x * k) AS mapped,
-           list_filter(arr, x -> x % 2 = 0) AS evens,
+           array_to_string(arr, ',') AS arr,
+           array_to_string(list_transform(arr, x -> x * k), ',') AS mapped,
+           array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
            CAST(list_sum(arr) AS BIGINT) AS arr_sum,
-           list_transform(generate_series(1, len(arr)),
-                          i -> list_sum(arr[1:i])) AS cum_sum,
-           list_sort(list_distinct(list_concat(arr, arr)), 'DESC')
+           array_to_string(list_transform(generate_series(1, len(arr)),
+                          i -> list_sum(arr[1:i])), ',') AS cum_sum,
+           array_to_string(
+               list_sort(list_distinct(list_concat(arr, arr)), 'DESC'), ',')
                AS dedup_desc,
-           list_reverse(arr) AS rev,
-           arr[2:3] AS sliced,
+           array_to_string(list_reverse(arr), ',') AS rev,
+           array_to_string(arr[2:3], ',') AS sliced,
            CAST(len(list_filter(arr, x -> x > 6)) > 0 AS BIGINT)
                AS has_gt6,
            array_to_string(arr, ',') AS joined
@@ -347,28 +348,38 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 7 + 1).alias("k"),
     )
     arr = F.sequence(F.lit(1).cast("long"), F.col("n"))
-    b = b.select("o_orderkey", "k", arr.alias("arr"))
-    a = F.col("arr")
+    # the raw array keeps a non-output name so the string-typed "arr"
+    # output alias can't shadow it via lateral alias resolution
+    b = b.select("o_orderkey", "k", arr.alias("_arr"))
+    a = F.col("_arr")
     zero = F.lit(0).cast("long")
+
+    def _s(col):
+        # canonical scalar form: the driver canonicalizer can't hash
+        # list cells, so every array output leaves as a joined string
+        return F.array_join(col.cast("array<string>"), ",")
+
     return b.select(
         "o_orderkey",
-        "arr",
-        F.transform(a, lambda x: x * F.col("k")).alias("mapped"),
-        F.filter(a, lambda x: x % 2 == 0).alias("evens"),
+        _s(a).alias("arr"),
+        _s(F.transform(a, lambda x: x * F.col("k"))).alias("mapped"),
+        _s(F.filter(a, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(a, zero, lambda acc, x: acc + x).alias("arr_sum"),
-        F.transform(
-            a,
-            lambda x, i: F.aggregate(
-                F.slice(a, 1, i + 1), zero, lambda acc, y: acc + y
-            ),
+        _s(
+            F.transform(
+                a,
+                lambda x, i: F.aggregate(
+                    F.slice(a, 1, i + 1), zero, lambda acc, y: acc + y
+                ),
+            )
         ).alias("cum_sum"),
-        F.sort_array(F.array_distinct(F.concat(a, a)), asc=False).alias(
+        _s(F.sort_array(F.array_distinct(F.concat(a, a)), asc=False)).alias(
             "dedup_desc"
         ),
-        F.reverse(a).alias("rev"),
-        F.slice(a, 2, 2).alias("sliced"),
+        _s(F.reverse(a)).alias("rev"),
+        _s(F.slice(a, 2, 2)).alias("sliced"),
         F.exists(a, lambda x: x > 6).cast("long").alias("has_gt6"),
-        F.array_join(a, ",").alias("joined"),
+        F.array_join(a.cast("array<string>"), ",").alias("joined"),
     )
 
 
