@@ -113,7 +113,11 @@ def _value_counts(
     """Per-(by, distinct value) counts for the two samples — the shared
     reduction both rank tests run their prefix sums over."""
     return (
-        df.where(in1 | in2)
+        # NULL measures carry no rank information: drop them up front so
+        # the rank/CDF blocks match the oracle's NULLS-last ordering AND
+        # ClickHouse's skip-NULLs aggregate convention (the t-tests
+        # already skip NULLs implicitly via count/avg)
+        df.where((in1 | in2) & value.isNotNull())
         .groupBy(*by, value.alias("_v"))
         .agg(
             F.sum(in1.cast("long")).alias("_k1"),
@@ -166,7 +170,12 @@ def mann_whitney_u(
     n1, n2 = F.col("_n1"), F.col("_n2")
     n = n1 + n2
     u1 = F.col("_r1") - n1 * (n1 + 1) / 2.0
-    var = n1 * n2 / 12.0 * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    # try_divide: n == 1 makes the tie-correction denominator n*(n-1)
+    # zero, and ANSI division would kill the whole job on one degenerate
+    # group (ClickHouse returns nan; NULL is this module's spelling)
+    var = n1 * n2 / 12.0 * (
+        (n + 1) - F.try_divide(F.col("_ties"), n * (n - 1))
+    )
     # var == 0 when EVERY value ties (one rank block): z is undefined,
     # surface NULL instead of an ANSI divide-by-zero (hypothesis-found)
     z = F.when(var > 0, (u1 - n1 * n2 / 2.0) / F.sqrt(var))
@@ -201,8 +210,14 @@ def ks_2samp(
     )
     cdf = c.select(
         *by,
-        (F.sum("_k1").over(w) / F.sum("_k1").over(wt)).alias("_f1"),
-        (F.sum("_k2").over(w) / F.sum("_k2").over(wt)).alias("_f2"),
+        # try_divide: a group where one sample is EMPTY has a zero CDF
+        # denominator — D is undefined there (NULL), not a job abort
+        F.try_divide(F.sum("_k1").over(w), F.sum("_k1").over(wt)).alias(
+            "_f1"
+        ),
+        F.try_divide(F.sum("_k2").over(w), F.sum("_k2").over(wt)).alias(
+            "_f2"
+        ),
         F.sum("_k1").over(wt).alias("_n1"),
         F.sum("_k2").over(wt).alias("_n2"),
     )
@@ -241,9 +256,13 @@ def cramers_v(df: DataFrame, a: Column, b: Column) -> DataFrame:
     chi = joined.groupBy("_n", "_da", "_db").agg(
         (F.sum(F.col("_o") ** 2 / e) - F.col("_n")).alias("_chi2")
     )
+    # try_divide: a single-category column makes min(da-1, db-1) zero —
+    # V is undefined (NULL), not a job abort (ClickHouse yields nan)
     v = F.sqrt(
-        F.col("_chi2")
-        / (F.col("_n") * F.least(F.col("_da") - 1, F.col("_db") - 1))
+        F.try_divide(
+            F.col("_chi2"),
+            F.col("_n") * F.least(F.col("_da") - 1, F.col("_db") - 1),
+        )
     )
     return chi.select(
         F.col("_n").alias("n"),
@@ -277,7 +296,10 @@ def theils_u(df: DataFrame, x: Column, y: Column) -> DataFrame:
     return per_y.crossJoin(F.broadcast(hx_df)).select(
         F.col("_n").alias("n"),
         F.col("_hx").alias("h_x"),
-        ((F.col("_hx") - F.col("_hxy")) / F.col("_hx")).alias("theils_u"),
+        # try_divide: constant x means H(x) == 0 and U is undefined
+        F.try_divide(F.col("_hx") - F.col("_hxy"), F.col("_hx")).alias(
+            "theils_u"
+        ),
     )
 
 
@@ -288,13 +310,22 @@ def simple_linreg(
     and intercept per ``by`` group, plus r² — all from the engines'
     stable ``covar_pop`` / ``var_pop`` / ``corr`` kernels (never the
     cancellation-prone ``E[xy] - E[x]E[y]`` spelling), one exchange."""
+    # try_divide: constant x (var_pop == 0, incl. single-row groups)
+    # leaves the slope undefined — NULL, not an ANSI job abort.  r² must
+    # avoid builtin corr too: Spark's corr ALSO raises DIVIDE_BY_ZERO
+    # under ANSI on a zero-variance side, so it is spelled through the
+    # same stable kernels as covar²/(varx·vary) (algebraically corr² —
+    # the ~1e-12 kernel drift is absorbed by the catalog's hash
+    # rounding, like every other ratio statistic here).
+    slope = F.try_divide(F.covar_pop(y, x), F.var_pop(x))
+    r2 = F.try_divide(
+        F.covar_pop(x, y) ** 2, F.var_pop(x) * F.var_pop(y)
+    )
     return df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
-        (F.covar_pop(y, x) / F.var_pop(x)).alias("slope"),
-        (F.avg(y) - F.covar_pop(y, x) / F.var_pop(x) * F.avg(x)).alias(
-            "intercept"
-        ),
-        (F.corr(x, y) ** 2).alias("r2"),
+        slope.alias("slope"),
+        (F.avg(y) - slope * F.avg(x)).alias("intercept"),
+        r2.alias("r2"),
     )
 
 
@@ -325,9 +356,11 @@ def bounding_ratio(
         *by,
         "x_min",
         "x_max",
-        (
-            (F.col("y_last") - F.col("y_first"))
-            / (F.col("x_max") - F.col("x_min"))
+        # try_divide: a constant-x group (incl. single-row) has zero
+        # span — the ratio is undefined, not a job abort
+        F.try_divide(
+            F.col("y_last") - F.col("y_first"),
+            F.col("x_max") - F.col("x_min"),
         ).alias("bounding_ratio"),
     )
 
@@ -358,6 +391,8 @@ def pop_moments(
         *by,
         "n",
         F.sqrt(F.col("_m2")).alias("stddev_pop"),
-        (F.col("_m3") / F.col("_m2") ** 1.5).alias("skew_pop"),
-        (F.col("_m4") / F.col("_m2") ** 2).alias("kurt_pop"),
+        # try_divide: constant-value groups have m2 == 0 — skew/kurtosis
+        # are undefined there (ClickHouse yields nan), not a job abort
+        F.try_divide(F.col("_m3"), F.col("_m2") ** 1.5).alias("skew_pop"),
+        F.try_divide(F.col("_m4"), F.col("_m2") ** 2).alias("kurt_pop"),
     )

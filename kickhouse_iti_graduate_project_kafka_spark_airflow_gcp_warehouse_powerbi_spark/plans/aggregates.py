@@ -717,37 +717,68 @@ def events_topk_weighted_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_argminmax_if",
     tags=("clickhouse-surface", "A-ext", "combinator"),
     oracle="""
-    SELECT o_orderstatus,
-           ARG_MAX(o_orderkey, o_totalprice * 16777216 + (131071 - o_orderkey % 131072))
-               FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
-               AS priciest_urgent_key,
-           ARG_MIN(o_orderkey, o_totalprice * 16777216 + (o_orderkey % 131072))
-               FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
-               AS cheapest_urgent_key,
-           CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
-               ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_urgent
-    FROM orders GROUP BY o_orderstatus
+    WITH u AS (
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ),
+    ext AS (
+        SELECT o_orderstatus,
+               MAX(o_totalprice) AS _maxp,
+               MIN(o_totalprice) AS _minp
+        FROM u GROUP BY o_orderstatus
+    ),
+    hi AS (
+        SELECT u.o_orderstatus, MIN(u.o_orderkey) AS priciest_urgent_key
+        FROM u JOIN ext ON u.o_orderstatus = ext.o_orderstatus
+                       AND u.o_totalprice = ext._maxp
+        GROUP BY u.o_orderstatus
+    ),
+    lo AS (
+        SELECT u.o_orderstatus, MIN(u.o_orderkey) AS cheapest_urgent_key
+        FROM u JOIN ext ON u.o_orderstatus = ext.o_orderstatus
+                       AND u.o_totalprice = ext._minp
+        GROUP BY u.o_orderstatus
+    ),
+    base AS (
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+                   ('1-URGENT', '2-HIGH')) AS BIGINT) AS n_urgent
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT base.o_orderstatus, hi.priciest_urgent_key,
+           lo.cheapest_urgent_key, base.n_urgent
+    FROM base
+    LEFT JOIN hi ON base.o_orderstatus = hi.o_orderstatus
+    LEFT JOIN lo ON base.o_orderstatus = lo.o_orderstatus
     """,
 )
 def orders_argminmax_if(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``argMaxIf`` / ``argMinIf``: the order key carrying the
-    extreme price among urgent orders only, per status.  Spark spells it
-    ``max_by``/``min_by`` over a ``when``-masked expression; DuckDB's
-    arg_min/arg_max take only scalar orderings, so BOTH sides pin price
-    ties through one composite scalar: price scaled by 2^24 (an exact
-    exponent shift) plus a 17-bit key-derived term oriented so the
-    SMALLEST key wins either extreme.  Prices are 2dp-quantized, so the
-    smallest distinct-price gap scales to 0.01*2^24 = 167,772 — strictly
-    above the 131,071 tie-term range, which is what makes the tie term
-    unable to reorder distinct prices (a 2^17 scale would NOT clear that
-    bar; caught in review)."""
+    extreme price among urgent orders only, per status, with price ties
+    pinned to the SMALLEST key — a genuine total order.  Spark compares
+    ``(price, -key)`` / ``(price, key)`` as a STRUCT inside
+    ``max_by``/``min_by`` (lexicographic struct comparison is exact —
+    no composite-scalar encoding, which a prior revision attempted with
+    a 17-bit modular tie term that collided for keys congruent mod 2^17;
+    advisor-caught).  DuckDB's arg_min/arg_max take only scalar
+    orderings, so the oracle spells the same total order as a two-level
+    extreme: per-group extreme price first, then MIN(key) among its
+    carriers."""
     o = load_table(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    kmod = F.col("o_orderkey") % 131072
     hi_key = F.when(
-        urgent, F.col("o_totalprice") * 16777216 + (131071 - kmod)
+        urgent,
+        F.struct(
+            F.col("o_totalprice").alias("p"),
+            (-F.col("o_orderkey")).alias("k"),
+        ),
     )
-    lo_key = F.when(urgent, F.col("o_totalprice") * 16777216 + kmod)
+    lo_key = F.when(
+        urgent,
+        F.struct(
+            F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+        ),
+    )
     return o.groupBy("o_orderstatus").agg(
         F.max_by("o_orderkey", hi_key).alias("priciest_urgent_key"),
         F.min_by("o_orderkey", lo_key).alias("cheapest_urgent_key"),
