@@ -57,18 +57,44 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #:
 #: Env-tunable (read ONCE at import, so the Spark filter and the oracle
 #: SQL can never disagree): the quadratic oracle cost is
-#: (pct * n_docs)^2 — 4% is calibrated for sf1 (~2k docs); at sf10 the
-#: same 4% is 20k docs / 400M pairs and blows the sweep watchdog, so
-#: big-fixture sweeps set KICKHOUSE_SWEEP_SAMPLE_PCT=1 (driver runs and
-#: CI keep the default). Smaller samples thin planted POSITIVES
-#: quadratically — the check trends toward pure true-negative
-#: verification, which is still the guard that matters at scale.
+#: The sampled twins' oracle cost is (sampled docs)^2 in shingle pairs.
+#: A FIXED percentage is quadratic in fixture size — r11's 4% was
+#: calibrated for sf1 (50k docs -> 2k sampled) and blew the 600 s sweep
+#: watchdog at sf10 (20k sampled -> 400M pairs).  The rate therefore
+#: SCALES INVERSELY with fixture size to hold the sampled-doc count
+#: constant at SWEEP_TARGET_DOCS, capped at SWEEP_SAMPLE_PCT so every
+#: fixture at or below the sf1 calibration point keeps the full 4%
+#: (thinner samples thin planted POSITIVES quadratically — at huge
+#: fixtures the check trends toward true-negative verification, which
+#: is still the guard that matters at scale).  Both knobs stay
+#: env-overridable for sweep experiments.
 SWEEP_SAMPLE_PCT = int(os.environ.get("KICKHOUSE_SWEEP_SAMPLE_PCT", "4"))
+SWEEP_TARGET_DOCS = int(os.environ.get("KICKHOUSE_SWEEP_TARGET_DOCS", "2000"))
 
-#: DuckDB spelling of ``sample_bucket(doc_id) < SWEEP_SAMPLE_PCT``
+#: per-million md5 buckets (a per-100 bucket cannot express the 0.4%
+#: an sf10 fixture needs)
+_SAMPLE_BUCKETS = 1_000_000
+
+
+def sweep_keep_buckets(n_docs: int) -> int:
+    """How many per-million buckets the sampled family keeps for a
+    corpus of ``n_docs`` — integer arithmetic both engines reproduce
+    exactly (DuckDB ``//`` below mirrors Python's)."""
+    return min(
+        SWEEP_SAMPLE_PCT * (_SAMPLE_BUCKETS // 100),
+        (_SAMPLE_BUCKETS * SWEEP_TARGET_DOCS) // max(n_docs, 1),
+    )
+
+
+#: DuckDB spelling of the adaptive gate: the keep threshold derives from
+#: COUNT(*) of the SAME table inside the query, so one static oracle
+#: string adapts itself to any fixture size.
 SWEEP_SAMPLE_WHERE = (
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-    f" % 100 < {SWEEP_SAMPLE_PCT}"
+    f" % {_SAMPLE_BUCKETS} < LEAST("
+    f"{SWEEP_SAMPLE_PCT * (_SAMPLE_BUCKETS // 100)}, "
+    f"({_SAMPLE_BUCKETS} * {SWEEP_TARGET_DOCS})"
+    " // (SELECT COUNT(*) FROM documents))"
 )
 
 
@@ -76,7 +102,7 @@ def sweep_sample_key(sf_dir: str) -> str:
     """Shared pair/shingle cache key for the sampled variants — distinct
     from the full-corpus key so the two never collide, shared across the
     sampled family so CC reuses the sampled pair cache."""
-    return f"{sf_dir}#s{SWEEP_SAMPLE_PCT}"
+    return f"{sf_dir}#s{SWEEP_SAMPLE_PCT}t{SWEEP_TARGET_DOCS}"
 
 
 def sampled_oracle(oracle: str) -> str:
@@ -95,9 +121,19 @@ def sampled_oracle(oracle: str) -> str:
     return "WITH " + sd + " " + body
 
 
+#: sf_dir -> corpus size, so repeated sampled queries pay the parquet
+#: count-star (row-group metadata only) once per fixture
+_NDOCS_CACHE: dict[str, int] = {}
+
+
 def _docs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic sweep sample: md5 per-million bucket below the
+    scale-adaptive keep threshold (see sweep_keep_buckets)."""
+    if sf_dir not in _NDOCS_CACHE:
+        _NDOCS_CACHE[sf_dir] = _docs(spark, sf_dir).count()
+    keep = sweep_keep_buckets(_NDOCS_CACHE[sf_dir])
     return _docs(spark, sf_dir).filter(
-        sample_bucket(F.col("doc_id")) < SWEEP_SAMPLE_PCT
+        sample_bucket(F.col("doc_id"), _SAMPLE_BUCKETS) < keep
     )
 
 
@@ -110,15 +146,15 @@ _CC_CACHE: dict[str, DataFrame] = {}
 
 
 def _dup_components(
-    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+    spark: SparkSession, sf_dir: str, sampled: bool = False
 ) -> DataFrame:
-    key = sf_dir if sample_pct is None else sweep_sample_key(sf_dir)
+    key = sweep_sample_key(sf_dir) if sampled else sf_dir
     hit = _CC_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = _docs(spark, sf_dir)
-    if sample_pct is not None:
-        docs = docs.filter(sample_bucket(F.col("doc_id")) < sample_pct)
+    docs = (
+        _docs_sampled(spark, sf_dir) if sampled else _docs(spark, sf_dir)
+    )
     # materialize=False: CC's first eager checkpoint computes the pairs
     # through lineage, populating the persisted pair cache in the same
     # pass — no separate pair-materialization barrier.
@@ -1378,7 +1414,7 @@ def docs_dup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the direct at-scale oracle row for pair generation + large/small-star
     CC (the full recursive-CTE oracle is quadratic; tools/oracle_sweep.py
     skip-lists it above sf0.1)."""
-    comps = _dup_components(spark, sf_dir, sample_pct=SWEEP_SAMPLE_PCT)
+    comps = _dup_components(spark, sf_dir, sampled=True)
     return cluster_sizes(comps).select(
         F.col("component").alias("cluster_rep"), "cluster_size"
     )
@@ -1393,7 +1429,7 @@ def docs_dedup_survivors_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_dedup_survivors over the deterministic 4% sample — keep/drop
     decisions per language with a direct oracle at sweep scale."""
     docs = _docs_sampled(spark, sf_dir)
-    comps = _dup_components(spark, sf_dir, sample_pct=SWEEP_SAMPLE_PCT)
+    comps = _dup_components(spark, sf_dir, sampled=True)
     labeled = docs.join(comps, docs["doc_id"] == comps["id"])
     kept = F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
     return labeled.groupBy("lang").agg(

@@ -443,8 +443,7 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # one-way import: curation never imports llm_text (see its module header)
 from .curation import (  # noqa: E402 — needs _DUCKDB_JACCARD_PAIRS above
-    SWEEP_SAMPLE_PCT as _SWEEP_PCT,
-    sample_bucket as _sample_bucket,
+    _docs_sampled,
     sampled_oracle as _sampled_oracle,
     sweep_sample_key as _sweep_key,
 )
@@ -456,12 +455,15 @@ from .curation import (  # noqa: E402 — needs _DUCKDB_JACCARD_PAIRS above
     oracle=_sampled_oracle(_DUCKDB_JACCARD_PAIRS),
 )
 def docs_ngram_jaccard_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """docs_ngram_jaccard_pairs restricted to the deterministic 4%
-    md5-bucket document sample (plans/curation.sampled_oracle contract):
-    the all-pairs oracle is quadratic by design, so this variant is what
-    gives the inverted-index pair generator a DIRECT oracle row in the
-    sf1 sweep (tools/oracle_sweep.py) instead of an invariant companion."""
-    docs = _docs(spark, sf_dir).filter(_sample_bucket(F.col("doc_id")) < _SWEEP_PCT)
+    """docs_ngram_jaccard_pairs restricted to the deterministic,
+    scale-adaptive md5-bucket document sample (plans/curation
+    sampled_oracle contract — 4% capped at a constant sampled-doc count
+    so the quadratic oracle stays inside the sweep watchdog at ANY
+    fixture size): the all-pairs oracle is quadratic by design, so this
+    variant is what gives the inverted-index pair generator a DIRECT
+    oracle row in the sweeps (tools/oracle_sweep.py) instead of an
+    invariant companion."""
+    docs = _docs_sampled(spark, sf_dir)
     pairs = jaccard_pairs_cached(
         docs, "text", "doc_id", n=3, threshold=0.5,
         cache_key=_sweep_key(sf_dir),
@@ -475,10 +477,11 @@ def docs_ngram_jaccard_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFr
     oracle=_sampled_oracle(_DUCKDB_JACCARD_PAIRS),
 )
 def docs_minhash_lsh_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """docs_minhash_lsh_pairs over the deterministic 4% sample — the
-    MinHash+LSH banding path with a direct exact-pair oracle at sweep
-    scale (same per-pair miss bound as the full query)."""
-    docs = _docs(spark, sf_dir).filter(_sample_bucket(F.col("doc_id")) < _SWEEP_PCT)
+    """docs_minhash_lsh_pairs over the deterministic scale-adaptive
+    sample — the MinHash+LSH banding path with a direct exact-pair
+    oracle at sweep scale (same per-pair miss bound as the full
+    query)."""
+    docs = _docs_sampled(spark, sf_dir)
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5,
         num_hashes=64, band_size=4, cache_key=_sweep_key(sf_dir),

@@ -52,6 +52,59 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: The two brute-force catalog legs (embedding_neardup_pairs,
+#: embedding_label_propagation) are quadratic by construction — they are
+#: the exact baseline, not the scale path (IVF/PQ tiers are).  Above this
+#: vector count they bound their compare set to a deterministic md5
+#: sample whose EXPECTED size is this cap, the same way asof_join_auto
+#: gates on skew: a catalog entry that cannot finish at sf10 is not the
+#: plan you'd run at 100×.  20 000 leaves sf1 (20 k vectors) and every
+#: smaller fixture byte-identical to the ungated query, and bounds every
+#: larger fixture's gated work to exactly the sf1 scale the sweep ladder
+#: has already proven under the 600 s watchdog (engine AND quadratic
+#: DuckDB oracle); the *_equals_bruteforce companions remain the
+#: full-probe correctness proof for the ANN tiers.
+BRUTE_GATE_MAX_VECS = 20_000
+_GATE_BUCKETS = 1_000_000
+
+
+def _brute_gated(emb: DataFrame, cap: int | None = None) -> DataFrame:
+    """Deterministically bound a vector table for a brute-force leg: at
+    or below the cap, pass through untouched; above it, keep the md5
+    per-million bucket below ``(1e6 * cap) // n`` — integer arithmetic
+    both engines reproduce exactly.  The ``count()`` is a parquet
+    count-star (row-group metadata only), the same 1-value driver read
+    the centroid/codebook loaders already do."""
+    from .curation import sample_bucket
+
+    cap = BRUTE_GATE_MAX_VECS if cap is None else cap
+    n = emb.count()
+    if n <= cap:
+        return emb
+    keep = (_GATE_BUCKETS * cap) // n
+    return emb.filter(
+        sample_bucket(F.col("vec_id"), _GATE_BUCKETS) < keep
+    )
+
+
+def gate_sql(cap: int = BRUTE_GATE_MAX_VECS) -> str:
+    """DuckDB spelling of the same gate — a CTE pair to prepend; query
+    oracles read ``FROM se`` instead of ``FROM embeddings``.  ``//`` is
+    DuckDB integer division, matching Python's ``//`` above."""
+    return f"""
+    nv AS (SELECT COUNT(*) AS c FROM embeddings),
+    se AS (
+        SELECT e.* FROM embeddings e, nv
+        WHERE nv.c <= {cap}
+           OR CAST(('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_GATE_BUCKETS}
+              < ({_GATE_BUCKETS} * {cap}) // nv.c
+    )"""
+
+
+_GATE_SQL = gate_sql()
+
+
 @register("knn_bruteforce_cosine", bench=True, tags=("similarity",), oracle=_DUCKDB_KNN)
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for query vectors (vec_id < 5) — the ANN baseline
@@ -221,11 +274,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_pairs",
     tags=("dedup", "similarity"),
-    oracle="""
+    oracle=f"""
+    WITH {_GATE_SQL}
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])) + 1e-9, 4) AS cos
-    FROM embeddings a JOIN embeddings b
+    FROM se a JOIN se b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                  CAST(b.embedding AS DOUBLE[])) >= 0.4
@@ -235,10 +289,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at cos >= 0.4, blocked by the
     label cell so the pair space is per-cell, not corpus-wide — the
     embedding leg of the dedup family. At 100 TB the blocking key is a
-    coarse quantizer; within-cell pairs shuffle on the cell id only."""
+    coarse quantizer; within-cell pairs shuffle on the cell id only.
+    This exact leg is the BASELINE: above BRUTE_GATE_MAX_VECS vectors
+    the compare set is bounded by the deterministic md5 gate (both
+    engines apply the identical sample), because all-pairs-within-cell
+    at 100× is precisely the wall the SemDeDup/IVF tiers exist to
+    avoid."""
     from ..functions.vectors import dot, norm
 
-    e = _emb(spark, sf_dir)
+    e = _brute_gated(_emb(spark, sf_dir))
     # norm once per vector; each of the O(cell^2) pairs costs one dot product
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"),
                  norm("embedding").alias("na"), "label")
@@ -1803,12 +1862,13 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_label_propagation",
     tags=("similarity", "weak-labeling", "knn"),
-    oracle="""
-    WITH unl AS (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    oracle=f"""
+    WITH {_GATE_SQL},
+    unl AS (
+        SELECT vec_id, embedding FROM se WHERE vec_id % 10 = 0
     ),
     lab AS (
-        SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0
+        SELECT vec_id, embedding, label FROM se WHERE vec_id % 10 <> 0
     ),
     nn AS (
         SELECT u.vec_id AS q_id, l.label,
@@ -1839,10 +1899,12 @@ def embedding_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable). Plan shape = the hard-negatives broadcast scan plus
     one (query, label) count and one vote window — nothing corpus-wide
     shuffles; at scale the neighbor search swaps to the IVF/PQ tiers
-    unchanged."""
+    unchanged.  Like embedding_neardup_pairs, the brute-force catalog
+    leg itself is bounded by the md5 gate above BRUTE_GATE_MAX_VECS —
+    the queries×corpus product is quadratic in fixture size."""
     from ..operators.similarity import brute_force_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _brute_gated(_emb(spark, sf_dir))
     unl = emb.filter(F.col("vec_id") % 10 == 0)
     lab = emb.filter(F.col("vec_id") % 10 != 0)
     nn = brute_force_topk(lab, unl, k=5)

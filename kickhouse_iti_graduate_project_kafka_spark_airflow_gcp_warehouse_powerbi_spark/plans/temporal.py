@@ -36,6 +36,46 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+#: user_hourly_resample_ffill materializes a users × hours grid on BOTH
+#: engines; the DuckDB oracle's grid peaked ~70 GB at sf10 (r11 sweep
+#: needed a dedicated worker).  Above this user count the query bounds
+#: itself to a deterministic md5 user sample whose expected size is this
+#: cap — 15 000 is exactly the sf1 user count, so sf1 and below stay
+#: byte-identical to the ungated query and larger fixtures resample an
+#: sf1-scale grid (the engine side scales fine either way; the gate
+#: exists so the ORACLE fits in default parallel sweep workers).
+RESAMPLE_GATE_MAX_USERS = 15_000
+_GATE_BUCKETS = 1_000_000
+
+
+def _resample_gated_events(ev: DataFrame) -> DataFrame:
+    """Deterministically bound the resample input by user: pass-through
+    at or below the cap, md5 per-million bucket sample above it —
+    integer arithmetic both engines reproduce exactly (the brute-force
+    embedding legs' gate, keyed on user_id)."""
+    from .curation import sample_bucket
+
+    n = ev.select("user_id").distinct().count()
+    if n <= RESAMPLE_GATE_MAX_USERS:
+        return ev
+    keep = (_GATE_BUCKETS * RESAMPLE_GATE_MAX_USERS) // n
+    return ev.filter(
+        sample_bucket(F.col("user_id"), _GATE_BUCKETS) < keep
+    )
+
+
+#: DuckDB spelling of the same gate (prepend inside WITH; read FROM ge)
+_RESAMPLE_GATE_SQL = f"""
+    nu AS (SELECT COUNT(DISTINCT user_id) AS c FROM events),
+    ge AS (
+        SELECT e.* FROM events e, nu
+        WHERE nu.c <= {RESAMPLE_GATE_MAX_USERS}
+           OR CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {_GATE_BUCKETS}
+              < ({_GATE_BUCKETS} * {RESAMPLE_GATE_MAX_USERS}) // nu.c
+    )"""
+
+
 @register(
     "purchase_attribution_asof",
     bench=True,
@@ -232,9 +272,10 @@ def purchases_after_error_rangejoin(spark: SparkSession, sf_dir: str) -> DataFra
     "user_hourly_resample_ffill",
     bench=True,
     tags=("resample", "UDF", "asof", "events"),
-    oracle="""
-    WITH b AS (
-        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    oracle=f"""
+    WITH {_RESAMPLE_GATE_SQL},
+    b AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM ge
     ), spans AS (
         SELECT user_id,
                (MIN(us) + 3599999999) // 3600000000 AS h0,
@@ -262,11 +303,16 @@ def user_hourly_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2 ms of per-group pandas overhead each (10.5 s -> ~1.5 s at sf0.1).
     The oracle rebuilds the grid with range() and fills via DuckDB's
     native ASOF JOIN. Values are carried, never computed, so doubles are
-    bitwise-stable."""
+    bitwise-stable.  Above RESAMPLE_GATE_MAX_USERS the input is bounded
+    by the deterministic md5 user gate on both engines — the oracle's
+    users×hours grid peaked ~70 GB at sf10 without it."""
     from ..operators.resample import hourly_ffill_resample
 
     return hourly_ffill_resample(
-        _events(spark, sf_dir), key="user_id", ts_col="ts", value_col="value"
+        _resample_gated_events(_events(spark, sf_dir)),
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
     )
 
 

@@ -1198,7 +1198,9 @@ def test_sampled_oracle_rewrite_shapes():
     assert SWEEP_SAMPLE_WHERE in rec
     # every original documents reference now reads sd (alias kept intact)
     assert "FROM sd) SELECT * FROM sd d JOIN" in rec.replace("  ", " ")
-    assert rec.count("FROM documents") == 1  # only inside the sd CTE
+    # raw documents appears only inside the sd CTE itself: its FROM plus
+    # the adaptive gate's scalar COUNT(*) subquery
+    assert rec.count("FROM documents") == 2
 
     plain = sampled_oracle("SELECT COUNT(*) AS n FROM documents")
     assert plain.startswith("WITH sd AS (")
@@ -1214,3 +1216,60 @@ def test_sampled_oracle_rewrite_shapes():
     full = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     sampled = con.execute(plain).fetchone()[0]
     assert 0 < sampled < full  # the predicate actually thins the table
+
+
+def test_sweep_sample_rate_is_scale_adaptive():
+    """The sampled twins' rate holds the sampled-doc count constant above
+    the sf1 calibration point (r11: a FIXED 4% blew the 600 s watchdog at
+    sf10 — quadratic oracle cost in fixture size) and keeps the full pct
+    below it."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.curation import (
+        SWEEP_SAMPLE_PCT,
+        SWEEP_TARGET_DOCS,
+        sweep_keep_buckets,
+    )
+
+    full_pct = SWEEP_SAMPLE_PCT * 10_000  # per-million spelling of 4%
+    assert sweep_keep_buckets(500) == full_pct  # sf0.01
+    assert sweep_keep_buckets(50_000) == full_pct  # sf1 = the boundary
+    # above the boundary: expected sampled docs pinned at the target
+    for n in (500_000, 5_000_000):
+        keep = sweep_keep_buckets(n)
+        assert keep < full_pct
+        expected_docs = n * keep // 1_000_000
+        assert abs(expected_docs - SWEEP_TARGET_DOCS) <= 0.01 * SWEEP_TARGET_DOCS
+
+
+def test_docs_sampled_matches_oracle_sample_exactly(spark):
+    """Spark's _docs_sampled and the oracle's SWEEP_SAMPLE_WHERE must
+    keep the IDENTICAL doc set — the zero-drift contract every sampled
+    twin rides on."""
+    import duckdb
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.curation import (
+        SWEEP_SAMPLE_WHERE,
+        _docs_sampled,
+    )
+
+    spark_ids = {
+        r["doc_id"]
+        for r in _docs_sampled(spark, "/root/testdata/sf0.01")
+        .select("doc_id")
+        .collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        )
+        duck_ids = {
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM documents WHERE {SWEEP_SAMPLE_WHERE}"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert spark_ids == duck_ids
+    assert len(spark_ids) > 0
