@@ -86,16 +86,55 @@ def sweep_keep_buckets(n_docs: int) -> int:
     )
 
 
-#: DuckDB spelling of the adaptive gate: the keep threshold derives from
-#: COUNT(*) of the SAME table inside the query, so one static oracle
-#: string adapts itself to any fixture size.
-SWEEP_SAMPLE_WHERE = (
-    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
-    f" % {_SAMPLE_BUCKETS} < LEAST("
-    f"{SWEEP_SAMPLE_PCT * (_SAMPLE_BUCKETS // 100)}, "
-    f"({_SAMPLE_BUCKETS} * {SWEEP_TARGET_DOCS})"
+#: The sample key is the MIN over a doc's 3-word shingles of
+#: md5(shingle) — the MinHash property makes the sample
+#: CLUSTER-PRESERVING: two near-dups with Jaccard J share their min
+#: shingle with probability J, so a planted positive pair survives the
+#: sample at ~rate·J (LINEAR in the rate) instead of rate² — a plain
+#: doc_id sample at sf10's 0.4% rate kept zero positives and the check
+#: degenerated to true-negative verification.  Docs with < 3 tokens
+#: fall back to md5(doc_id).  The keep threshold derives from COUNT(*)
+#: of the SAME table inside the query, so one static oracle string
+#: adapts itself to any fixture size.  Shingle spelling is identical to
+#: _DUCKDB_SHINGLES / functions.text.word_shingles — the already-proven
+#: cross-engine tokenization.
+_SMP_KEEP_SQL = (
+    f"LEAST({SWEEP_SAMPLE_PCT * (_SAMPLE_BUCKETS // 100)}, "
+    f"({_SAMPLE_BUCKETS}::BIGINT * {SWEEP_TARGET_DOCS})"
     " // (SELECT COUNT(*) FROM documents))"
 )
+
+#: CTE prelude defining ``sd`` (the sampled documents table); names are
+#: _smp_-prefixed so they can never collide with oracle CTE names.
+SWEEP_SD_CTES = rf"""
+    _smp_toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    _smp_key AS (
+        SELECT doc_id,
+               COALESCE(
+                   CASE WHEN len(toks) >= 3 THEN
+                       list_aggregate(
+                           list_transform(
+                               [toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2]
+                                for i in range(1, len(toks) - 1)],
+                               x -> md5(x)),
+                           'min')
+                   END,
+                   md5(CAST(doc_id AS VARCHAR))) AS k
+        FROM _smp_toks
+    ),
+    _smp_kept AS (
+        SELECT doc_id FROM _smp_key
+        WHERE CAST(('0x' || substr(k, 1, 8)) AS BIGINT)
+              % {_SAMPLE_BUCKETS} < {_SMP_KEEP_SQL}
+    ),
+    sd AS (
+        SELECT d.* FROM documents d
+        JOIN _smp_kept USING (doc_id)
+    )"""
 
 
 def sweep_sample_key(sf_dir: str) -> str:
@@ -108,17 +147,17 @@ def sweep_sample_key(sf_dir: str) -> str:
 def sampled_oracle(oracle: str) -> str:
     """Rewrite a documents-table oracle to run on the deterministic
     sample: every ``FROM documents`` (with or without alias) is pointed
-    at a prepended ``sd`` CTE holding the sampled rows. Keeping the
-    original SQL as the single source of truth means the sampled oracle
-    can never drift from the full one."""
-    sd = f"sd AS (SELECT * FROM documents WHERE {SWEEP_SAMPLE_WHERE})"
+    at a prepended ``sd`` CTE holding the sampled rows (min-shingle
+    cluster-preserving sample — see SWEEP_SD_CTES). Keeping the original
+    SQL as the single source of truth means the sampled oracle can never
+    drift from the full one."""
     body = oracle.replace("FROM documents", "FROM sd")
     for kw in ("WITH RECURSIVE", "WITH"):
         idx = body.find(kw)
         if idx >= 0:
             cut = idx + len(kw)
-            return body[:cut] + " " + sd + ", " + body[cut:]
-    return "WITH " + sd + " " + body
+            return body[:cut] + " " + SWEEP_SD_CTES + ", " + body[cut:]
+    return "WITH " + SWEEP_SD_CTES + " " + body
 
 
 #: sf_dir -> corpus size, so repeated sampled queries pay the parquet
@@ -127,14 +166,27 @@ _NDOCS_CACHE: dict[str, int] = {}
 
 
 def _docs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The deterministic sweep sample: md5 per-million bucket below the
-    scale-adaptive keep threshold (see sweep_keep_buckets)."""
+    """The deterministic sweep sample: min-shingle-md5 per-million
+    bucket below the scale-adaptive keep threshold (see
+    sweep_keep_buckets and SWEEP_SD_CTES — the Spark spelling of the
+    same cluster-preserving key, so engine and oracle always keep the
+    IDENTICAL doc set)."""
+    from ..functions.text import word_shingles
+
     if sf_dir not in _NDOCS_CACHE:
         _NDOCS_CACHE[sf_dir] = _docs(spark, sf_dir).count()
     keep = sweep_keep_buckets(_NDOCS_CACHE[sf_dir])
-    return _docs(spark, sf_dir).filter(
-        sample_bucket(F.col("doc_id"), _SAMPLE_BUCKETS) < keep
+    key = F.coalesce(
+        F.array_min(
+            F.transform(word_shingles("text", 3), lambda s: F.md5(s))
+        ),
+        F.md5(F.col("doc_id").cast("string")),
     )
+    bucket = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % _SAMPLE_BUCKETS
+    )
+    return _docs(spark, sf_dir).filter(bucket < keep)
 
 
 #: sf_dir -> persisted (id, component) labels for the standard near-dup

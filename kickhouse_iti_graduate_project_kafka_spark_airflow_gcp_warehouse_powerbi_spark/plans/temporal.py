@@ -72,7 +72,7 @@ _RESAMPLE_GATE_SQL = f"""
         WHERE nu.c <= {RESAMPLE_GATE_MAX_USERS}
            OR CAST(('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))
                    AS BIGINT) % {_GATE_BUCKETS}
-              < ({_GATE_BUCKETS} * {RESAMPLE_GATE_MAX_USERS}) // nu.c
+              < ({_GATE_BUCKETS}::BIGINT * {RESAMPLE_GATE_MAX_USERS}) // nu.c
     )"""
 
 

@@ -1180,12 +1180,12 @@ def test_retention_operator_clickhouse_gating(spark):
 
 
 def test_sampled_oracle_rewrite_shapes():
-    """sampled_oracle must (a) prepend the sd CTE right after the WITH
-    keyword (RECURSIVE preserved), (b) repoint every FROM documents —
-    bare, aliased, or WHERE-suffixed — at sd, and (c) synthesize a WITH
-    for oracle bodies that had none."""
+    """sampled_oracle must (a) prepend the sample CTEs right after the
+    WITH keyword (RECURSIVE preserved), (b) repoint every FROM
+    documents — bare, aliased, or WHERE-suffixed — at sd, and (c)
+    synthesize a WITH for oracle bodies that had none."""
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.curation import (
-        SWEEP_SAMPLE_WHERE,
+        SWEEP_SD_CTES,
         sampled_oracle,
     )
 
@@ -1194,16 +1194,18 @@ def test_sampled_oracle_rewrite_shapes():
         "SELECT * FROM documents d JOIN t ON t.doc_id = d.doc_id "
         "WHERE d.doc_id % 2 = 1"
     )
-    assert rec.startswith("WITH RECURSIVE sd AS (SELECT * FROM documents WHERE")
-    assert SWEEP_SAMPLE_WHERE in rec
+    assert rec.startswith("WITH RECURSIVE ")
+    assert SWEEP_SD_CTES in rec
     # every original documents reference now reads sd (alias kept intact)
-    assert "FROM sd) SELECT * FROM sd d JOIN" in rec.replace("  ", " ")
-    # raw documents appears only inside the sd CTE itself: its FROM plus
-    # the adaptive gate's scalar COUNT(*) subquery
-    assert rec.count("FROM documents") == 2
+    assert "SELECT * FROM sd d JOIN" in rec.replace("  ", " ")
+    # raw documents appears only inside the sample CTEs themselves:
+    # the tokenizer FROM, the sd base FROM, and the adaptive keep's
+    # scalar COUNT(*) subquery
+    assert rec.count("FROM documents") == 3
 
     plain = sampled_oracle("SELECT COUNT(*) AS n FROM documents")
-    assert plain.startswith("WITH sd AS (")
+    assert plain.startswith("WITH ")
+    assert "sd AS (" in plain
     assert plain.endswith("FROM sd")
 
     import duckdb
@@ -1241,14 +1243,14 @@ def test_sweep_sample_rate_is_scale_adaptive():
 
 
 def test_docs_sampled_matches_oracle_sample_exactly(spark):
-    """Spark's _docs_sampled and the oracle's SWEEP_SAMPLE_WHERE must
-    keep the IDENTICAL doc set — the zero-drift contract every sampled
-    twin rides on."""
+    """Spark's _docs_sampled and the oracle's SWEEP_SD_CTES must keep
+    the IDENTICAL doc set — the zero-drift contract every sampled twin
+    rides on (min-shingle cluster-preserving key, doc_id fallback)."""
     import duckdb
 
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.curation import (
-        SWEEP_SAMPLE_WHERE,
         _docs_sampled,
+        sampled_oracle,
     )
 
     spark_ids = {
@@ -1266,10 +1268,45 @@ def test_docs_sampled_matches_oracle_sample_exactly(spark):
         duck_ids = {
             r[0]
             for r in con.execute(
-                f"SELECT doc_id FROM documents WHERE {SWEEP_SAMPLE_WHERE}"
+                sampled_oracle("SELECT doc_id FROM documents")
             ).fetchall()
         }
     finally:
         con.close()
     assert spark_ids == duck_ids
     assert len(spark_ids) > 0
+
+
+def test_sample_is_cluster_preserving(spark):
+    """The reason the key is a MIN shingle hash: two docs sharing their
+    min shingle land in the same bucket, so near-dup pairs co-sample.
+    Verify directly — exact duplicates of a sampled doc must also be
+    sampled (J=1 ⇒ identical key)."""
+    import duckdb
+
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.plans.curation import (
+        sampled_oracle,
+    )
+
+    con = duckdb.connect()
+    try:
+        # fabricate a corpus where doc i and doc i+1000 are exact dups
+        con.execute(
+            "CREATE VIEW documents AS "
+            "SELECT doc_id, 'alpha beta gamma delta epsilon word'"
+            " || CAST(doc_id % 1000 AS VARCHAR) AS text"
+            " FROM (SELECT UNNEST(range(2000)) AS doc_id)"
+        )
+        kept = [
+            r[0]
+            for r in con.execute(
+                sampled_oracle("SELECT doc_id FROM documents")
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    kept_set = set(kept)
+    assert kept_set, "sample must be non-empty"
+    for d in kept_set:
+        twin = d + 1000 if d < 1000 else d - 1000
+        assert twin in kept_set, (d, twin)

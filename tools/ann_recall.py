@@ -133,7 +133,7 @@ def main() -> int:
 
         build_pq_index(emb, f"{root}/pq", m=16, ks=64, iters=4)
         codes, books = load_pq_index(spark, f"{root}/pq")
-        for rerank in (50, 100, 200):
+        for rerank in (50, 100, 200, 400):
             t0 = time.perf_counter()
             rows = pq_search_rerank(
                 emb, queries, books, k=k, rerank=rerank, codes=codes
@@ -148,7 +148,14 @@ def main() -> int:
             m=16, ks=64, pq_iters=4,
         )
         pq_codes, cents, pq_books = load_ivfpq_index(spark, f"{root}/ivfpq")
-        for nprobe, rerank in ((2, 50), (4, 50), (4, 100), (8, 200)):
+        for nprobe, rerank in (
+            (2, 50),
+            (4, 50),
+            (4, 100),
+            (8, 200),
+            (8, 400),
+            (16, 400),
+        ):
             if nprobe > ivfpq_cells:
                 continue
             t0 = time.perf_counter()
