@@ -272,6 +272,36 @@ def make_server(
     a FINAL read re-resolved per query when the table's version advances."""
     refresher = _PartsViewRefresher(spark, parts_views) if parts_views else None
 
+    def _is_stale_snapshot_error(e: Exception) -> bool:
+        """A scan that raced a maintenance swap: the query plan resolved a
+        parts version whose files a concurrent OPTIMIZE+VACUUM removed
+        mid-execution (Spark surfaces FAILED_READ_FILE.FILE_NOT_EXIST).
+        ClickHouse's part reference counting makes this impossible there;
+        this layer's equivalent is re-resolve-and-retry."""
+        msg = str(e)
+        return (
+            "FAILED_READ_FILE" in msg
+            or "FILE_NOT_EXIST" in msg
+            or "FileNotFoundException" in msg
+        )
+
+    def _with_snapshot_retry(fn):
+        """Run ``fn``; on a stale-snapshot read, re-resolve the parts
+        views and retry (twice — a retry can itself race the next swap).
+        Analysis errors, bad SQL, and every other failure propagate
+        unchanged on the first throw."""
+        for attempt in range(3):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if (
+                    refresher is None
+                    or attempt == 2
+                    or not _is_stale_snapshot_error(e)
+                ):
+                    raise
+                refresher.refresh()
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, doc: dict) -> None:
             body = json.dumps(doc, default=_json_default).encode()
@@ -302,7 +332,9 @@ def make_server(
                 if refresher is not None:
                     refresher.refresh()
                 if self.path == "/sql.arrow":
-                    body = run_sql_arrow(spark, sql, limit, max_rows)
+                    body = _with_snapshot_retry(
+                        lambda: run_sql_arrow(spark, sql, limit, max_rows)
+                    )
                     self.send_response(200)
                     self.send_header(
                         "Content-Type", "application/vnd.apache.arrow.stream"
@@ -311,7 +343,12 @@ def make_server(
                     self.end_headers()
                     self.wfile.write(body)
                 else:
-                    self._send(200, run_sql(spark, sql, limit, max_rows))
+                    self._send(
+                        200,
+                        _with_snapshot_retry(
+                            lambda: run_sql(spark, sql, limit, max_rows)
+                        ),
+                    )
             except ValueError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # analysis errors etc. -> client, not stderr
