@@ -423,10 +423,19 @@ def main() -> None:
             #   (build 85.6 s vs 14.6 s, semdedup batch 109.7 vs 39.4 s);
             # - sqrt (FAISS sizing, cells ≈ 1.43√n): assignment and
             #   within-cell work balance at Θ(n^1.5).
-            # The default stays linear so the cross-round ladder remains
-            # comparable; BASELINE.md carries the sqrt datum and analysis.
+            # Default is SCALE-AWARE (r12): linear through sf10 (200k
+            # vectors) so the historical sf0.1–sf10 ladder stays
+            # comparable, sqrt above (sf100+), where the r11 probe
+            # measured linear's exact assignment dominating (build
+            # 85.6 s vs 14.6 s already at sf10) — the geometry a
+            # production deployment would pick at that scale.
+            # BENCH_ANN_GEOMETRY=linear|sqrt still forces either.
             import math as _math
-            if os.environ.get("BENCH_ANN_GEOMETRY", "linear") == "sqrt":
+            geometry = os.environ.get(
+                "BENCH_ANN_GEOMETRY",
+                "sqrt" if n_emb > 500_000 else "linear",
+            )
+            if geometry == "sqrt":
                 ivf_cells = max(16, round(1.43 * _math.sqrt(n_emb)))
                 ivfpq_cells = max(4, round(0.358 * _math.sqrt(n_emb)))
             else:
