@@ -214,6 +214,9 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory", os.environ.get("GEN_DRIVER_MEM", "12g")
+        )
         .appName("gen-sf1")
         .getOrCreate()
     )
@@ -231,20 +234,47 @@ def main() -> None:
         )
         print(f"{t}: copied (fixed dim)")
 
+    # A single N-way union + one global repartition OOMs the heap at
+    # copies=1000 (sf100): the plan alone is thousands of scan legs and
+    # the shuffle holds the whole table. Non-skewed large runs write in
+    # CHUNKS of copies appended to the same parquet directory — each
+    # chunk is an independent bounded job, and the file count scales
+    # with the data (n_files per 10 copies, the sf1 calibration).
+    # Skewed runs keep the single-shot path: skew reassignment is a
+    # whole-table transform by construction.
+    chunk = int(os.environ.get("GEN_COPY_CHUNK", "50"))
+    skewed = bool(
+        args.hot_user_share or args.hot_cust_share or args.hot_shingle_frac
+    )
     for t, (_, n_files) in SHIFTS.items():
-        parts = [
-            _copy_df(spark, args.src, t, c, strides, emb_dim)
-            for c in range(args.copies)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out = _apply_skew(t, out, args)
-        out.repartition(n_files).write.mode("overwrite").parquet(
-            os.path.join(args.dst, f"{t}.parquet")
-        )
-        n = spark.read.parquet(os.path.join(args.dst, f"{t}.parquet")).count()
-        print(f"{t}: {n} rows in {n_files} files")
+        dstp = os.path.join(args.dst, f"{t}.parquet")
+        if skewed or args.copies <= chunk:
+            parts = [
+                _copy_df(spark, args.src, t, c, strides, emb_dim)
+                for c in range(args.copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out = _apply_skew(t, out, args)
+            out.repartition(n_files).write.mode("overwrite").parquet(dstp)
+        else:
+            for s in range(0, args.copies, chunk):
+                hi = min(s + chunk, args.copies)
+                parts = [
+                    _copy_df(spark, args.src, t, c, strides, emb_dim)
+                    for c in range(s, hi)
+                ]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                files = max(1, round(n_files * (hi - s) / 10))
+                out.repartition(files).write.mode(
+                    "overwrite" if s == 0 else "append"
+                ).parquet(dstp)
+                print(f"{t}: copies {s}..{hi - 1} written", flush=True)
+        n = spark.read.parquet(dstp).count()
+        print(f"{t}: {n} rows", flush=True)
 
     spark.stop()
 
