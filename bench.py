@@ -297,6 +297,20 @@ def main() -> None:
         _curation.clear_component_cache()
         _dedup.clear_all_caches()
         _bm25.clear_postings_cache()
+        # Deterministically reclaim finished queries' shuffle files:
+        # Spark deletes them only when the driver GC collects the shuffle
+        # dependency (ContextCleaner weak refs), and the periodic GC
+        # default (30 min; 5 min via session.py since r12) is too slow
+        # for a multi-query run over a big fixture — the first r12 sf100
+        # ladder run accumulated ~60 GB of dead shuffle files and filled
+        # the disk mid-suite. Python gc first so dropped DataFrame
+        # wrappers release their JVM refs, then a JVM full GC so the
+        # cleaner actually enqueues the deletes. Runs outside every
+        # timed window (call sites are the cache-clear boundaries).
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     plan_secs: dict[str, float] = {}

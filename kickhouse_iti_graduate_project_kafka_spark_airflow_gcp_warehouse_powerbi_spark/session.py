@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.crossJoin.enabled", "true")
+        # Shuffle files are deleted only when the driver GC collects the
+        # shuffle dependency (ContextCleaner holds weak refs); Spark's
+        # default periodic GC is 30 MINUTES, so a long-lived session
+        # running many queries over a big fixture accumulates every
+        # query's shuffle output on local disk in the meantime — the r12
+        # sf100 bench filled the disk mid-run exactly this way. 5 min
+        # bounds the backlog at negligible GC cost.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_PERIODIC_GC_INTERVAL", "5min"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

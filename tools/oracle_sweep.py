@@ -193,6 +193,16 @@ def main() -> int:
             f"spark={rec.get('secs_spark', '-')}s oracle={rec.get('secs_oracle', '-')}s",
             flush=True,
         )
+        # Reclaim the finished query's shuffle files before the next one:
+        # ContextCleaner only deletes them on driver GC, and a 200+-query
+        # sweep at a big fixture otherwise accumulates every query's
+        # shuffle output on local disk (the r12 sf100 bench run filled
+        # the disk exactly this way).
+        import gc as _gc
+
+        s_rows = None
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
         # incremental flush: a killed/cut-short sweep still leaves a
         # readable partial artifact (long at-scale runs can exceed a
         # session; the final write below overwrites with the summary)
