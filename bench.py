@@ -280,9 +280,6 @@ def main() -> None:
     # r02 showed cold-start landing on whichever queries ran early
     # (revenue_by_nation "+57%" was startup cost, not a plan change; its
     # steady-state execution matches r01).
-    row_counts: dict[str, int] = {}
-    for spec in selected:
-        row_counts[spec.name] = spec.fn(spark, SF_DIR).count()
     from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
         bm25 as _bm25,
     )
@@ -293,10 +290,7 @@ def main() -> None:
         curation as _curation,
     )
 
-    def _clear_operator_caches() -> None:
-        _curation.clear_component_cache()
-        _dedup.clear_all_caches()
-        _bm25.clear_postings_cache()
+    def _reclaim_shuffle_files() -> None:
         # Deterministically reclaim finished queries' shuffle files:
         # Spark deletes them only when the driver GC collects the shuffle
         # dependency (ContextCleaner weak refs), and the periodic GC
@@ -306,11 +300,29 @@ def main() -> None:
         # the disk mid-suite. Python gc first so dropped DataFrame
         # wrappers release their JVM refs, then a JVM full GC so the
         # cleaner actually enqueues the deletes. Runs outside every
-        # timed window (call sites are the cache-clear boundaries).
+        # timed window. Separate from cache clearing on purpose: the
+        # shared-cache family passes must reclaim dead shuffles BETWEEN
+        # members while keeping the pinned index/pair/CC caches alive
+        # (the second r12 sf100 run died exactly there — four dedup legs
+        # back-to-back with no reclaim point).
         import gc as _gc
 
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+    def _clear_operator_caches() -> None:
+        _curation.clear_component_cache()
+        _dedup.clear_all_caches()
+        _bm25.clear_postings_cache()
+        _reclaim_shuffle_files()
+
+    row_counts: dict[str, int] = {}
+    for spec in selected:
+        row_counts[spec.name] = spec.fn(spark, SF_DIR).count()
+        # warm pass keeps operator caches (later members reuse them) but
+        # must still drop finished shuffles — at sf100 the uncleaned warm
+        # pass alone is tens of GB of dead shuffle files
+        _reclaim_shuffle_files()
 
     timings: dict[str, float] = {}
     plan_secs: dict[str, float] = {}
@@ -718,6 +730,10 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, SF_DIR).collect()
         family_shared[spec.name] = round(time.perf_counter() - t0, 3)
+        # reclaim dead per-member shuffles without dropping the shared
+        # caches this pass exists to measure (GC pause is included in the
+        # fused total — a production sweep pays it too)
+        _reclaim_shuffle_files()
     family_shared["_total"] = round(time.perf_counter() - f0, 3)
     _clear_operator_caches()
 
@@ -733,6 +749,7 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, SF_DIR).collect()
         family_shared[spec.name] = round(time.perf_counter() - t0, 3)
+        _reclaim_shuffle_files()
     family_shared["_retrieval_total"] = round(time.perf_counter() - f0, 3)
     _clear_operator_caches()
 

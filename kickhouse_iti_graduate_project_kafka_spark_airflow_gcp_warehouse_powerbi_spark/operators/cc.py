@@ -87,6 +87,26 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"] or 0)
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``'d frame.
+
+    Spark reclaims local-checkpoint blocks only when the driver JVM GC
+    collects the RDD (ContextCleaner weak-ref path); inside an iterative
+    loop on a large heap that can be never — the r12 sf100 ladder filled
+    the local disk with superseded per-round checkpoints this way. The
+    checkpointed Dataset's analyzed plan is a ``LogicalRDD`` wrapping the
+    persisted internal RDD; unpersisting that RDD drops its blocks
+    immediately. Best-effort: callers only pass frames that will never be
+    read again (lineage is truncated, so a released frame is unusable),
+    and any plan-shape surprise falls back to the GC path rather than
+    failing the job.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - plan-shape fallback
+        pass
+
+
 def _driver_union_find(spark, cur: DataFrame, id_col: str) -> DataFrame:
     """Finish a small edge set on the driver: union-find with the larger
     root attached under the smaller, so every final root is its
@@ -186,6 +206,7 @@ def connected_components(
     if driver_finish_edges and cur.count() <= driver_finish_edges:
         out = _driver_union_find(spark, cur, id_col)
         finished_on_driver = True
+        _release_checkpoint(cur)
     # partition sizing per round is AQE's job: every round ends in
     # _small_star's distinct (a shuffle), and adaptive coalescing
     # right-sizes its output as edge sets shrink — an explicit repartition
@@ -199,10 +220,16 @@ def connected_components(
         prev_fp: tuple[int, int] | None = None
         converged = False
         for _ in range(max_iter):
+            prev = cur
             cur = _small_star(_large_star(_symmetric(cur))).localCheckpoint(
                 eager=False
             )
             fp = _edge_fingerprint(cur)
+            # the fingerprint action materialized the new checkpoint, so
+            # the previous round's blocks are dead — drop them now instead
+            # of waiting for a driver GC that a big heap may never run
+            # (disk-fill failure mode, r12 sf100 ladder)
+            _release_checkpoint(prev)
             if fp == prev_fp:
                 converged = True
                 break
@@ -212,6 +239,7 @@ def connected_components(
                 # the closure with union-find instead of more rounds
                 out = _driver_union_find(spark, cur, id_col)
                 finished_on_driver = True
+                _release_checkpoint(cur)
                 break
         if not converged and not finished_on_driver:
             # Treating an unconverged edge set as a star forest would return

@@ -77,6 +77,26 @@ def test_mid_loop_driver_handoff(spark):
     assert set(got.values()) == {0}
 
 
+def test_rounds_release_superseded_checkpoints(spark):
+    # Each distributed round localCheckpoints the shrinking edge set; the
+    # superseded rounds' blocks must be unpersisted DETERMINISTICALLY, not
+    # left for a driver GC that a big heap may never run (the r12 sf100
+    # ladder filled local disk with dead round checkpoints). After a fully
+    # distributed run, at most the FINAL star forest may remain pinned.
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(199)]  # ~8 rounds at diameter 199
+    edf = spark.createDataFrame(edges, "a_id long, b_id long")
+    out = connected_components(edf, driver_finish_edges=0)
+    out.collect()
+    assert jsc.getPersistentRDDs().size() - base <= 1
+    # driver-finish path releases even the final checkpoint (output is
+    # driver-built, never reads it again)
+    out2 = connected_components(edf, driver_finish_edges=1_000_000)
+    out2.collect()
+    assert jsc.getPersistentRDDs().size() - base <= 1
+
+
 def test_cluster_sizes_sum_to_node_count(spark):
     random.seed(3)
     edges = [(random.randrange(60), random.randrange(60)) for _ in range(40)]
