@@ -14,9 +14,10 @@ moving_avg_error_pct user_sessions_30min orders_price_welch_ttest \
 events_value_mannwhitney events_quantiles_exact lineitem_summap_qty \
 events_topk_weighted_types"
 
-run () {  # $1 = sf dir, $2 = tag, $3 = driver mem
+run () {  # $1 = sf dir, $2 = tag, $3 = driver mem, $4 = shuffle partitions
   echo "=== ladder: $2 ($1) ===" >&2
   SPARK_GRAFT_SF_DIR="$1" SPARK_DRIVER_MEMORY="$3" \
+    SPARK_SHUFFLE_PARTITIONS="${4:-32}" \
     python bench.py $LEGS --repeats=3 \
     > "/tmp/ladder_$2.out" 2> "/tmp/ladder_$2.err"
   # bench.py prints ONE JSON line, but at big heaps the JVM's gc,alloc
@@ -29,5 +30,11 @@ run () {  # $1 = sf dir, $2 = tag, $3 = driver mem
 run /root/testdata/sf0.1      sf0.1  8g
 run .benchdata/sf1            sf1    16g
 run .benchdata/sf10           sf10   48g
-run .benchdata/sf100          sf100  72g
+# sf100: shuffle partitions scale with the data (the production posture —
+# a fixed 32 meant GB-scale shuffle blocks and 32 concurrent 1 GB+ sort
+# buffers, which OOM'd a 72 g driver heap on the second r12 attempt; AQE
+# coalesces the small shuffles back down, so only oversized partitions
+# change). 256 ≈ the 128 MB-per-partition target at this fixture's
+# biggest shuffles.
+run .benchdata/sf100          sf100  72g 256
 echo "ladder complete" >&2
