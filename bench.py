@@ -714,6 +714,14 @@ def main() -> None:
     # as one fused unit (plus per-member splits) so the suite's headline
     # per-query numbers above stay order-independent while the shared-cost
     # behavior remains visible to the judge.
+    # On an explicit-name run, only the family members actually selected:
+    # a subset bench (smoke, chunked ladder) must not drag the whole dedup
+    # family through an un-asked-for pass — at sf100 that pass alone is a
+    # ~50 GB shuffle working set. The default (no names) suite keeps the
+    # full family so the driver artifact's family_shared stays comparable
+    # round-over-round (docs_dedup_survivors rides along there despite
+    # not being bench-flagged).
+    selected_names = {s.name for s in selected}
     family = [
         registry[n]
         for n in (
@@ -722,7 +730,7 @@ def main() -> None:
             "docs_dedup_survivors",
             "docs_minhash_lsh_pairs",
         )
-        if n in registry
+        if n in registry and (not names or n in selected_names)
     ]
     family_shared: dict[str, float] = {}
     f0 = time.perf_counter()
@@ -742,7 +750,7 @@ def main() -> None:
     retrieval = [
         registry[n]
         for n in ("docs_bm25_topk", "hybrid_rrf_retrieval")
-        if n in registry
+        if n in registry and (not names or n in selected_names)
     ]
     f0 = time.perf_counter()
     for spec in retrieval:
