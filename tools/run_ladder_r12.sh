@@ -14,10 +14,10 @@ moving_avg_error_pct user_sessions_30min orders_price_welch_ttest \
 events_value_mannwhitney events_quantiles_exact lineitem_summap_qty \
 events_topk_weighted_types"
 
-run () {  # $1 = sf dir, $2 = tag, $3 = driver mem, $4 = shuffle partitions
+run () {  # $1 = sf dir, $2 = tag, $3 = driver mem, $4 = shuffle parts, $5 = codec
   echo "=== ladder: $2 ($1) ===" >&2
   SPARK_GRAFT_SF_DIR="$1" SPARK_DRIVER_MEMORY="$3" \
-    SPARK_SHUFFLE_PARTITIONS="${4:-32}" \
+    SPARK_SHUFFLE_PARTITIONS="${4:-32}" SPARK_IO_CODEC="${5:-lz4}" \
     python bench.py $LEGS --repeats=3 \
     > "/tmp/ladder_$2.out" 2> "/tmp/ladder_$2.err"
   # bench.py prints ONE JSON line, but at big heaps the JVM's gc,alloc
@@ -35,6 +35,8 @@ run .benchdata/sf10           sf10   48g
 # buffers, which OOM'd a 72 g driver heap on the second r12 attempt; AQE
 # coalesces the small shuffles back down, so only oversized partitions
 # change). 256 ≈ the 128 MB-per-partition target at this fixture's
-# biggest shuffles.
-run .benchdata/sf100          sf100  72g 256
+# biggest shuffles. zstd shuffle compression because local DISK binds at
+# this scale (~50 GB live shuffle working set on the heaviest dedup leg
+# vs ~60 GB scratch): 30-40% smaller shuffle files for ~10-20% codec CPU.
+run .benchdata/sf100          sf100  72g 256 zstd
 echo "ladder complete" >&2
