@@ -386,15 +386,32 @@ def insert_into_parts(
     part_path = _join(io, base, PARTS_DIR, part_name)
     writer_df = df
     pcol = meta["partition_col"]
-    order_by = meta["order_by"]
+    # ClickHouse's table key IS an ORDER BY prefix: a keyed engine with no
+    # explicit order_by still lays its parts out sorted by the key, which
+    # is what makes FINAL's per-key collapse read clustered data
+    order_by = meta["order_by"] or meta["key_cols"]
     if pcol:
         writer_df = writer_df.repartition(F.col(pcol))
         if order_by:
             writer_df = writer_df.sortWithinPartitions(pcol, *order_by)
         writer_df.write.mode("error").partitionBy(pcol).parquet(part_path)
+    elif order_by:
+        # Range-shuffle on the table's ORDER BY, then sort within: the
+        # part comes out GLOBALLY sorted with min/max-disjoint files —
+        # real MergeTree part semantics (every part is one sorted run),
+        # maximal row-group skipping on the sort key, and AQE right-sizes
+        # the range partitions so file count tracks data volume.
+        # Preserving the input partitioning here (the pre-r12 behavior)
+        # meant one output file PER SOURCE SPLIT: the sf100 ladder's
+        # orders insert wrote ~1600 3 MB files per part and the ladder
+        # exponent for insert+optimize went to 1.5 on small-file
+        # overhead alone. Cost is one shuffle of the insert batch —
+        # the sort ClickHouse also pays at insert.
+        writer_df = writer_df.repartitionByRange(*order_by).sortWithinPartitions(
+            *order_by
+        )
+        writer_df.write.mode("error").parquet(part_path)
     else:
-        if order_by:
-            writer_df = writer_df.sortWithinPartitions(*order_by)
         writer_df.write.mode("error").parquet(part_path)
     _write_projections(io, df.sparkSession, part_path, meta)
 
