@@ -508,7 +508,7 @@ def build_ivfpq_index(
     partitioned by cell directory (probe pruning = partition pruning at
     1/16 the bytes), ``{path}/centroids`` and ``{path}/codebooks`` hold
     the two quantizers. Returns (centroids, codebooks)."""
-    from .ivf import assign_cells_df, kmeans_centroids
+    from .ivf import assign_cells_df, cluster_for_cell_write, kmeans_centroids
 
     spark = corpus.sparkSession
     centroids = kmeans_centroids(
@@ -517,8 +517,9 @@ def build_ivfpq_index(
     books = pq_train(corpus, vec_col, id_col, m, ks, pq_iters)
     with_cells = assign_cells_df(corpus, centroids, vec_col=vec_col)
     (
-        pq_encode(with_cells, books, vec_col, id_col, extra_cols=("cell",))
-        .sortWithinPartitions("cell", "n_id")
+        cluster_for_cell_write(
+            pq_encode(with_cells, books, vec_col, id_col, extra_cols=("cell",))
+        )
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(f"{path}/codes")
@@ -564,7 +565,7 @@ def append_to_ivfpq_index(
     and the codebooks (rising ADC reconstruction error on new batches) —
     rebuild via ``build_ivfpq_index`` when either signal moves. Returns
     {n_batch, n_appended, n_replayed}."""
-    from .ivf import assign_cells_df
+    from .ivf import assign_cells_df, cluster_for_cell_write
 
     _codes_tbl, centroids, books = load_ivfpq_index(spark, path)
     src = (
@@ -586,7 +587,7 @@ def append_to_ivfpq_index(
             n_new = fresh.count()
             if n_new:
                 (
-                    fresh.sortWithinPartitions("cell", "n_id")
+                    cluster_for_cell_write(fresh)
                     .write.partitionBy("cell")
                     .mode("append")
                     .parquet(f"{path}/codes")

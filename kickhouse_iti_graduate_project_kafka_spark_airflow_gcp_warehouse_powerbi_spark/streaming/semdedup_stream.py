@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.utils import AnalysisException
 
+from ..operators.ivf import cluster_for_cell_write
 from ..operators.semdedup import semdedup_incremental
 
 
@@ -138,7 +139,9 @@ def upsert_semdedup_batch(
             try:
                 n_new = new_rows.count()
                 if n_new:
-                    new_rows.write.mode("append").partitionBy("cell").parquet(
+                    cluster_for_cell_write(
+                        new_rows, order=("cell", id_col)
+                    ).write.mode("append").partitionBy("cell").parquet(
                         survivors_path
                     )
             finally:
@@ -269,7 +272,9 @@ def reconcile_semdedup_survivors(
         prev.select(id_col) if prev is not None
         else spark.createDataFrame([], f"{id_col} long")
     )
-    new_rows.write.partitionBy("cell").parquet(tmp_dir)
+    cluster_for_cell_write(new_rows, order=("cell", id_col)).write.partitionBy(
+        "cell"
+    ).parquet(tmp_dir)
     back = spark.read.parquet(tmp_dir)
     n_survivors = back.count()
     n_corpus = corpus.filter(F.col(vec_col).isNotNull()).count()
