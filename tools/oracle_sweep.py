@@ -82,8 +82,24 @@ def main() -> int:
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
-        .config("spark.sql.shuffle.partitions", "32")
+        # honor the same scale knob as session.py: a fixed 32 at sf100
+        # means GB-scale shuffle blocks and 32 concurrent sort buffers
+        # (the r12 ladder OOM'd a 72 g heap exactly this way); AQE
+        # coalesces small shuffles back down, so raising it only
+        # changes oversized partitions
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"),
+        )
         .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "48g"))
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_IO_CODEC", "lz4"),
+        )
+        # shuffle files are only deleted when driver GC collects the
+        # shuffle dependency; the 30 min default let dead shuffle files
+        # fill the disk mid-sweep at sf100 (see BASELINE.md r12 ladder)
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .appName("kickhouse-oracle-sweep")
         .getOrCreate()
