@@ -22,16 +22,21 @@ matches Lucene's default practice).
 
 Scale posture (100 TB corpus, handful-to-thousands of queries):
 
-- The postings table (doc_id, term, tf) is the same volume as the token
-  stream every dedup operator here already shuffles once; it is built with
-  one explode + one (doc_id, term) hash aggregate.
-- Document length and the (N, avgdl) global pair are derived FROM the
-  postings aggregate (dl = sum of tf per doc), so the corpus text is
-  tokenized exactly once; (N, avgdl) is a 1-row reduced aggregate,
-  broadcast back — never a window over corpus rows.
-- Query terms are a broadcast semi-filter on the postings: only postings
-  rows whose term appears in some query survive, so the per-query scoring
-  join moves O(matching postings), never the corpus.
+- The direct scoring path never aggregates full-corpus postings at all
+  (r12): the query terms broadcast-semi-filter the exploded token stream
+  BEFORE the (doc_id, term) hash aggregate, so the one shuffle the path
+  pays moves only query-matched tokens — never the corpus token stream.
+  Document frequency stays exact because the filter is term-only (every
+  document's occurrences of a matching term survive).
+- Document length rides the token stream as a narrow per-row column
+  (dl = size of the filtered token array — no postings groupBy), and the
+  (N, avgdl) global pair is a 1-row aggregate over a second narrow scan
+  of the text column: a columnar re-scan is strictly cheaper than the
+  full postings shuffle it replaces (shuffle = write + network + sort of
+  the same bytes).
+- The persisted-index lifecycle (build_bm25_index) still materializes the
+  full postings table once — that is the index's job; queries against it
+  prune by term bucket.
 - Ranking windows partition by q_id — parallel across queries, and each
   query's candidate set is bounded by its matched postings.
 - Ranks are computed over the ROUNDED score (4 dp, +1e-9 nudge) with doc
@@ -57,33 +62,31 @@ from .cachereg import track as _persist
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
-#: session-scoped postings cache, one corpus pinned at a time — the same
-#: contract as the dedup operators' shingle cache: callers pass a
-#: cache_key identifying the corpus (e.g. its path) and MUST change it
-#: when the data changes.
-_POSTINGS_CACHE: dict[tuple, DataFrame] = {}
+#: session-scoped scoring-postings cache, one corpus pinned at a time —
+#: the same contract as the dedup operators' shingle cache: callers pass
+#: a cache_key identifying the corpus (e.g. its path) and MUST change it
+#: when the data changes. Since r12 the cached artifact is the
+#: QUERY-FILTERED aggregated postings (plus the 1-row corpus stats), so
+#: the key also carries the query plan's semantic hash — a different
+#: query set rebuilds instead of silently reusing the wrong term subset.
+_POSTINGS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
-def bm25_postings_cached(
-    corpus: DataFrame, id_col: str, text_col: str, *, cache_key: str
-) -> DataFrame:
-    """:func:`bm25_postings` with session-scoped reuse — the BM25 and
-    hybrid-RRF catalog queries over the same corpus share one tokenize
-    pass. Entries for other cache keys are evicted (one corpus pinned)."""
-    key = (cache_key, id_col, text_col)
-    hit = _POSTINGS_CACHE.get(key)
-    if hit is not None:
-        return hit
-    p = bm25_postings(corpus, id_col, text_col).persist()
-    for k in [k for k in _POSTINGS_CACHE if k[0] != cache_key]:
-        _POSTINGS_CACHE.pop(k).unpersist(blocking=True)
-    _POSTINGS_CACHE[key] = p
-    return p
+def _query_plan_key(queries: DataFrame) -> int | None:
+    """Stable identity for the query set: the analyzed plan's semantic
+    hash (alias/id renumbering-insensitive). None (no caching) when the
+    backend does not expose it — fail closed to correctness."""
+    try:
+        return int(queries._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return None
 
 
 def clear_postings_cache() -> None:
     for k in list(_POSTINGS_CACHE):
-        _POSTINGS_CACHE.pop(k).unpersist(blocking=True)
+        p, s = _POSTINGS_CACHE.pop(k)
+        p.unpersist(blocking=True)
+        s.unpersist(blocking=True)
 
 
 def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -96,6 +99,30 @@ def bm25_postings(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_token_stream(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl, term) exploded token rows, dl computed NARROWLY as the
+    size of the filtered token array — no shuffle. Feeding this through a
+    term semi-filter before the tf aggregate is the direct scoring path's
+    whole trick: the only shuffle then carries query-matched tokens."""
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .select("doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+    )
+
+
+def bm25_doc_stats(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """1-row (n_docs, avgdl) over docs with at least one token, from a
+    narrow scan of the text column (dl values are the same integers the
+    postings-sum derivation produced, so avgdl is bit-identical)."""
+    dl = F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    return (
+        corpus.select(dl.alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
 
 
@@ -143,6 +170,41 @@ def _score(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
     )
 
 
+def _score_inline(postings_q: DataFrame, stats: DataFrame, query_terms: DataFrame,
+                  k: int, k1: float, b: float, exclude_self: bool) -> DataFrame:
+    """Scoring tail for the direct path: ``postings_q`` is already
+    query-term-filtered and carries dl per row, so there is no doclen
+    join and no separate semi-filter — df comes from one window over the
+    term-partitioned filtered postings, then aggregate + rank as in
+    :func:`_score`."""
+    w_term = Window.partitionBy("term")
+    with_idf = (
+        postings_q.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .crossJoin(broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log1p((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+    )
+    matched = with_idf.join(broadcast(query_terms), "term")
+    if exclude_self:
+        matched = matched.filter(F.col("doc_id") != F.col("q_id"))
+    tf = F.col("tf").cast("double")
+    tf_norm = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = matched.groupBy("q_id", "doc_id").agg(
+        F.sum(F.col("idf") * tf_norm).alias("_raw")
+    )
+    scored = scored.withColumn("score", F.round(F.col("_raw") + 1e-9, 4))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("doc_id").alias("n_id"), "score", "rank")
+    )
+
+
 def bm25_score_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -154,8 +216,8 @@ def bm25_score_topk(
     cache_key: str | None = None,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """BM25 top-k per query, computed directly from the corpus (one
-    tokenize pass; see module docstring for the formula and posture).
+    """BM25 top-k per query, computed directly from the corpus (see
+    module docstring for the formula and posture).
 
     Returns (q_id, n_id, score, rank) with rank 1..k per q_id; score is
     rounded to 4 dp and rank is computed over the rounded score with n_id
@@ -172,26 +234,52 @@ def bm25_score_topk(
     count documents WITH at least one token; empty/whitespace-only docs
     contribute no postings and are excluded from the stats on every path.
 
-    The postings frame feeds four consumers (df table, doclen, the global
-    stats pair, the scoring join), so it is persisted — via the shared
-    cachereg registry by default (released after the caller's action), or
-    through the session-scoped :func:`bm25_postings_cached` when
-    ``cache_key`` names the corpus (then several queries over the same
-    corpus tokenize it once)."""
-    if cache_key is not None:
-        postings = bm25_postings_cached(corpus, id_col, text_col, cache_key=cache_key)
-    else:
-        postings = _persist(bm25_postings(corpus, id_col, text_col))
-    doclen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    Plan shape (r12 — guide §2.3/§2.4 "shuffle fewer bytes / aggregate
+    after filtering"): the query terms broadcast-semi-filter the exploded
+    token stream BEFORE the tf aggregate, so the path's one real shuffle
+    carries only query-matched tokens instead of the full corpus token
+    stream; dl rides each row narrowly and (n_docs, avgdl) come from a
+    second narrow scan — the old full-postings aggregate + doclen shuffle
+    + doclen join are gone. Results are identical: tf/dl/df/n_docs/avgdl
+    are the same integers, so the scores agree bit-for-bit before the
+    shared 4 dp rounding.
+
+    ``cache_key`` (the corpus identity, e.g. its path) lets several
+    queries over the same corpus AND the same query set (hybrid RRF's
+    sparse leg) share one filtered-postings build; the cache key includes
+    the query plan's semantic hash, so a different query set rebuilds."""
     query_terms = (
         queries.select(F.col(id_col).alias("q_id"), tokens(text_col).alias("_toks"))
         .select("q_id", F.explode(F.array_distinct("_toks")).alias("term"))
         .filter(F.col("term") != "")
     )
-    return _score(postings, doclen, stats, query_terms, k, k1, b, exclude_self)
+    qkey = _query_plan_key(queries) if cache_key is not None else None
+    cached = (
+        _POSTINGS_CACHE.get((cache_key, id_col, text_col, qkey))
+        if qkey is not None
+        else None
+    )
+    if cached is not None:
+        postings_q, stats = cached
+    else:
+        postings_q = (
+            bm25_token_stream(corpus, id_col, text_col)
+            .join(broadcast(query_terms.select("term").distinct()), "term")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        )
+        stats = bm25_doc_stats(corpus, id_col, text_col)
+        if qkey is not None:
+            postings_q = postings_q.persist()
+            stats = stats.persist()
+            for old in [kk for kk in _POSTINGS_CACHE if kk[0] != cache_key]:
+                p, s = _POSTINGS_CACHE.pop(old)
+                p.unpersist(blocking=True)
+                s.unpersist(blocking=True)
+            _POSTINGS_CACHE[(cache_key, id_col, text_col, qkey)] = (postings_q, stats)
+        # no cache: postings_q has exactly one downstream consumer (the
+        # df window chain), so persisting it would be pure overhead
+    return _score_inline(postings_q, stats, query_terms, k, k1, b, exclude_self)
 
 
 def build_bm25_index(
