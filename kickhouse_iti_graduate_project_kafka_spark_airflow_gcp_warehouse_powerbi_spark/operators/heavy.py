@@ -153,7 +153,14 @@ def heavy_hitters(
         depth, width, seed = sketch.depth, sketch.width, sketch.seed
         sk = sketch.df
     else:
-        sk = cm_sketch(df, key_cols, depth=depth, width=width, seed=seed)
+        # the sketch feeds one broadcast build PER LEVEL; unpersisted,
+        # each build recomputes the full sketch pass from the source
+        # (depth scans + aggregates of the input for a <= depth x width
+        # row result). Registered persist — released by the session's
+        # release_tracked sweep.
+        from .cachereg import track as _persist
+
+        sk = _persist(cm_sketch(df, key_cols, depth=depth, width=width, seed=seed))
     heavy = sk.filter(F.col("cnt") >= min_count)
     cand = df
     for i in range(depth):

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cachereg import track as _persist
+
 
 def _score(px: Column, py: Column, bk, p) -> Column:
     """Exact integer triangle score of candidate ``p`` against the
@@ -91,6 +93,13 @@ def lttb(
         .withColumn("pos", F.row_number().over(ws))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("s")))
     )
+    # pts fans out into five branches (small/mid/first/last/ends) that
+    # the final union re-reads; without a persist each branch recomputes
+    # the caller's upstream aggregation — for the catalog query that is
+    # five full scans+aggregates of the fact table for a few hundred
+    # post-aggregate rows (guide §5: reuse × recompute-cost). Registered
+    # persist, released by the session's release_tracked sweep.
+    pts = _persist(pts)
     small = pts.filter(F.col("n") <= n_out).select("s", "x", "y")
     big = pts.filter(F.col("n") > n_out)
 
