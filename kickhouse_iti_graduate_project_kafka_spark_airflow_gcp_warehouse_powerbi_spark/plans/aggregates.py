@@ -175,14 +175,26 @@ def events_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the aggregation — per-group cost is the group's row count;
     the approximate sibling below is the 100 TB path."""
     ev = load_table(spark, sf_dir, "events")
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for q in _QS:
-        aggs.append(
-            F.round(
-                F.percentile("value", F.lit(q)) + F.lit(1e-9), 4
-            ).alias(f"p{int(q * 100)}")
-        )
-    return ev.groupBy("event_type").agg(*aggs)
+    # ONE percentile aggregate over the percentage array, not one per
+    # quantile: each partial_percentile buffer is a full per-group
+    # value-count map, so N separate calls shuffle and merge N identical
+    # maps (guide §2.3 — shuffle fewer bytes). The array form computes
+    # the same R-7 values from a single buffer; elements are projected
+    # back out, so the output schema (scalar p25..p99) is unchanged.
+    qarr = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", F.array(*[F.lit(q) for q in _QS])).alias("_qs"),
+    )
+    return qarr.select(
+        "event_type",
+        "n",
+        *[
+            F.round(F.col("_qs").getItem(i) + F.lit(1e-9), 4).alias(
+                f"p{int(q * 100)}"
+            )
+            for i, q in enumerate(_QS)
+        ],
+    )
 
 
 #: percentile_approx accuracy knob: guaranteed rank error <= n/accuracy

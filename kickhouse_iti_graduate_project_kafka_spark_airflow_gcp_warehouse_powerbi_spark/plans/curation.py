@@ -537,17 +537,28 @@ def docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_chars", token_count("text").alias("n_tok")
     )
 
-    def pct(col: str, p: float, alias: str) -> F.Column:
-        return F.round(F.percentile(F.col(col), F.lit(p)) + 1e-9, 4).alias(alias)
-
-    return d.groupBy("lang").agg(
+    # one percentile buffer per MEASURE, not per quantile: the four
+    # n_chars quantiles share a single array-percentile aggregate (each
+    # partial_percentile buffer is a full per-group value-count map —
+    # guide §2.3, same rewrite as events_quantiles_exact); values are
+    # identical R-7 interpolations, projected back to scalar columns.
+    agg = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        pct("n_chars", 0.25, "chars_p25"),
-        pct("n_chars", 0.50, "chars_p50"),
-        pct("n_chars", 0.90, "chars_p90"),
-        pct("n_chars", 0.99, "chars_p99"),
-        pct("n_tok", 0.50, "tokens_p50"),
+        F.percentile(
+            "n_chars", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.90), F.lit(0.99))
+        ).alias("_cq"),
+        F.percentile("n_tok", F.lit(0.50)).alias("_tq"),
         F.max("n_chars").alias("chars_max"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        *[
+            F.round(F.col("_cq").getItem(i) + 1e-9, 4).alias(f"chars_p{tag}")
+            for i, tag in enumerate(("25", "50", "90", "99"))
+        ],
+        F.round(F.col("_tq") + 1e-9, 4).alias("tokens_p50"),
+        "chars_max",
     )
 
 
