@@ -202,10 +202,11 @@ def pq_encode(
     return src.mapInPandas(gen, schema)
 
 
-def _query_luts(queries, codebooks, id_col, vec_col):
-    """Driver-side LUT tensors for the (bounded) query set: dot LUT
-    (nq, m, ks) and the per-code reconstruction norms (m, ks)."""
-    m, ks, sub = codebooks.shape
+def _collect_query_matrix(queries, id_col, vec_col):
+    """(q_ids int64 sorted asc, (nq, dim) float64 matrix) for the bounded
+    query set — the one driver-side read every ADC consumer shares. NULL
+    vectors are dropped (they cannot be searched), matching pq_encode /
+    probe_cells_df."""
     rows = (
         queries.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
         .filter(F.col("_v").isNotNull())
@@ -214,12 +215,163 @@ def _query_luts(queries, codebooks, id_col, vec_col):
     )
     q_ids = np.asarray([r["_id"] for r in rows], dtype="int64")
     q = np.asarray([np.asarray(r["_v"], dtype="float64") for r in rows])
-    q_parts = q.reshape(len(rows), m, sub) if len(rows) else q.reshape(0, m, sub)
+    return q_ids, q
+
+
+def _query_luts(queries, codebooks, id_col, vec_col, _collected=None):
+    """Driver-side LUT tensors for the (bounded) query set: dot LUT
+    (nq, m, ks) and the per-code reconstruction norms (m, ks).
+    ``_collected`` (optional) reuses an existing ``_collect_query_matrix``
+    result so fused callers collect the query set once."""
+    m, ks, sub = codebooks.shape
+    q_ids, q = (
+        _collected if _collected is not None
+        else _collect_query_matrix(queries, id_col, vec_col)
+    )
+    q_parts = q.reshape(len(q_ids), m, sub) if len(q_ids) else q.reshape(0, m, sub)
     # lut[qi, j, c] = q_sub_j . codebook[j, c]
     lut = np.einsum("qjs,jcs->qjc", q_parts, codebooks)
-    q_nrm = np.sqrt((q * q).sum(axis=1)) if len(rows) else np.zeros(0)
+    q_nrm = np.sqrt((q * q).sum(axis=1)) if len(q_ids) else np.zeros(0)
     code_sq = (codebooks * codebooks).sum(axis=2)  # (m, ks)
     return q_ids, lut, q_nrm, code_sq
+
+
+def _probe_matrix(q: np.ndarray, centroids, nprobe: int) -> np.ndarray:
+    """(nq, nprobe) probed coarse-cell ids, computed on the driver from the
+    already-collected query matrix — the same float64 math as
+    probe_cells_df's Arrow kernel (unit-normalize with zero-vectors passing
+    through, score = -2 u·c + ||c||², stable argsort so equal distances
+    keep ascending cell order)."""
+    from .ivf import _centroid_matrix
+
+    cm = _centroid_matrix(centroids)
+    c_sq = (cm * cm).sum(axis=1)
+    if len(q) == 0:
+        return np.zeros((0, nprobe), dtype="int64")
+    nrm = np.sqrt((q * q).sum(axis=1))
+    u = q / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+    scores = -2.0 * (u @ cm.T) + c_sq
+    return np.argsort(scores, axis=1, kind="stable")[:, : int(nprobe)]
+
+
+def _fused_adc_partials(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    centroids=None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """ONE JVM↔Python crossing for the on-the-fly (``codes is None``)
+    search paths (guide §4): encode (+ coarse-assign + probe-prune for
+    IVF-PQ) and the ADC partial top-``rerank`` run inside a single
+    ``mapInPandas`` kernel over the raw vectors, instead of the stacked
+    encode-kernel → (join) → ADC-kernel pipeline that shipped the whole
+    corpus through Python twice (three times with the cell-assign kernel).
+
+    Bit-identical to the stacked path: codes are the same per-subspace
+    argmin over the same float64 GEMM, cell assignment/probe selection are
+    the same unit-normalized score with the same first-minimum/stable-sort
+    tie-breaks, ADC scores are the same LUT gathers, and each batch emits
+    its complete per-query top-``rerank`` so the global rank window
+    downstream selects exactly the same candidate set (per-batch partials
+    are a superset of the global top-``rerank`` regardless of batch
+    boundaries). Persisted-index paths (``codes`` given) are untouched —
+    their corpus never carries vectors."""
+    m, ks, sub = codebooks.shape
+    spark = corpus.sparkSession
+    collected = _collect_query_matrix(queries, id_col, vec_col)
+    q_ids, lut, q_nrm, code_sq = _query_luts(
+        queries, codebooks, id_col, vec_col, _collected=collected
+    )
+    if centroids is not None:
+        from .ivf import _centroid_matrix
+
+        cmat = _centroid_matrix(centroids)
+        probes = _probe_matrix(collected[1], centroids, nprobe)
+    else:
+        cmat, probes = None, None
+    bc = track_broadcast(
+        spark.sparkContext.broadcast(
+            (q_ids, lut, q_nrm, code_sq, codebooks, cmat, probes)
+        )
+    )
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("n_id"), F.col(vec_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("n_id", LongType()),
+            StructField("adc_cos", DoubleType()),
+        ]
+    )
+    rr = int(rerank)
+
+    def gen(batches):
+        import pandas as pd
+
+        ids, lt, qn, csq, cb, C, prb = bc.value
+        nq = len(ids)
+        if nq == 0:
+            return
+        cb_sq = (cb * cb).sum(axis=2)  # (m, ks)
+        c_sq = (C * C).sum(axis=1) if C is not None else None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            flat = np.asarray(
+                [np.asarray(x, dtype="float64") for x in pdf["_v"]]
+            )
+            v = flat.reshape(n, m, sub)
+            # encode — pq_encode's exact expression and tie-break
+            codes = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                s = -2.0 * (v[:, j, :] @ cb[j].T) + cb_sq[j]
+                codes[:, j] = np.argmin(s, axis=1)
+            # reconstruction norm² — shared by every query
+            rec_sq = np.zeros(n)
+            for j in range(m):
+                rec_sq += csq[j, codes[:, j]]
+            rec_nrm = np.sqrt(rec_sq)
+            n_ids = pdf["n_id"].to_numpy()
+            if C is not None:
+                # coarse assign — assign_cells_df's exact Arrow-kernel math
+                nrm = np.sqrt((flat * flat).sum(axis=1))
+                u = flat / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+                cells = np.argmin(-2.0 * (u @ C.T) + c_sq, axis=1)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                if C is not None:
+                    mask = np.isin(cells, prb[qi]) & (n_ids != ids[qi])
+                else:
+                    mask = n_ids != ids[qi]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                dots = np.zeros(len(idx))
+                for j in range(m):
+                    dots += lt[qi, j, codes[idx, j]]
+                denom = qn[qi] * rec_nrm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, np.nan)
+                keep = ~np.isnan(cos)
+                if not keep.any():
+                    continue
+                kidx, kcos = idx[keep], cos[keep]
+                order = np.lexsort((n_ids[kidx], -kcos))[:rr]
+                out_q.extend([ids[qi]] * len(order))
+                out_n.extend(n_ids[kidx][order])
+                out_s.extend(kcos[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {"q_id": out_q, "n_id": out_n, "adc_cos": out_s}
+                )
+
+    return src.mapInPandas(gen, schema)
 
 
 def pq_adc_topk(
@@ -320,10 +472,24 @@ def pq_search_rerank(
     survive the shortlist (guaranteed at rerank >= corpus size).
 
     ``codes`` may be a pre-encoded/persisted frame (build_pq_index);
-    otherwise vectors are encoded on the fly."""
+    otherwise encode + ADC run fused in ONE ``mapInPandas`` kernel over
+    the raw vectors (guide §4 — the stacked encode→ADC pair shipped the
+    corpus through Python twice; scores and the candidate set are
+    bit-identical, see :func:`_fused_adc_partials`)."""
     if codes is None:
-        codes = pq_encode(corpus, codebooks, vec_col, id_col)
-    cand = pq_adc_topk(codes, queries, codebooks, rerank, id_col, vec_col)
+        partial = _fused_adc_partials(
+            corpus, queries, codebooks, rerank, id_col, vec_col
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("adc_cos").desc(), F.col("n_id").asc()
+        )
+        cand = (
+            partial.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= rerank)
+            .select("q_id", "n_id")
+        )
+    else:
+        cand = pq_adc_topk(codes, queries, codebooks, rerank, id_col, vec_col)
     return _exact_rerank(corpus, queries, cand, k, id_col, vec_col)
 
 
@@ -396,14 +562,29 @@ def ivfpq_topk(
     never shuffled by query, and at scale the cell column is the
     partition directory, so probing 2 of 256 cells reads 2/256 of the
     files AND scans them at 1/16 the bytes."""
-    from .ivf import assign_cells_df, probe_cells_df
+    from .ivf import probe_cells_df
 
     m = codebooks.shape[0]
     if codes is None:
-        with_cells = assign_cells_df(corpus, centroids, vec_col=vec_col)
-        codes = pq_encode(
-            with_cells, codebooks, vec_col, id_col, extra_cols=("cell",)
+        # on-the-fly path: coarse-assign + encode + probe-prune + ADC
+        # fused into ONE Python crossing over the raw vectors (guide §4)
+        # — the stacked assign-kernel → encode-kernel → probe-join →
+        # ADC-kernel pipeline shipped the corpus through Python three
+        # times and fanned code rows out per probing query. Scores and
+        # the candidate set are bit-identical (_fused_adc_partials).
+        scored = _fused_adc_partials(
+            corpus, queries, codebooks, rerank, id_col, vec_col,
+            centroids=centroids, nprobe=nprobe,
         )
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("adc_cos").desc(), F.col("n_id").asc()
+        )
+        cand = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= rerank)
+            .select("q_id", "n_id")
+        )
+        return _exact_rerank(corpus, queries, cand, k, id_col, vec_col)
     probes = probe_cells_df(queries, centroids, nprobe, id_col, vec_col)
     cand_codes = (
         codes.join(
