@@ -222,46 +222,43 @@ def asof_join_bucketed(
         *[F.col(c) for c in left_carry],
     ))
 
-    # (2) best right payload per (key, bucket): the row an empty following
-    # bucket would inherit. max_by/min_by on (ts [, tiebreak]) — struct
-    # comparison is lexicographic, matching the sweep's order.
+    # (2)+(3) fused (r13, guide §2.4): ONE bucket-level aggregate over a
+    # narrow union of both tagged legs replaces the former pair
+    # (right-side ``max_by`` aggregate + left-side ``distinct`` domain,
+    # each its own exchange, unioned into a third): per (key, bucket) it
+    # yields the best right payload (``max_by``/``min_by`` over an
+    # ordering that is NULL on left rows, so they never win — struct
+    # comparison is lexicographic, matching the sweep's order) and
+    # whether any left row needs a seed (``max(side)``). The per-key
+    # carry window then reads one row per (key, bucket) and excludes the
+    # CURRENT bucket's best with a strict ``rowsBetween(.., -1)`` frame —
+    # exactly what the old (bucket, side DESC) ordering achieved by
+    # sorting the left marker before the same bucket's best. Only left
+    # buckets need seeds: a right-only bucket contributes through its
+    # best but never emits output rows.
     ord_fields = [F.col(_TS)]
     if tiebreak is not None:
         ord_fields.append(F.col(_PAY).getField(tiebreak))
-    ord_struct = F.struct(*ord_fields)
-    best = F.max_by(F.col(_PAY), ord_struct) if backward else F.min_by(
-        F.col(_PAY), ord_struct
+    r_ord = F.when(F.col(_SIDE) == 0, F.struct(*ord_fields))
+    best = F.max_by(F.col(_PAY), r_ord) if backward else F.min_by(
+        F.col(_PAY), r_ord
     )
-    per_bucket = r_tagged.groupBy(*on, _BKT).agg(best.alias("__bucket_best"))
-
-    # (3) seed per LEFT bucket, derived from the aggregated extrema alone:
-    # union the per-bucket bests (side 0) with the distinct left bucket
-    # ids (side 1) and run ONE bucket-level carry window per key — no
-    # domain relation, no join. Ordering (bucket, side DESC) puts a left
-    # bucket's marker BEFORE the same bucket's best, so the carry at the
-    # marker holds exactly the strictly-earlier buckets' last best. Only
-    # left buckets need seeds: a right-only bucket contributes through
-    # per_bucket but never emits output rows.
-    l_dom = l_tagged.select(*on, _BKT).distinct()
-    pay_t = r_tagged.schema[_PAY].dataType
-    bucket_level = per_bucket.select(
-        *on, _BKT, F.lit(0).alias(_SIDE), F.col("__bucket_best")
-    ).unionByName(
-        l_dom.select(
-            *on, _BKT, F.lit(1).alias(_SIDE),
-            F.lit(None).cast(pay_t).alias("__bucket_best"),
-        )
+    narrow = [*on, _BKT, _SIDE, _TS, _PAY]
+    bucket_level = (
+        r_tagged.select(*narrow)
+        .unionByName(l_tagged.select(*narrow))
+        .groupBy(*on, _BKT)
+        .agg(best.alias("__bucket_best"), F.max(_SIDE).alias("__has_left"))
     )
     seq = Window.partitionBy(*on).orderBy(
-        F.col(_BKT).asc() if backward else F.col(_BKT).desc(),
-        F.col(_SIDE).desc(),
+        F.col(_BKT).asc() if backward else F.col(_BKT).desc()
     )
     seeds = bucket_level.withColumn(
         _SEED,
         F.last("__bucket_best", ignorenulls=True).over(
-            seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            seq.rowsBetween(Window.unboundedPreceding, -1)
         ),
-    ).filter((F.col(_SIDE) == 1) & F.col(_SEED).isNotNull())
+    ).filter((F.col("__has_left") == 1) & F.col(_SEED).isNotNull())
     # Seed sits at the bucket boundary (open edge for the sweep direction)
     # with side -1: ordered before every real row of the bucket, so any
     # in-bucket right row overwrites it.
