@@ -62,13 +62,18 @@ from .cachereg import track as _persist
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
-#: session-scoped scoring-postings cache, one corpus pinned at a time —
-#: the same contract as the dedup operators' shingle cache: callers pass
-#: a cache_key identifying the corpus (e.g. its path) and MUST change it
-#: when the data changes. Since r12 the cached artifact is the
-#: QUERY-FILTERED aggregated postings (plus the 1-row corpus stats), so
-#: the key also carries the query plan's semantic hash — a different
-#: query set rebuilds instead of silently reusing the wrong term subset.
+#: session-scoped scoring-postings cache, ONE (corpus, query-set) entry
+#: pinned at a time — the same contract as the dedup operators' shingle
+#: cache: callers pass a cache_key identifying the corpus (e.g. its path)
+#: and MUST change it when the data changes. Since r12 the cached
+#: artifact is the QUERY-FILTERED aggregated postings (plus the 1-row
+#: corpus stats), so the key also carries the query plan's semantic hash
+#: — a different query set rebuilds instead of silently reusing the wrong
+#: term subset. The semantic hash identifies the query PLAN, not its
+#: data: an external query table re-read from the same path with changed
+#: contents hashes identically, so the cache_key contract covers query
+#: data too — bump cache_key whenever corpus OR query bytes change
+#: (ADVICE r12).
 _POSTINGS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
@@ -117,7 +122,15 @@ def bm25_token_stream(corpus: DataFrame, id_col: str, text_col: str) -> DataFram
 def bm25_doc_stats(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """1-row (n_docs, avgdl) over docs with at least one token, from a
     narrow scan of the text column (dl values are the same integers the
-    postings-sum derivation produced, so avgdl is bit-identical)."""
+    postings-sum derivation produced, so avgdl is bit-identical).
+
+    Determinism contract (ADVICE r12): this re-scans the corpus
+    independently of the token stream that builds the filtered postings,
+    so the corpus source must be DETERMINISTIC across actions (parquet
+    reads, deterministic filters — everything the catalog passes). A
+    nondeterministic source (``sample()``, a ``rand()`` filter) could
+    yield stats that disagree with the postings; materialize such a
+    source first."""
     dl = F.size(F.filter(tokens(text_col), lambda t: t != ""))
     return (
         corpus.select(dl.alias("dl"))
@@ -272,11 +285,17 @@ def bm25_score_topk(
         if qkey is not None:
             postings_q = postings_q.persist()
             stats = stats.persist()
-            for old in [kk for kk in _POSTINGS_CACHE if kk[0] != cache_key]:
+            # pin exactly ONE (corpus, query-set) entry: evict everything
+            # that is not the entry being installed — including same-corpus
+            # entries with a different query-set hash, which previously
+            # accumulated as persisted DataFrames until
+            # clear_postings_cache() (ADVICE r12)
+            new_key = (cache_key, id_col, text_col, qkey)
+            for old in [kk for kk in _POSTINGS_CACHE if kk != new_key]:
                 p, s = _POSTINGS_CACHE.pop(old)
                 p.unpersist(blocking=True)
                 s.unpersist(blocking=True)
-            _POSTINGS_CACHE[(cache_key, id_col, text_col, qkey)] = (postings_q, stats)
+            _POSTINGS_CACHE[new_key] = (postings_q, stats)
         # no cache: postings_q has exactly one downstream consumer (the
         # df window chain), so persisting it would be pure overhead
     return _score_inline(postings_q, stats, query_terms, k, k1, b, exclude_self)

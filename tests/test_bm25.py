@@ -242,3 +242,30 @@ def test_bm25_append_with_empty_doc_matches_fresh_build(spark, tiny, tmp_path):
     # replaying the same batch appends nothing
     res = append_to_bm25_index(spark, p_app, batch)
     assert res["n_appended"] == 0 and res["n_replayed"] == 3
+
+
+def test_bm25_postings_cache_pins_single_entry(spark, tiny):
+    """ADVICE r12: the session postings cache must hold at most ONE
+    (corpus, query-set) entry — same-corpus entries with a different
+    query-set hash evict the previous one instead of accumulating as
+    persisted DataFrames."""
+    from kickhouse_iti_graduate_project_kafka_spark_airflow_gcp_warehouse_powerbi_spark.operators import (
+        bm25 as mod,
+    )
+
+    mod.clear_postings_cache()
+    try:
+        q1 = tiny.filter(F.col("doc_id") < 2)
+        q2 = tiny.filter(F.col("doc_id") < 3)  # different plan -> different qkey
+        bm25_score_topk(tiny, q1, k=3, cache_key="t").collect()
+        assert len(mod._POSTINGS_CACHE) == 1
+        bm25_score_topk(tiny, q2, k=3, cache_key="t").collect()
+        assert len(mod._POSTINGS_CACHE) == 1
+        # same corpus + same query plan reuses (still one entry)
+        bm25_score_topk(tiny, q2, k=3, cache_key="t").collect()
+        assert len(mod._POSTINGS_CACHE) == 1
+        # different corpus key evicts too
+        bm25_score_topk(tiny, q2, k=3, cache_key="u").collect()
+        assert len(mod._POSTINGS_CACHE) == 1
+    finally:
+        mod.clear_postings_cache()
