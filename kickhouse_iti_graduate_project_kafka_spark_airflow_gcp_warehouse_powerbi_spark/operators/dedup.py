@@ -436,7 +436,19 @@ def minhash_lsh_pairs(
     sig = exploded_h.groupBy("_id").agg(
         *[F.min(F.xxhash64(F.lit(i), "_h")).alias(f"mh_{i}") for i in range(num_hashes)]
     )
-    # banding: hash each band's slice of the signature to one bucket key
+    # banding: hash each band's slice of the signature to one bucket key.
+    # Deliberately NOT persisted (r13 probe): both self-join legs consume
+    # band_rows and the a/b aliasing defeats ReuseExchange, so each leg
+    # does re-run the signature aggregate — but that aggregate reads the
+    # ALREADY-PERSISTED hashed-shingle index (exploded_h above), the two
+    # redundant legs run concurrently on idle cores, and the paired A/Bs
+    # measured the persist flat-to-negative at every scale (sf0.1 −5.5%
+    # mixed-sign, sf1 +22.6% 4/11, sf10 +14.6% medians —
+    # benchruns/r13_ab_{main_sf01,minhash_pq_sf1,bands_sf10}.json). Same
+    # recompute-beats-persist posture as asof_join_bucketed's legs.
+    # Contrast hamming_band_pairs below, where the duplicated subtree is
+    # the far heavier 63-vote SimHash aggregate / media decode and the
+    # persist measured a clear win.
     band_rows = sig.select(
         "_id",
         F.explode(
@@ -578,24 +590,33 @@ def hamming_band_pairs(
     e.g. a frame position, so only same-position frames pair — and come
     back in the output. Returns (a_id, b_id, *extra_key_cols, hamming)."""
     extras = list(extra_key_cols)
-    bands = hashes.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_hv"),
-        *extras,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col(hash_col), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bucket"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_hv", *extras, "bb.band", "bb.bucket")
+    # PERSISTED (r13): both self-join legs consume ``bands``, and the
+    # a/b aliasing defeats ReuseExchange (r12 probe), so unpersisted each
+    # leg re-ran the ENTIRE upstream hash computation — for SimHash the
+    # 63 per-bit vote aggregates over the shingle index, for the
+    # image/audio/video callers the full media decode — twice. The cached
+    # artifact is 4 narrow rows per hash (id, 8-byte hash, extras, band,
+    # bucket); released by the session's release_tracked sweep.
+    bands = _persist(
+        hashes.select(
+            F.col(id_col).alias("_id"),
+            F.col(hash_col).alias("_hv"),
+            *extras,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col(hash_col), b * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("bucket"),
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("_id", "_hv", *extras, "bb.band", "bb.bucket")
+    )
     left = bands.select(
         F.col("_id").alias("a_id"), F.col("_hv").alias("_ha"), *extras,
         "band", "bucket",
