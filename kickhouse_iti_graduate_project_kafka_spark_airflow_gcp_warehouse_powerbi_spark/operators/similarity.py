@@ -179,14 +179,16 @@ def partitioned_topk(
     (nprobe=1). With a k-means quantizer this is the classic IVF-Flat
     layout; here any coarse bucketing column works. Exact within the cell.
 
-    Physical shape (r13): integral ids take the same Arrow fast path as
-    :func:`brute_force_topk` — one kernel scores each corpus batch
-    against the (bounded, broadcast) query set with a float64 GEMM,
-    masks rows to the query's own cell, and emits per-batch per-query
-    top-k — replacing the interpreted per-pair dot product and the
-    cell-join fan-out feeding the rank window with nq x N rows."""
-    if _integral_id(corpus, id_col) and _integral_id(queries, id_col):
-        return _partitioned_topk_arrow(corpus, queries, cell_col, k, id_col, vec_col)
+    Physical shape (r13 probe, NOT adopted): the brute_force_topk Arrow
+    GEMM kernel was tried here with an in-kernel cell mask and measured
+    consistently SLOWER — +10.4 % at sf0.1 (2/11 paired deltas negative)
+    and +10.7 % at sf1 (1/11), benchruns/r13_ab_labelcell_sf{01,1}.json
+    — because a full nq x N GEMM wastes (n_cells-1)/n_cells of its
+    arithmetic on pairs the cell join prunes for free, and the kernel
+    ships every corpus row through Python where the broadcast hash join
+    is JVM-only. Unlike brute force (where ALL pairs are scored either
+    way), pruned-search operators keep the join shape; the IVF/PQ tiers
+    are the scale path for the window-input concern."""
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -213,108 +215,6 @@ def partitioned_topk(
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos", "rank")
-    )
-
-
-def _partitioned_topk_arrow(
-    corpus: DataFrame,
-    queries: DataFrame,
-    cell_col: str,
-    k: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """Arrow fast path of :func:`partitioned_topk`. Join-path semantics
-    replicated: NULL cells never match (inner-join behavior), NULL
-    vectors/ids drop out, zero-norm pairs score NULL and drop, self-pairs
-    excluded, ties (cos desc, n_id asc)."""
-    import numpy as np
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    spark = corpus.sparkSession
-    rows = (
-        queries.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            F.col(cell_col).alias("_cell"),
-        )
-        .filter(
-            F.col("_v").isNotNull()
-            & F.col("_id").isNotNull()
-            & F.col("_cell").isNotNull()
-        )
-        .orderBy("_id")
-        .collect()
-    )
-    q_ids = np.asarray([r["_id"] for r in rows], dtype="int64")
-    qm = np.asarray([np.asarray(r["_v"], dtype="float64") for r in rows])
-    q_nrm = np.sqrt((qm * qm).sum(axis=1)) if len(rows) else np.zeros(0)
-    q_cells = [r["_cell"] for r in rows]
-    bc = spark.sparkContext.broadcast((q_ids, qm, q_nrm, q_cells))
-    from .cachereg import track_broadcast
-
-    track_broadcast(bc)
-    src = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("_v"),
-        F.col(cell_col).alias("_cell"),
-    ).filter(
-        F.col("_v").isNotNull()
-        & F.col("n_id").isNotNull()
-        & F.col("_cell").isNotNull()
-    )
-    schema = StructType(
-        [
-            StructField("q_id", queries.schema[id_col].dataType),
-            StructField("n_id", corpus.schema[id_col].dataType),
-            StructField("cos", DoubleType()),
-        ]
-    )
-    kk = int(k)
-
-    def gen(batches):
-        import pandas as pd
-
-        ids, Q, qn, qc = bc.value
-        nq = len(ids)
-        if nq == 0:
-            return
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            V = np.asarray(
-                [np.asarray(x, dtype="float64") for x in pdf["_v"]]
-            )
-            n_ids = pdf["n_id"].to_numpy()
-            n_cells = pdf["_cell"].to_numpy()
-            vn = np.sqrt((V * V).sum(axis=1))
-            dots = Q @ V.T
-            denom = qn[:, None] * vn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom > 0, dots / denom, np.nan)
-            out_q, out_n, out_s = [], [], []
-            for qi in range(nq):
-                row = cos[qi]
-                valid = (
-                    ~np.isnan(row) & (n_ids != ids[qi]) & (n_cells == qc[qi])
-                )
-                idx = np.nonzero(valid)[0]
-                if len(idx) == 0:
-                    continue
-                order = idx[np.lexsort((n_ids[idx], -row[idx]))][:kk]
-                out_q.extend([ids[qi]] * len(order))
-                out_n.extend(n_ids[order])
-                out_s.extend(row[order])
-            if out_q:
-                yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "cos": out_s})
-
-    partial = src.mapInPandas(gen, schema)
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos", "rank")
     )

@@ -479,8 +479,18 @@ def docs_ngram_jaccard_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFr
 def docs_minhash_lsh_pairs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """docs_minhash_lsh_pairs over the deterministic scale-adaptive
     sample — the MinHash+LSH banding path with a direct exact-pair
-    oracle at sweep scale (same per-pair miss bound as the full
-    query)."""
+    oracle at sweep scale (same per-pair miss bound as the full query).
+
+    Scope of the equality claim (r13 finding): the < 2e-9 miss bound
+    holds for the fixture's PLANTED near-dups (j >= 0.9). A fixture that
+    also creates borderline pairs — the skewed generator's injected hot
+    phrase yields pairs at j ≈ 0.5–0.6, where P[candidate] =
+    1-(1-j^4)^16 ≈ 0.65–0.9 — can legitimately show the exact-pair
+    oracle ahead by those pairs (observed at sf1_skew: 2 missed pairs at
+    j = 0.5714/0.6087, zero false positives, reproduced identically on
+    two code revisions). That is the documented probabilistic recall of
+    LSH, not an engine defect; read skew-sweep rows for this twin
+    accordingly."""
     docs = _docs_sampled(spark, sf_dir)
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5,
