@@ -578,6 +578,7 @@ def hamming_band_pairs(
     hash_col: str,
     max_hamming: int = 3,
     extra_key_cols: tuple[str, ...] = (),
+    persist_bands: bool = True,
 ) -> DataFrame:
     """Near-dup pairs among 63-bit hashes (sign bit clear, in a long) by
     Hamming distance <= ``max_hamming``: candidate generation via 16-bit
@@ -588,16 +589,24 @@ def hamming_band_pairs(
     fingerprints (audiohash.py), and per-frame video matching
     (videohash.py). ``extra_key_cols`` join ALONGSIDE the band key —
     e.g. a frame position, so only same-position frames pair — and come
-    back in the output. Returns (a_id, b_id, *extra_key_cols, hamming)."""
+    back in the output. Returns (a_id, b_id, *extra_key_cols, hamming).
+
+    ``persist_bands`` (default True, r13): both self-join legs consume
+    ``bands``, and the a/b aliasing defeats ReuseExchange (r12 probe),
+    so unpersisted each leg re-runs the ENTIRE upstream hash computation
+    — for SimHash the 63 per-bit vote aggregates over the shingle index,
+    for the image/audio/video callers the full media decode — twice
+    (measured: docs_simhash_pairs −10.6 %, 5/5 paired deltas negative at
+    sf1, benchruns/r13_ab_main_sf1.json). The persisted artifact is 4
+    narrow rows per hash, released by the session's release_tracked
+    sweep. Pass ``False`` when the input is corpus-sized with a CHEAP
+    upstream (a stored-index read, e.g. phash_gate_against_index) —
+    there the re-scan beats pinning 4 rows per stored hash, the same
+    recompute-beats-persist posture as the asof legs and minhash
+    band rows."""
     extras = list(extra_key_cols)
-    # PERSISTED (r13): both self-join legs consume ``bands``, and the
-    # a/b aliasing defeats ReuseExchange (r12 probe), so unpersisted each
-    # leg re-ran the ENTIRE upstream hash computation — for SimHash the
-    # 63 per-bit vote aggregates over the shingle index, for the
-    # image/audio/video callers the full media decode — twice. The cached
-    # artifact is 4 narrow rows per hash (id, 8-byte hash, extras, band,
-    # bucket); released by the session's release_tracked sweep.
-    bands = _persist(
+    maybe_persist = _persist if persist_bands else (lambda df: df)
+    bands = maybe_persist(
         hashes.select(
             F.col(id_col).alias("_id"),
             F.col(hash_col).alias("_hv"),

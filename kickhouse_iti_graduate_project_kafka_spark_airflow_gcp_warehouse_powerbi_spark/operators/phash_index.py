@@ -316,7 +316,10 @@ def phash_gate(
             F.lit(False).alias("_b"),
         )
     )
-    pairs = hamming_band_pairs(both, "id", "hash", max_hamming)
+    # persist_bands=False: ``both`` carries the FULL stored index whose
+    # upstream is a cheap parquet read — re-scanning beats pinning 4 band
+    # rows per stored hash (see hamming_band_pairs docstring)
+    pairs = hamming_band_pairs(both, "id", "hash", max_hamming, persist_bands=False)
     # batch-vs-stored rejections (either orientation of the a<b pair)
     flags = both.select("id", "_b")
     p = (
